@@ -1,0 +1,14 @@
+# Root conftest: force a deterministic 8-virtual-device CPU platform for the
+# test suite (multi-chip sharding is validated on a virtual CPU mesh; real-TPU
+# runs happen via bench.py / __graft_entry__.py which do not load this file).
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(__file__))
