@@ -1,0 +1,85 @@
+"""The per-frame device program: one jitted function = one frame.
+
+The reference's per-frame GPU command stream (record_main_command,
+renderer.rs:617-693: TLAS rebuild -> descriptor refresh -> trace_rays ->
+compute_ao -> tonemap/present) becomes a single jitted program whose pass
+ordering is expressed by data dependencies — XLA is the barrier system.
+Resolution and quality tiers are static arguments (jit specialization is the
+analogue of the reference's SPIR-V specialization constants + pipeline
+recreation on resize).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..kernels.traverse import trace_closest
+from ..passes.encodings import pack_unorm8, quantize_r11g11b10f, quantize_r16f
+from ..passes.gtao import GtaoSettings, compute_ao
+from ..passes.rays import T_MAX, T_MIN, camera_rays
+from ..passes.shade import shade
+from ..passes.tonemap import tonemap_frame
+
+MAX_LEAF = 4
+
+
+@partial(jax.jit, static_argnames=("width", "height", "gtao_settings",
+                                   "enable_gtao", "enable_tonemap"))
+def render_frame(scene: dict, camera: dict, lights: dict, gtao_consts: dict,
+                 lpm_derived: dict, noise_index, *, width: int, height: int,
+                 gtao_settings: GtaoSettings = GtaoSettings(),
+                 enable_gtao: bool = True, enable_tonemap: bool = True):
+    """Render one frame. Returns dict with:
+    image (H,W,3) u8 sRGB, color/depth/normal G-buffer, ao (H,W) u8.
+    """
+    origin, direction = camera_rays(camera, width, height)
+    hits = trace_closest(scene["bvh"], scene["geom"], origin, direction,
+                         T_MIN, T_MAX, max_leaf=MAX_LEAF)
+    g = shade(scene, camera, lights, hits, origin, direction)
+
+    # G-buffer storage-format quantization (B10G11R11F color+normal, R16F depth)
+    color = quantize_r11g11b10f(g["color"]).reshape(height, width, 3)
+    depth = quantize_r16f(g["depth"]).reshape(height, width)
+    normal = quantize_r11g11b10f(g["normal_enc"]).reshape(height, width, 3)
+
+    if enable_gtao:
+        ao = compute_ao(depth, normal, gtao_consts, gtao_settings, noise_index)
+    else:
+        ao = jnp.full((height, width), 255, jnp.uint8)
+
+    if enable_tonemap:
+        rgb = tonemap_frame(color, ao, lpm_derived)
+        image = pack_unorm8(rgb)
+    else:
+        image = pack_unorm8(jnp.clip(color, 0.0, 1.0))
+
+    return dict(image=image, color=color, depth=depth, normal=normal, ao=ao)
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def render_sample_hdr(scene: dict, camera: dict, lights: dict, jitter,
+                      *, width: int, height: int):
+    """One progressive-accumulation sample: linear HDR radiance with a
+    sub-pixel camera jitter (jitter in [-0.5, 0.5]^2 pixels). Used by the
+    accumulation / ground-truth mode (engine.accumulate)."""
+    origin, direction = _jittered_rays(camera, width, height, jitter)
+    hits = trace_closest(scene["bvh"], scene["geom"], origin, direction,
+                         T_MIN, T_MAX, max_leaf=MAX_LEAF)
+    g = shade(scene, camera, lights, hits, origin, direction)
+    return g["color"].reshape(height, width, 3)
+
+
+def _jittered_rays(camera: dict, width: int, height: int, jitter):
+    view_inv = camera["view_inv"]
+    proj_inv = camera["proj_inv"]
+    x = (jnp.arange(width, dtype=jnp.float32) + 0.5 + jitter[0]) / width * 2 - 1
+    y = (jnp.arange(height, dtype=jnp.float32) + 0.5 + jitter[1]) / height * 2 - 1
+    dx, dy = jnp.meshgrid(x, y)
+    ndc = jnp.stack([dx, dy, jnp.ones_like(dx), jnp.ones_like(dx)], axis=-1)
+    target = jnp.einsum("ij,hwj->hwi", proj_inv, ndc)[..., :3]
+    target = target / jnp.linalg.norm(target, axis=-1, keepdims=True)
+    direction = jnp.einsum("ij,hwj->hwi", view_inv[:3, :3], target)
+    origin = jnp.broadcast_to(view_inv[:3, 3], (height, width, 3))
+    return origin.reshape(-1, 3), direction.reshape(-1, 3)

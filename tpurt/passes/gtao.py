@@ -1,0 +1,481 @@
+"""XeGTAO ambient occlusion — TPU-native implementation.
+
+Ground-up reimplementation of Intel XeGTAO v1.30 as three vectorized jnp
+image passes (reference: shaders/xegtao/XeGTAO.hlsli, host side
+vk_xe_gtao.rs):
+
+  1. prefilter_depths — 5-level weighted depth pyramid
+     (XeGTAO_PrefilterDepths16x16, XeGTAO.hlsli:617-694). The reference
+     builds all 5 mips in one dispatch via groupshared memory; mip N from
+     2x2 quads of mip N-1 is numerically identical, and on TPU each
+     reduction is a cheap reshape-reduce that XLA fuses.
+  2. main_pass — horizon-slice integration (XeGTAO_MainPass,
+     XeGTAO.hlsli:246-577): per-pixel Hilbert+R2 spatio-temporal noise,
+     slice/step loops unrolled at trace time (quality tiers are jit
+     specialization — the analogue of the reference's SPIR-V
+     specialization constants, vk_xe_gtao.rs:1028-1047), per-sample mip
+     selection served from a flattened mip atlas with one gather.
+  3. denoise — edge-aware blur (XeGTAO_Denoise, XeGTAO.hlsli:744-836),
+     N passes by denoise level (vk_xe_gtao.rs:1099-1139).
+
+Stored-image quantization points match the reference formats: depth mips
+R16F, AO term u8 (R32_UINT 0..255), edges u8 (R8_UNORM); intermediate math
+runs in f32 where the reference uses min16float.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from .encodings import quantize_r16f
+
+XE_GTAO_DEPTH_MIP_LEVELS = 5
+XE_GTAO_OCCLUSION_TERM_SCALE = 1.5
+
+# Defaults (XeGTAO.h:107-114) with the renderer's overrides
+# (vk_xe_gtao.rs:261-272): effect radius fixed to 0.2.
+DEFAULT_CONSTANTS = dict(
+    effect_radius=0.2,
+    effect_falloff_range=0.615,
+    radius_multiplier=1.457,
+    sample_distribution_power=2.0,
+    thin_occluder_compensation=0.0,
+    final_value_power=2.2,
+    depth_mip_sampling_offset=3.30,
+)
+
+# Quality tiers (slice_count, steps_per_slice) — vk_xe_gtao.rs:99-110.
+QUALITY_LOW = (1, 2)
+QUALITY_MEDIUM = (2, 2)
+QUALITY_HIGH = (3, 3)
+QUALITY_ULTRA = (9, 3)
+
+PI = 3.1415926535897932384626433832795
+PI_HALF = 1.5707963267948966192313216916398
+
+
+@dataclass(frozen=True)
+class GtaoSettings:
+    """Static (jit-specializing) settings — the reference's GtaoSettings
+    (vk_xe_gtao.rs:93-111). denoise: 0 disabled, 1 sharp, 2 medium, 3 soft."""
+
+    slice_count: int = 9
+    steps_per_slice: int = 3
+    denoise: int = 1
+
+    @property
+    def denoise_blur_beta(self) -> float:
+        return 1e4 if self.denoise == 0 else 1.2
+
+    @property
+    def num_denoise_passes(self) -> int:
+        # vk_xe_gtao.rs:1099-1139: (denoise-1) regular passes + 1 final
+        return max(self.denoise - 1, 0) + 1
+
+
+def gtao_constants(width: int, height: int, znear: float, zfar: float,
+                   fovy: float, aspect: float) -> dict:
+    """Dynamic GTAOConstants (GTAOUpdateConstants, XeGTAO.h:170-204, and
+    vk_xe_gtao.rs:354-400)."""
+    tan_half_fovy = math.tan(fovy * 0.5)
+    tan_half_fovx = tan_half_fovy * aspect
+    ndc_to_view_mul = (tan_half_fovx * 2.0, tan_half_fovy * -2.0)
+    ndc_to_view_add = (-tan_half_fovx, tan_half_fovy)
+    consts = dict(DEFAULT_CONSTANTS)
+    consts.update(
+        viewport_size=(width, height),
+        viewport_pixel_size=(1.0 / width, 1.0 / height),
+        depth_unpack=((zfar * znear) / (zfar - znear), zfar / (zfar - znear)),
+        camera_tan_half_fov=(tan_half_fovx, tan_half_fovy),
+        ndc_to_view_mul=ndc_to_view_mul,
+        ndc_to_view_add=ndc_to_view_add,
+        ndc_to_view_mul_x_pixel_size=(ndc_to_view_mul[0] / width,
+                                      ndc_to_view_mul[1] / height),
+    )
+    return consts
+
+
+# ---------------------------------------------------------------- noise ----
+
+def _hilbert_lut_64() -> np.ndarray:
+    """64x64 Hilbert curve index LUT (HilbertIndex, XeGTAO.h:117-142)."""
+    lut = np.zeros((64, 64), np.uint32)
+    for y in range(64):
+        for x in range(64):
+            px, py = x, y
+            index = 0
+            level = 32
+            while level > 0:
+                rx = 1 if (px & level) > 0 else 0
+                ry = 1 if (py & level) > 0 else 0
+                index += level * level * ((3 * rx) ^ ry)
+                if ry == 0:
+                    if rx == 1:
+                        px = 63 - px
+                        py = 63 - py
+                    px, py = py, px
+                level //= 2
+            lut[y, x] = index
+    return lut
+
+
+_HILBERT_LUT = _hilbert_lut_64()
+
+
+def spatio_temporal_noise(height: int, width: int, noise_index):
+    """Hilbert-driven R2 sequence (main_pass.comp.hlsl:48-65)."""
+    lut = jnp.asarray(_HILBERT_LUT)
+    yy = jnp.arange(height) % 64
+    xx = jnp.arange(width) % 64
+    idx = lut[yy[:, None], xx[None, :]].astype(jnp.uint32)
+    idx = idx + jnp.uint32(288) * (jnp.uint32(noise_index) % 64)
+    fidx = idx.astype(jnp.float32)
+    nx = jnp.mod(0.5 + fidx * 0.75487766624669276005, 1.0)
+    ny = jnp.mod(0.5 + fidx * 0.5698402909980532659114, 1.0)
+    return nx, ny
+
+
+# ------------------------------------------------------------- prefilter ----
+
+def _depth_mip_filter(d0, d1, d2, d3, consts):
+    """Weighted 2x2 depth reduction (XeGTAO_DepthMIPFilter, :580-604)."""
+    max_depth = jnp.maximum(jnp.maximum(d0, d1), jnp.maximum(d2, d3))
+    depth_range_scale = 0.75
+    effect_radius = (depth_range_scale * consts["effect_radius"]
+                     * consts["radius_multiplier"])
+    falloff_range = consts["effect_falloff_range"] * effect_radius
+    falloff_from = effect_radius * (1.0 - consts["effect_falloff_range"])
+    falloff_mul = -1.0 / falloff_range
+    falloff_add = falloff_from / falloff_range + 1.0
+
+    def w(d):
+        return jnp.clip((max_depth - d) * falloff_mul + falloff_add, 0.0, 1.0)
+
+    w0, w1, w2, w3 = w(d0), w(d1), w(d2), w(d3)
+    wsum = w0 + w1 + w2 + w3
+    return (w0 * d0 + w1 * d1 + w2 * d2 + w3 * d3) / wsum
+
+
+def prefilter_depths(view_depth, consts):
+    """(H, W) linear view depth -> list of 5 R16F-quantized mips.
+
+    The renderer feeds linear view-space depth (XE_GTAO_VIEWSPACE_DEPTH,
+    prefilter_depths.comp.hlsl:3), so mip0 is just fp16 clamping
+    (XeGTAO_ClampDepth)."""
+    d = jnp.clip(view_depth, 0.0, 65504.0)
+    mips = [quantize_r16f(d)]
+    for _ in range(XE_GTAO_DEPTH_MIP_LEVELS - 1):
+        prev = mips[-1]
+        h, w = prev.shape
+        h2, w2 = max(h // 2, 1), max(w // 2, 1)
+        q = prev[:h2 * 2, :w2 * 2].reshape(h2, 2, w2, 2)
+        m = _depth_mip_filter(q[:, 0, :, 0], q[:, 0, :, 1],
+                              q[:, 1, :, 0], q[:, 1, :, 1], consts)
+        mips.append(quantize_r16f(m))
+    return mips
+
+
+def _mip_atlas(mips):
+    """Flatten the mip chain for single-gather dynamic-mip sampling."""
+    flat = jnp.concatenate([m.reshape(-1) for m in mips])
+    sizes = np.array([m.shape for m in mips], np.int32)  # (5, 2) h, w
+    offsets = np.concatenate([[0], np.cumsum(sizes[:, 0] * sizes[:, 1])[:-1]])
+    return flat, jnp.asarray(sizes), jnp.asarray(offsets.astype(np.int32))
+
+
+def _sample_mip_point(flat, sizes, offsets, uv_x, uv_y, mip):
+    """Point-sample the depth pyramid at integer mip level (the reference's
+    point-point-point sampler, clamp addressing)."""
+    h = sizes[mip, 0]
+    w = sizes[mip, 1]
+    x = jnp.clip((uv_x * w.astype(jnp.float32)).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip((uv_y * h.astype(jnp.float32)).astype(jnp.int32), 0, h - 1)
+    return flat[offsets[mip] + y * w + x]
+
+
+# ------------------------------------------------------------- edge math ----
+
+def _calculate_edges(center, left, right, top, bottom):
+    """XeGTAO_CalculateEdges (:121-130). Returns (..., 4) LRTB."""
+    e = jnp.stack([left, right, top, bottom], axis=-1) - center[..., None]
+    slope_lr = (e[..., 1] - e[..., 0]) * 0.5
+    slope_tb = (e[..., 3] - e[..., 2]) * 0.5
+    adj = e + jnp.stack([slope_lr, -slope_lr, slope_tb, -slope_tb], axis=-1)
+    e = jnp.minimum(jnp.abs(e), jnp.abs(adj))
+    return jnp.clip(1.25 - e / (center[..., None] * 0.011), 0.0, 1.0)
+
+
+def pack_edges(edges_lrtb):
+    """XeGTAO_PackEdges (:133-142) -> u8."""
+    q = jnp.round(jnp.clip(edges_lrtb, 0.0, 1.0) * 2.9)
+    return (q[..., 0] * 64 + q[..., 1] * 16 + q[..., 2] * 4 + q[..., 3]
+            ).astype(jnp.uint8)
+
+
+def unpack_edges(packed_u8):
+    """XeGTAO_UnpackEdges (:696-706) -> (..., 4) floats in {0,1/3,2/3,1}."""
+    p = packed_u8.astype(jnp.int32)
+    return jnp.stack([((p >> 6) & 3), ((p >> 4) & 3),
+                      ((p >> 2) & 3), (p & 3)], axis=-1).astype(jnp.float32) / 3.0
+
+
+# ------------------------------------------------------- fast math ports ----
+
+def _fast_sqrt(x):
+    """XeGTAO_FastSqrt (:172-175) — bit-trick approximation, kept for parity."""
+    xi = jnp.asarray(x, jnp.float32).view(jnp.int32)
+    return (jnp.int32(0x1FBD1DF5) + (xi >> 1)).view(jnp.float32)
+
+
+def _fast_acos(x):
+    """XeGTAO_FastACos (:177-185), input [-1,1] -> [0, PI]."""
+    ax = jnp.abs(x)
+    res = -0.156583 * ax + PI_HALF
+    res = res * _fast_sqrt(jnp.maximum(1.0 - ax, 0.0))
+    return jnp.where(x >= 0, res, PI - res)
+
+
+def _shift_clamp(img, dy, dx):
+    """img shifted so out[y,x] = img[y+dy, x+dx], clamped at borders."""
+    h, w = img.shape[:2]
+    ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
+    xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
+    return img[ys][:, xs]
+
+
+# ------------------------------------------------------------- main pass ----
+
+def main_pass(depth_mips, normal_enc, consts, settings: GtaoSettings,
+              noise_index):
+    """XeGTAO_MainPass over the full image.
+
+    depth_mips: output of prefilter_depths. normal_enc: (H, W, 3) the
+    encoded G-buffer normals (*0.5+0.5, view space, y/z negated — decoded
+    here exactly like main_pass.comp.hlsl:29-46).
+    Returns (ao_u8 (H,W), edges_u8 (H,W)).
+    """
+    d0 = depth_mips[0]
+    h, w = d0.shape
+    pixel_size = jnp.asarray(consts["viewport_pixel_size"], jnp.float32)
+    ndc_mul = jnp.asarray(consts["ndc_to_view_mul"], jnp.float32)
+    ndc_add = jnp.asarray(consts["ndc_to_view_add"], jnp.float32)
+
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    sp_x, sp_y = jnp.meshgrid(xs, ys)  # normalized screen pos
+
+    viewspace_z = d0
+    pix_l = _shift_clamp(d0, 0, -1)
+    pix_r = _shift_clamp(d0, 0, 1)
+    pix_t = _shift_clamp(d0, -1, 0)
+    pix_b = _shift_clamp(d0, 1, 0)
+
+    edges = _calculate_edges(viewspace_z, pix_l, pix_r, pix_t, pix_b)
+    edges_u8 = pack_edges(edges)
+
+    # decode normals (main_pass.comp.hlsl:29-46)
+    n = normal_enc * 2.0 - 1.0
+    viewspace_normal = n / jnp.maximum(
+        jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+
+    viewspace_z = viewspace_z * 0.99920  # fp16 depth offset (:284)
+
+    def view_pos(spx, spy, z):
+        x = (ndc_mul[0] * spx + ndc_add[0]) * z
+        y = (ndc_mul[1] * spy + ndc_add[1]) * z
+        return jnp.stack([x, y, z], axis=-1)
+
+    pix_center_pos = view_pos(sp_x, sp_y, viewspace_z)
+    view_vec = -pix_center_pos / jnp.maximum(
+        jnp.linalg.norm(pix_center_pos, axis=-1, keepdims=True), 1e-20)
+
+    effect_radius = consts["effect_radius"] * consts["radius_multiplier"]
+    sample_distribution_power = consts["sample_distribution_power"]
+    thin_occluder_compensation = consts["thin_occluder_compensation"]
+    falloff_range = consts["effect_falloff_range"] * effect_radius
+    falloff_from = effect_radius * (1.0 - consts["effect_falloff_range"])
+    falloff_mul = -1.0 / falloff_range
+    falloff_add = falloff_from / falloff_range + 1.0
+
+    visibility = jnp.zeros((h, w), jnp.float32)
+
+    noise_slice, noise_sample = spatio_temporal_noise(h, w, noise_index)
+
+    pixel_too_close_threshold = 1.3
+    ndc_mul_x_pix = jnp.asarray(consts["ndc_to_view_mul_x_pixel_size"],
+                                jnp.float32)
+    pixel_dir_rb_viewspace_size = viewspace_z * ndc_mul_x_pix[0]
+    screenspace_radius = effect_radius / pixel_dir_rb_viewspace_size
+
+    visibility += jnp.clip((10.0 - screenspace_radius) / 100.0, 0.0, 1.0) * 0.5
+    min_s = pixel_too_close_threshold / screenspace_radius
+
+    flat, sizes, offsets = _mip_atlas(depth_mips)
+
+    slice_count = settings.slice_count
+    steps_per_slice = settings.steps_per_slice
+
+    for slice_i in range(slice_count):
+        slice_k = (slice_i + noise_slice) / slice_count
+        phi = slice_k * PI
+        cos_phi = jnp.cos(phi)
+        sin_phi = jnp.sin(phi)
+        omega_x = cos_phi * screenspace_radius
+        omega_y = -sin_phi * screenspace_radius
+
+        direction_vec = jnp.stack(
+            [cos_phi, sin_phi, jnp.zeros_like(cos_phi)], axis=-1)
+        ortho_direction_vec = direction_vec - (
+            jnp.sum(direction_vec * view_vec, -1, keepdims=True) * view_vec)
+        axis_vec = jnp.cross(ortho_direction_vec, view_vec)
+        axis_vec = axis_vec / jnp.maximum(
+            jnp.linalg.norm(axis_vec, axis=-1, keepdims=True), 1e-20)
+
+        projected_normal = viewspace_normal - axis_vec * jnp.sum(
+            viewspace_normal * axis_vec, -1, keepdims=True)
+        sign_norm = jnp.sign(jnp.sum(ortho_direction_vec * projected_normal, -1))
+        projected_normal_len = jnp.linalg.norm(projected_normal, axis=-1)
+        cos_norm = jnp.clip(
+            jnp.sum(projected_normal * view_vec, -1)
+            / jnp.maximum(projected_normal_len, 1e-20), 0.0, 1.0)
+        n_angle = sign_norm * _fast_acos(cos_norm)
+
+        low_horizon_cos0 = jnp.cos(n_angle + PI_HALF)
+        low_horizon_cos1 = jnp.cos(n_angle - PI_HALF)
+        horizon_cos0 = low_horizon_cos0
+        horizon_cos1 = low_horizon_cos1
+
+        for step in range(steps_per_slice):
+            step_base_noise = ((slice_i + step * steps_per_slice)
+                               * 0.6180339887498948482)
+            step_noise = jnp.mod(noise_sample + step_base_noise, 1.0)
+            s = (step + step_noise) / steps_per_slice
+            s = jnp.power(s, sample_distribution_power) + min_s
+
+            sample_offset_x = s * omega_x
+            sample_offset_y = s * omega_y
+            sample_offset_len = jnp.sqrt(sample_offset_x ** 2
+                                         + sample_offset_y ** 2)
+            mip_level = jnp.clip(
+                jnp.log2(jnp.maximum(sample_offset_len, 1e-20))
+                - consts["depth_mip_sampling_offset"],
+                0, XE_GTAO_DEPTH_MIP_LEVELS)
+            # MIN_MAG_MIP_POINT: nearest mip
+            mip = jnp.clip(jnp.round(mip_level).astype(jnp.int32), 0,
+                           XE_GTAO_DEPTH_MIP_LEVELS - 1)
+
+            so_x = jnp.round(sample_offset_x) * pixel_size[0]
+            so_y = jnp.round(sample_offset_y) * pixel_size[1]
+
+            def horizon_sample(sx, sy, low_cos, horizon):
+                sz = _sample_mip_point(flat, sizes, offsets,
+                                       jnp.clip(sx, 0.0, 1.0),
+                                       jnp.clip(sy, 0.0, 1.0), mip)
+                sample_pos = view_pos(sx, sy, sz)
+                delta = sample_pos - pix_center_pos
+                dist = jnp.linalg.norm(delta, axis=-1)
+                horizon_vec = delta / jnp.maximum(dist, 1e-20)[..., None]
+                falloff_base = jnp.sqrt(
+                    delta[..., 0] ** 2 + delta[..., 1] ** 2
+                    + (delta[..., 2] * (1.0 + thin_occluder_compensation)) ** 2)
+                weight = jnp.clip(falloff_base * falloff_mul + falloff_add,
+                                  0.0, 1.0)
+                shc = jnp.sum(horizon_vec * view_vec, -1)
+                shc = low_cos + (shc - low_cos) * weight
+                return jnp.maximum(horizon, shc)
+
+            horizon_cos0 = horizon_sample(sp_x + so_x, sp_y + so_y,
+                                          low_horizon_cos0, horizon_cos0)
+            horizon_cos1 = horizon_sample(sp_x - so_x, sp_y - so_y,
+                                          low_horizon_cos1, horizon_cos1)
+
+        projected_normal_len = projected_normal_len + (
+            1.0 - projected_normal_len) * 0.05  # over-darkening fudge (:533)
+
+        h0 = -_fast_acos(jnp.clip(horizon_cos1, -1.0, 1.0))
+        h1 = _fast_acos(jnp.clip(horizon_cos0, -1.0, 1.0))
+        sin_n = jnp.sin(n_angle)
+        iarc0 = (cos_norm + 2.0 * h0 * sin_n - jnp.cos(2.0 * h0 - n_angle)) / 4.0
+        iarc1 = (cos_norm + 2.0 * h1 * sin_n - jnp.cos(2.0 * h1 - n_angle)) / 4.0
+        visibility += projected_normal_len * (iarc0 + iarc1)
+
+    visibility = visibility / slice_count
+    visibility = jnp.power(jnp.maximum(visibility, 0.0),
+                           consts["final_value_power"])
+    visibility = jnp.maximum(0.03, visibility)
+
+    # XeGTAO_OutputWorkingTerm (:199-207)
+    vis_packed = jnp.clip(visibility / XE_GTAO_OCCLUSION_TERM_SCALE, 0.0, 1.0)
+    ao_u8 = (vis_packed * 255.0 + 0.5).astype(jnp.uint8)
+    return ao_u8, edges_u8
+
+
+# ---------------------------------------------------------------- denoise ---
+
+def denoise_pass(ao_u8, edges_u8, settings: GtaoSettings, final_apply: bool):
+    """One edge-aware denoise pass (XeGTAO_Denoise, :744-836)."""
+    blur = settings.denoise_blur_beta if final_apply \
+        else settings.denoise_blur_beta / 5.0
+    diag_weight = 0.85 * 0.5
+
+    vis = ao_u8.astype(jnp.float32) / 255.0
+    edges_c = unpack_edges(edges_u8)
+    edges_l = unpack_edges(_shift_clamp(edges_u8, 0, -1))
+    edges_r = unpack_edges(_shift_clamp(edges_u8, 0, 1))
+    edges_t = unpack_edges(_shift_clamp(edges_u8, -1, 0))
+    edges_b = unpack_edges(_shift_clamp(edges_u8, 1, 0))
+
+    # symmetry enforcement (:780)
+    edges_c = edges_c * jnp.stack([edges_l[..., 1], edges_r[..., 0],
+                                   edges_t[..., 3], edges_b[..., 2]], axis=-1)
+    # AO leak for 3-4 edge pixels (:782-786)
+    leak_threshold, leak_strength = 2.5, 0.5
+    edginess = (jnp.clip(4.0 - leak_threshold - jnp.sum(edges_c, -1),
+                         0.0, 1.0) / (4.0 - leak_threshold)) * leak_strength
+    edges_c = jnp.clip(edges_c + edginess[..., None], 0.0, 1.0)
+
+    w_tl = diag_weight * (edges_c[..., 0] * edges_l[..., 2]
+                          + edges_c[..., 2] * edges_t[..., 0])
+    w_tr = diag_weight * (edges_c[..., 2] * edges_t[..., 1]
+                          + edges_c[..., 1] * edges_r[..., 2])
+    w_bl = diag_weight * (edges_c[..., 3] * edges_b[..., 0]
+                          + edges_c[..., 0] * edges_l[..., 3])
+    w_br = diag_weight * (edges_c[..., 1] * edges_r[..., 3]
+                          + edges_c[..., 3] * edges_b[..., 1])
+
+    ssao = vis
+    sum_weight = jnp.full_like(ssao, blur)
+    total = ssao * sum_weight
+
+    def add(value, weight, total, sum_weight):
+        return total + value * weight, sum_weight + weight
+
+    total, sum_weight = add(_shift_clamp(vis, 0, -1), edges_c[..., 0], total, sum_weight)
+    total, sum_weight = add(_shift_clamp(vis, 0, 1), edges_c[..., 1], total, sum_weight)
+    total, sum_weight = add(_shift_clamp(vis, -1, 0), edges_c[..., 2], total, sum_weight)
+    total, sum_weight = add(_shift_clamp(vis, 1, 0), edges_c[..., 3], total, sum_weight)
+    total, sum_weight = add(_shift_clamp(vis, -1, -1), w_tl, total, sum_weight)
+    total, sum_weight = add(_shift_clamp(vis, -1, 1), w_tr, total, sum_weight)
+    total, sum_weight = add(_shift_clamp(vis, 1, -1), w_bl, total, sum_weight)
+    total, sum_weight = add(_shift_clamp(vis, 1, 1), w_br, total, sum_weight)
+
+    out = total / sum_weight
+    if final_apply:
+        out = out * XE_GTAO_OCCLUSION_TERM_SCALE
+    return (jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+
+
+def compute_ao(view_depth, normal_enc, consts, settings: GtaoSettings,
+               noise_index):
+    """Full GTAO chain (compute_ao, vk_xe_gtao.rs:416-642): prefilter ->
+    main pass -> N denoise passes. Returns final AO u8 image (0..255, where
+    255 = fully visible * occlusion-term scale)."""
+    mips = prefilter_depths(view_depth, consts)
+    ao, edges = main_pass(mips, normal_enc, consts, settings, noise_index)
+    n_passes = settings.num_denoise_passes
+    for i in range(n_passes):
+        ao = denoise_pass(ao, edges, settings, final_apply=(i == n_passes - 1))
+    return ao

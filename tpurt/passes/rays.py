@@ -1,0 +1,31 @@
+"""Primary camera-ray generation.
+
+Matches the reference raygen exactly (raytrace.rgen.glsl:77-101): pixel
+centers through the inverse projection, directions rotated to world by the
+inverse view. Vulkan's top-left origin / NDC-y-down pairs with the camera's
+(0,-1,0) up vector, so row 0 of the image is the top of the frame.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+T_MIN = 0.001
+T_MAX = 10000.0
+
+
+def camera_rays(camera: dict, width: int, height: int):
+    """Returns (origin (H*W, 3), direction (H*W, 3)) world-space rays."""
+    view_inv = camera["view_inv"]
+    proj_inv = camera["proj_inv"]
+
+    x = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
+    y = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0 - 1.0
+    dx, dy = jnp.meshgrid(x, y)  # (H, W)
+
+    ndc = jnp.stack([dx, dy, jnp.ones_like(dx), jnp.ones_like(dx)], axis=-1)
+    target = jnp.einsum("ij,hwj->hwi", proj_inv, ndc)[..., :3]
+    target = target / jnp.linalg.norm(target, axis=-1, keepdims=True)
+    direction = jnp.einsum("ij,hwj->hwi", view_inv[:3, :3], target)
+
+    origin = jnp.broadcast_to(view_inv[:3, 3], (height, width, 3))
+    return origin.reshape(-1, 3), direction.reshape(-1, 3)

@@ -1,0 +1,189 @@
+"""Primary-hit shading: the fused XLA pass over the hit G-buffer.
+
+Re-implements the reference's raygen shading loop
+(raytrace.rgen.glsl:106-199) as one vectorized program over all pixels:
+
+* barycentric interpolation of pos/uv/normal/tangent (:116-126),
+* Gram-Schmidt TBN with bitangent handedness from v0's tangent.w (:128-131),
+* bindless-equivalent texture fetches: layer 0 albedo (sRGB->linear pow 2.2),
+  layer 1 ORM (g=roughness, b=metallic), layer 2 normal map (:132-137),
+* F0 = mix(0.04, albedo, metallic), roughness^2 (:140-141),
+* per light: Cook-Torrance GGX specular + Burley local-SSS diffuse (:146-162),
+* shadow ray per shadow-casting light with attenuation 0.05 (:164-182),
+* radiance * NdotL accumulation (:184-186),
+* outputs: color, view depth = -(view * P).z, view normal encoded
+  *0.5+0.5 with y,z negated (:188-199).
+
+Shadow rays are wavefront-batched: one trace_any launch per light over the
+whole pixel set, with inactive lanes given tmax = 0 so they exit the BVH in a
+single step (the compaction analogue for this 1-bounce pipeline).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..kernels.traverse import trace_any
+from . import brdf
+from .light import get_light_radiance, get_unnormalized_L_vec
+
+LOCAL_SSS_RATIO = 0.4
+SHADOW_T_MIN = 0.01
+SHADOW_ATTENUATION = 0.05
+MISS_DEPTH = 10000.0
+
+
+def _normalize(v, eps=1e-20):
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+
+
+def sample_bilinear(tex_stack, tex_size, prim, layer: int, uv):
+    """Bilinear texture fetch with REPEAT addressing from the stacked
+    per-primitive texture array. The reference's sampler is trilinear
+    anisotropic, but every texture has one mip level
+    (gltf copy info image_mip_levels=1), so it reduces to bilinear.
+
+    tex_stack: (P*3, H, W, 4) u8; tex_size: (P, 2) i32; prim: (N,) i32;
+    uv: (N, 2). Returns (N, 4) float in [0, 1].
+    """
+    size = tex_size[prim].astype(jnp.float32)  # (N, 2) = (h, w)
+    h = size[:, 0]
+    w = size[:, 1]
+    px = uv[:, 0] * w - 0.5
+    py = uv[:, 1] * h - 0.5
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    fx = px - x0
+    fy = py - y0
+
+    hi = tex_size[prim][:, 0]
+    wi = tex_size[prim][:, 1]
+    x0i = jnp.mod(x0.astype(jnp.int32), wi)
+    y0i = jnp.mod(y0.astype(jnp.int32), hi)
+    x1i = jnp.mod(x0i + 1, wi)
+    y1i = jnp.mod(y0i + 1, hi)
+
+    img = prim * 3 + layer
+    t00 = tex_stack[img, y0i, x0i].astype(jnp.float32)
+    t10 = tex_stack[img, y0i, x1i].astype(jnp.float32)
+    t01 = tex_stack[img, y1i, x0i].astype(jnp.float32)
+    t11 = tex_stack[img, y1i, x1i].astype(jnp.float32)
+    fx = fx[:, None]
+    fy = fy[:, None]
+    out = ((t00 * (1 - fx) + t10 * fx) * (1 - fy)
+           + (t01 * (1 - fx) + t11 * fx) * fy)
+    return out / 255.0
+
+
+def shade(scene: dict, camera: dict, lights: dict, hits: dict,
+          origin, direction):
+    """Shade one batch of primary hits.
+
+    Returns dict(color (N,3), depth (N,), normal_enc (N,3)) — the unquantized
+    G-buffer; the engine applies format quantization (B10G11R11F / R16F).
+    """
+    tri = hits["tri"]
+    valid = tri >= 0
+    tidx = jnp.maximum(tri, 0)
+
+    vids = scene["tri_vertex"][tidx]          # (N, 3)
+    prim = scene["tri_prim"][tidx]            # (N,)
+
+    u = hits["u"][:, None]
+    v = hits["v"][:, None]
+    w = 1.0 - u - v
+
+    p0 = scene["vtx_pos"][vids[:, 0]]
+    p1 = scene["vtx_pos"][vids[:, 1]]
+    p2 = scene["vtx_pos"][vids[:, 2]]
+    world_pos = p0 * w + p1 * u + p2 * v
+
+    uv0 = scene["vtx_uv"][vids[:, 0]]
+    uv1 = scene["vtx_uv"][vids[:, 1]]
+    uv2 = scene["vtx_uv"][vids[:, 2]]
+    tex_coord = uv0 * w + uv1 * u + uv2 * v
+
+    n0 = scene["vtx_normal"][vids[:, 0]]
+    n1 = scene["vtx_normal"][vids[:, 1]]
+    n2 = scene["vtx_normal"][vids[:, 2]]
+    world_normal = _normalize(n0 * w + n1 * u + n2 * v)
+
+    t0 = scene["vtx_tangent"][vids[:, 0]]
+    t1 = scene["vtx_tangent"][vids[:, 1]]
+    t2 = scene["vtx_tangent"][vids[:, 2]]
+    world_tangent = _normalize(t0[:, :3] * w + t1[:, :3] * u + t2[:, :3] * v)
+    # Gram-Schmidt re-orthogonalization; handedness from v0's tangent.w
+    world_tangent = _normalize(
+        world_tangent
+        - jnp.sum(world_tangent * world_normal, -1, keepdims=True) * world_normal)
+    world_binormal = jnp.cross(world_normal, world_tangent) * t0[:, 3:4]
+
+    nmap = sample_bilinear(scene["tex_stack"], scene["tex_size"], prim, 2, tex_coord)
+    N_ts = _normalize(nmap[:, :3] * 2.0 - 1.0)
+    N = _normalize(N_ts[:, 0:1] * world_tangent
+                   + N_ts[:, 1:2] * world_binormal
+                   + N_ts[:, 2:3] * world_normal)
+
+    albedo = jnp.power(
+        sample_bilinear(scene["tex_stack"], scene["tex_size"], prim, 0, tex_coord)[:, :3],
+        2.2)
+    orm = sample_bilinear(scene["tex_stack"], scene["tex_size"], prim, 1, tex_coord)
+    roughness = orm[:, 1]
+    metallic = orm[:, 2]
+
+    camera_pos = camera["camera_pos"]
+    V = _normalize(camera_pos[None, :] - world_pos)
+    F0 = 0.04 * (1.0 - metallic[:, None]) + albedo * metallic[:, None]
+    corrected_roughness = roughness * roughness
+
+    nc_NdotV = jnp.sum(N * V, axis=-1)
+    NdotV = jnp.clip(nc_NdotV, 1e-5, 1.0)
+
+    num_lights = lights["pos"].shape[0]
+    rho = jnp.zeros_like(albedo)
+    for i in range(num_lights):
+        light = {k: arr[i] for k, arr in lights.items()}
+        nn_L = get_unnormalized_L_vec(light, world_pos)
+        L_len = jnp.linalg.norm(nn_L, axis=-1)
+        L = nn_L / jnp.maximum(L_len, 1e-20)[..., None]
+        H = _normalize(V + L)
+
+        nc_NdotL = jnp.sum(N * L, axis=-1)
+        NdotL = jnp.clip(nc_NdotL, 0.0, 1.0)
+        NdotH = jnp.clip(jnp.sum(N * H, axis=-1), 0.0, 1.0)
+        LdotH = jnp.clip(jnp.sum(L * H, axis=-1), 0.0, 1.0)
+
+        Ks = brdf.f_schlick(F0, LdotH)
+        Kd = (1.0 - metallic[:, None]) * albedo
+
+        rho_s = brdf.cook_torrance_specular(NdotL, NdotV, NdotH,
+                                            corrected_roughness, Ks)
+        rho_d = Kd * brdf.burley_diffuse_local_sss(
+            corrected_roughness, NdotV, nc_NdotV, nc_NdotL, LdotH,
+            LOCAL_SSS_RATIO)[..., None]
+
+        shadow_attenuation = jnp.ones_like(NdotL)
+        wants_shadow = valid & (light["casts_shadows"] > 0) & (nc_NdotL > 0)
+        # inactive lanes get tmax=0 -> they leave the BVH on the first step
+        t_max = jnp.where(wants_shadow, L_len, 0.0)
+        occluded = trace_any(scene["bvh"], scene["geom"], world_pos, L,
+                             SHADOW_T_MIN, t_max, max_leaf=4)
+        shadow_attenuation = jnp.where(wants_shadow & occluded,
+                                       SHADOW_ATTENUATION, shadow_attenuation)
+
+        radiance = get_light_radiance(light, world_pos, L)
+        active = light.get("active", jnp.float32(1.0))
+        rho = rho + ((rho_s + rho_d) * radiance
+                     * (shadow_attenuation * NdotL * active)[..., None])
+
+    out_color = jnp.where(valid[:, None], rho, 0.0)
+
+    view = camera["view"]
+    view_z = world_pos @ view[2, :3] + view[2, 3]
+    out_depth = jnp.where(valid, -view_z, MISS_DEPTH)
+
+    normal_view = jnp.einsum("ij,nj->ni", view[:3, :3], N)
+    normal_view = normal_view * jnp.array([1.0, -1.0, -1.0])
+    normal_enc = _normalize(normal_view) * 0.5 + 0.5
+    out_normal = jnp.where(valid[:, None], normal_enc, 0.5)
+
+    return dict(color=out_color, depth=out_depth, normal_enc=out_normal)

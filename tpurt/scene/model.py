@@ -1,0 +1,103 @@
+"""Model residency state machine (LOD streaming).
+
+Reference: vk_model.rs — a type-state machine Storage/Host/Device
+(vk_model.rs:23-229) driven by camera distance to the model's bounding
+sphere: <= 10 on device, <= 20 staged on host, else evicted to disk
+(update_model_status, vk_model.rs:334-345).
+
+On TPU "device residency" means: the model's triangles participate in the
+flattened scene tables uploaded to HBM (scene.py rebuilds them when the
+resident set changes — the analogue of re-recording upload commands +
+rebuilding the BLAS). "Host" keeps decoded numpy arrays in RAM; "storage"
+drops them.
+"""
+from __future__ import annotations
+
+import enum
+from typing import Optional
+
+import numpy as np
+
+from .gltf import GltfModelReader
+from .mesh import Sphere, TextureType
+
+
+class Residency(enum.Enum):
+    STORAGE = 0
+    HOST = 1
+    DEVICE = 2
+
+
+DEVICE_DISTANCE = 10.0
+HOST_DISTANCE = 20.0
+
+
+class Model:
+    def __init__(self, file_path, model_matrix_3x4, blas_builder=None):
+        self.file_path = str(file_path)
+        self.model_matrix = np.asarray(model_matrix_3x4, np.float32).reshape(3, 4)
+        self.state = Residency.STORAGE
+        self._primitives = None
+        self._sphere: Optional[Sphere] = None
+        self._blas = None
+        self._blas_builder = blas_builder
+        # First touch loads to host to learn the bounding sphere, exactly like
+        # the reference's Storage::to_host on construction (vk_model.rs:36-42).
+        self._to_host()
+
+    # -- state transitions ---------------------------------------------------
+
+    def _to_host(self):
+        if self._primitives is None:
+            reader = GltfModelReader.open(
+                self.file_path, normalize_vectors=True,
+                coerce_image_to_format="R8G8B8A8_UNORM")
+            self._primitives = reader.primitive_arrays()
+            self._sphere = reader.get_primitives_bounding_sphere()
+        self.state = Residency.HOST
+
+    def _to_storage(self):
+        self._primitives = None
+        self._blas = None
+        self.state = Residency.STORAGE
+
+    def _to_device(self):
+        if self._primitives is None:
+            self._to_host()
+        if self._blas is None and self._blas_builder is not None:
+            self._blas = self._blas_builder(self)
+        self.state = Residency.DEVICE
+
+    def update_model_status(self, camera_pos) -> bool:
+        """Distance-driven residency policy (vk_model.rs:334-345).
+        Returns True if the resident set changed (scene tables need rebuild)."""
+        dist = self.transformed_sphere().distance_from_point(camera_pos)
+        old = self.state
+        if dist <= DEVICE_DISTANCE:
+            self._to_device()
+        elif dist <= HOST_DISTANCE:
+            self._to_host()
+        else:
+            self._to_storage()
+        return (old == Residency.DEVICE) != (self.state == Residency.DEVICE)
+
+    # -- accessors ------------------------------------------------------------
+
+    def transformed_sphere(self) -> Sphere:
+        return self._sphere.transform(self.model_matrix)
+
+    def is_device_resident(self) -> bool:
+        return self.state == Residency.DEVICE
+
+    def primitives(self):
+        assert self._primitives is not None, "model not host-resident"
+        return self._primitives
+
+    @property
+    def blas(self):
+        return self._blas
+
+    def get_device_primitives_count(self) -> int:
+        """Per-model primitive count used for the running custom index
+        (renderer.rs:641-650, vk_model.rs:365-384)."""
+        return len(self._primitives) if self.is_device_resident() else 0

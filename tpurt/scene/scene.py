@@ -1,0 +1,166 @@
+"""Scene flattening: models -> global device tables + world BVH.
+
+The reference binds per-primitive vertex/index buffer device addresses and a
+bindless 256-slot texture array through a descriptor set
+(vk_rt_descriptor_set.rs:31-97) refreshed every frame with a running
+instanceCustomIndex (renderer.rs:641-675). The TPU-native equivalent is a
+*flattened scene pytree*: global vertex/index/texture tables with a global
+primitive id per triangle, rebuilt only when the device-resident model set
+changes (the analogue of re-recording uploads + BLAS builds), and consumed as
+ordinary jit inputs.
+
+Positions/normals/tangents are pre-transformed to world space at flatten time
+(the per-instance 3x4 transform applied once per vertex, instead of per ray
+hit as the hardware TLAS does) — with the uniform-scale transforms the
+reference app uses, interpolated shading is identical.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, List
+
+import numpy as np
+
+from ..bvh import build_bvh_sah
+from ..bvh.flat import tri_aabbs
+from .mesh import TextureType
+from .model import Model
+
+MAX_LEAF = 4
+
+# Neutral defaults for models that lack ORM / normal / albedo textures.
+# (The reference *requires* all three layers and would panic; synthesizing
+# neutral layers is a strict superset of its behavior.)
+_DEFAULT_TEXELS = {
+    0: (255, 255, 255, 255),   # albedo: white
+    1: (255, 255, 0, 255),     # ORM: occlusion 1, roughness 1, metallic 0
+    2: (128, 128, 255, 255),   # normal map: +z
+}
+_LAYER_OF = {TextureType.ALBEDO: 0, TextureType.ORM: 1, TextureType.NORMAL: 2}
+
+
+@dataclass
+class FlatScene:
+    """Static-shape pytree consumed by the jitted frame function."""
+
+    bvh: dict        # FlatBVH arrays (world space)
+    geom: dict       # traversal triangles: v0, e1, e2, tri_id
+    tri_vertex: Any  # (T, 3) i32 global vertex ids (original tri order)
+    tri_prim: Any    # (T,)  i32 global primitive id ("customIndex + geometryIndex")
+    vtx_pos: Any     # (V, 3) f32 world space
+    vtx_uv: Any      # (V, 2) f32
+    vtx_normal: Any  # (V, 3) f32 world space, normalized
+    vtx_tangent: Any  # (V, 4) f32 world xyz + handedness w
+    tex_stack: Any   # (P*3, H, W, 4) u8 — layers albedo/orm/normal per prim
+    tex_size: Any    # (P, 2) i32 (h, w) valid extent per prim
+    num_prims: int = 0
+
+    def as_pytree(self) -> dict:
+        return dict(
+            bvh=self.bvh, geom=self.geom, tri_vertex=self.tri_vertex,
+            tri_prim=self.tri_prim, vtx_pos=self.vtx_pos, vtx_uv=self.vtx_uv,
+            vtx_normal=self.vtx_normal, vtx_tangent=self.vtx_tangent,
+            tex_stack=self.tex_stack, tex_size=self.tex_size,
+        )
+
+
+def _transform_points(m3x4: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    return pts @ m3x4[:, :3].T + m3x4[:, 3]
+
+
+def _transform_normals(m3x4: np.ndarray, normals: np.ndarray) -> np.ndarray:
+    inv_t = np.linalg.inv(m3x4[:, :3]).T
+    out = normals @ inv_t.T
+    norm = np.linalg.norm(out, axis=1, keepdims=True)
+    return (out / np.maximum(norm, 1e-20)).astype(np.float32)
+
+
+def _transform_directions(m3x4: np.ndarray, dirs: np.ndarray) -> np.ndarray:
+    out = dirs @ m3x4[:, :3].T
+    norm = np.linalg.norm(out, axis=1, keepdims=True)
+    return (out / np.maximum(norm, 1e-20)).astype(np.float32)
+
+
+def flatten_scene(models: List[Model]) -> FlatScene:
+    """Flatten all device-resident models; build the world BVH (binned SAH,
+    the analogue of the driver's PREFER_FAST_TRACE build)."""
+    pos_l, uv_l, nrm_l, tan_l = [], [], [], []
+    tri_v_l, tri_p_l = [], []
+    tex_entries = []  # (prim_idx, layer, ImageData)
+    tex_sizes = []
+
+    vtx_base = 0
+    prim_idx = 0
+    for model in models:
+        if not model.is_device_resident():
+            continue
+        m = model.model_matrix
+        for prim in model.primitives():
+            n_vtx = len(prim["positions"])
+            pos_l.append(_transform_points(m, prim["positions"]).astype(np.float32))
+            uv_l.append(prim["tex_coords"] if prim["tex_coords"] is not None
+                        else np.zeros((n_vtx, 2), np.float32))
+            nrm_l.append(_transform_normals(m, prim["normals"])
+                         if prim["normals"] is not None
+                         else np.zeros((n_vtx, 3), np.float32))
+            if prim["tangents"] is not None:
+                t = prim["tangents"]
+                txyz = _transform_directions(m, t[:, :3])
+                tan_l.append(np.concatenate([txyz, t[:, 3:4]], axis=1).astype(np.float32))
+            else:
+                # synthesize a tangent orthogonal-ish to the normal; the
+                # Gram-Schmidt in the shading pass fixes it up
+                tan_l.append(np.tile(np.array([[1, 0, 0, 1]], np.float32), (n_vtx, 1)))
+            tri_v_l.append(prim["indices"].astype(np.int64) + vtx_base)
+            tri_p_l.append(np.full(len(prim["indices"]), prim_idx, np.int32))
+            vtx_base += n_vtx
+
+            size = None
+            for ttype, layer in _LAYER_OF.items():
+                img = prim["textures"].get(ttype)
+                if img is not None:
+                    tex_entries.append((prim_idx, layer, img))
+                    size = (img.height, img.width)
+            tex_sizes.append(size if size is not None else (1, 1))
+            prim_idx += 1
+
+    if prim_idx == 0:
+        raise ValueError("no device-resident models to flatten")
+
+    vtx_pos = np.concatenate(pos_l)
+    vtx_uv = np.concatenate(uv_l).astype(np.float32)
+    vtx_normal = np.concatenate(nrm_l)
+    vtx_tangent = np.concatenate(tan_l)
+    tri_vertex = np.concatenate(tri_v_l).astype(np.int32)
+    tri_prim = np.concatenate(tri_p_l)
+
+    hmax = max(max(h for h, w in tex_sizes), 1)
+    wmax = max(max(w for h, w in tex_sizes), 1)
+    tex_stack = np.zeros((prim_idx * 3, hmax, wmax, 4), np.uint8)
+    for layer in range(3):
+        tex_stack[layer::3, :, :] = _DEFAULT_TEXELS[layer]
+    for p, layer, img in tex_entries:
+        arr = img.as_array()
+        if arr.shape[2] < 4:
+            arr = np.concatenate(
+                [arr, np.full((*arr.shape[:2], 4 - arr.shape[2]), 255, np.uint8)], axis=2)
+        tex_stack[p * 3 + layer, :img.height, :img.width] = arr
+    tex_size = np.asarray(tex_sizes, np.int32)
+
+    v0 = vtx_pos[tri_vertex[:, 0]]
+    v1 = vtx_pos[tri_vertex[:, 1]]
+    v2 = vtx_pos[tri_vertex[:, 2]]
+    amin, amax = tri_aabbs(v0, v1, v2)
+    bvh = build_bvh_sah(amin, amax, max_leaf_size=MAX_LEAF)
+
+    order = np.asarray(bvh.tri_order)
+    v0o = v0[order]
+    geom = dict(v0=v0o, e1=(v1[order] - v0o), e2=(v2[order] - v0o),
+                tri_id=order.astype(np.int32))
+
+    return FlatScene(
+        bvh=bvh.as_pytree(), geom=geom, tri_vertex=tri_vertex,
+        tri_prim=tri_prim, vtx_pos=vtx_pos, vtx_uv=vtx_uv,
+        vtx_normal=vtx_normal, vtx_tangent=vtx_tangent,
+        tex_stack=tex_stack, tex_size=tex_size, num_prims=prim_idx,
+    )
