@@ -1,0 +1,112 @@
+"""Headline benchmark: full pipeline (PBR + RT shadows + XeGTAO ULTRA +
+LPM tonemap) at the reference's 800x800 workload shape (main.rs:18), on one
+chip. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N}
+
+Rays/frame = W*H primary + W*H per shadow-casting light (the reference's
+1 primary + N shadow rays per pixel, raytrace.rgen.glsl:86-182).
+vs_baseline is the fraction of the BASELINE.json north-star target
+(100 Mrays/s/chip); the reference publishes no numbers of its own
+(BASELINE.md).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BOX = "/root/reference/assets/models/BoxTextured.glb"
+WIDTH = 800
+HEIGHT = 800
+WARMUP = 3
+FRAMES = 20
+NORTH_STAR_MRAYS = 100.0
+
+
+def build_scene():
+    from tpurt.engine import Renderer, RendererConfig
+    from tpurt.passes.gtao import GtaoSettings
+    from tpurt.scene.lights import AreaLight, SpotLight
+
+    cfg = RendererConfig(width=WIDTH, height=HEIGHT,
+                         gtao=GtaoSettings(slice_count=9, steps_per_slice=3,
+                                           denoise=1))  # ULTRA + Sharp
+    r = Renderer(cfg)
+
+    # A grid of textured cubes stands in for the (unshipped) Sponza.glb:
+    # 8x8 instances, each with its own primitive entry, like multi-model
+    # scenes with running custom indices (renderer.rs:641-650).
+    for i in range(8):
+        for j in range(8):
+            m = np.array([[0.45, 0, 0, (i - 3.5) * 1.1],
+                          [0, 0.45, 0, 0.0],
+                          [0, 0, 0.45, (j - 3.5) * 1.1]], np.float32)
+            r.add_model(BOX, m)
+
+    r.camera_mut().set_pos([0.0, -2.5, -5.5])
+    d = np.array([0.0, 0.35, 1.0])
+    r.camera_mut().set_dir(d / np.linalg.norm(d))
+
+    # the reference app's two lights (main.rs:38-64), repositioned for scale
+    r.lights_mut().spot_lights.append(SpotLight(
+        pos=[0.0, -4.0, 0.0], dir=[0.0, 1.0, 0.0],
+        color=np.array([1.36, 0.16, 2.22]) * 10.0, falloff_distance=12.0,
+        penumbra_umbra_angles=(np.radians(30), np.radians(45)),
+        casts_shadows=True))
+    r.lights_mut().area_lights.append(AreaLight(
+        pos=[-2.0, -3.0, 0.2], pos2=[-2.0, -3.0, -0.8], pos3=[-2.0, -2.2, -0.8],
+        invert_normal=False, color=np.array([1.96, 0.06, 0.41]) * 3.0,
+        falloff_distance=12.0,
+        penumbra_umbra_angles=(np.radians(90), np.radians(90.1)),
+        casts_shadows=True))
+    r.prepare_first_frame()
+    return r
+
+
+def main():
+    import jax
+
+    renderer = build_scene()
+    n_lights = renderer.lights.get_lights_count()
+    rays_per_frame = WIDTH * HEIGHT * (1 + n_lights)
+
+    for _ in range(WARMUP):
+        renderer.render(block=True)
+
+    start = time.perf_counter()
+    out = None
+    for _ in range(FRAMES):
+        out = renderer.render(block=False)
+    out["image"].block_until_ready()
+    elapsed = time.perf_counter() - start
+
+    ms_per_frame = elapsed * 1000.0 / FRAMES
+    mrays = rays_per_frame * FRAMES / elapsed / 1e6
+
+    img = np.asarray(out["image"])
+    assert img.any(), "benchmark rendered a black frame"
+
+    meta = dict(
+        ms_per_frame=round(ms_per_frame, 3),
+        fps=round(1000.0 / ms_per_frame, 2),
+        resolution=f"{WIDTH}x{HEIGHT}",
+        rays_per_frame=rays_per_frame,
+        lights=n_lights,
+        tris=int(renderer.scene.geom["v0"].shape[0]),
+        device=str(jax.devices()[0]),
+        pipeline="primary+shadow, GTAO ULTRA 9x3 + sharp denoise, LPM tonemap",
+    )
+    print(json.dumps(dict(
+        metric="Mrays/sec/chip (primary+shadow), full pipeline 800x800",
+        value=round(mrays, 2),
+        unit="Mrays/s",
+        vs_baseline=round(mrays / NORTH_STAR_MRAYS, 4),
+        **meta,
+    )))
+
+
+if __name__ == "__main__":
+    main()

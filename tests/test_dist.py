@@ -1,0 +1,32 @@
+"""Multi-chip sharding: an 8-virtual-device CPU mesh must reproduce the
+single-device frame bit-exactly (replicated scene, band-sharded rays,
+ICI all-gather for the post passes)."""
+import jax
+import numpy as np
+
+from tpurt.dist import make_mesh, render_frame_sharded
+from tpurt.engine import Renderer, RendererConfig
+from tpurt.passes.gtao import GtaoSettings, gtao_constants
+
+from test_frame import make_renderer, SIZE
+
+
+def test_sharded_matches_single_device():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    r = make_renderer()
+    single = np.asarray(r.render()["image"])
+
+    # fresh renderer state so noise_index matches frame 0
+    r2 = make_renderer()
+    cfg = r2.config
+    cam = r2.camera.uniform()
+    consts = gtao_constants(cfg.width, cfg.height, r2.camera.znear,
+                            r2.camera.zfar, r2.camera.fovy, r2.camera.aspect)
+    mesh = make_mesh(8)
+    out = render_frame_sharded(
+        r2.scene.as_pytree(), cam, r2.lights.shader_arrays(), consts,
+        r2._lpm_derived, np.int32(0),
+        width=cfg.width, height=cfg.height, gtao_settings=cfg.gtao, mesh=mesh)
+    sharded = np.asarray(out)
+
+    np.testing.assert_array_equal(single, sharded)

@@ -1,0 +1,107 @@
+"""End-to-end frame tests: the minimum slice (BASELINE config 1 analogue) —
+a glTF cube + one point light, primary rays + hard shadows — plus the full
+pipeline with GTAO and LPM tonemap. The reference has no render tests at all
+(SURVEY.md §4); these golden-behavior checks are new coverage.
+"""
+import numpy as np
+import pytest
+
+from tpurt.engine import Renderer, RendererConfig
+from tpurt.passes.gtao import GtaoSettings
+from tpurt.passes.rays import camera_rays
+from tpurt.scene.lights import PointLight
+
+BOX = "/root/reference/assets/models/BoxTextured.glb"
+SIZE = 64
+
+
+def make_renderer(**kw):
+    cfg = RendererConfig(width=SIZE, height=SIZE,
+                         gtao=GtaoSettings(slice_count=2, steps_per_slice=2,
+                                           denoise=1), **kw)
+    r = Renderer(cfg)
+    scale = np.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0]], np.float32)
+    r.add_model(BOX, scale)
+    r.camera_mut().set_pos([0.0, 0.0, -3.0])
+    r.camera_mut().set_dir([0.0, 0.0, 1.0])
+    r.lights_mut().point_lights.append(
+        PointLight(pos=[0.0, 0.0, -2.0], color=[3.0, 3.0, 3.0],
+                   falloff_distance=10.0, casts_shadows=True))
+    r.prepare_first_frame()
+    return r
+
+
+@pytest.fixture(scope="module")
+def frame():
+    r = make_renderer()
+    out = r.render()
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+def test_camera_ray_center_matches_dir():
+    from tpurt.scene.camera import Camera
+    cam = Camera(aspect=1.0)
+    cam.set_pos([1.0, 2.0, 3.0])
+    cam.set_dir([0.0, 0.0, 1.0])
+    o, d = camera_rays(cam.uniform(), 65, 65)  # odd size -> exact center pixel
+    center = 32 * 65 + 32
+    np.testing.assert_allclose(np.asarray(o)[center], [1, 2, 3], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d)[center], [0, 0, 1], atol=1e-3)
+
+
+def test_depth_hit_and_miss(frame):
+    depth = frame["depth"]
+    c = SIZE // 2
+    # cube front face at z = -0.5, camera at z = -3 -> view depth 2.5
+    assert abs(depth[c, c] - 2.5) < 0.01
+    assert depth[0, 0] == 10000.0  # miss
+
+
+def test_color_lit_center_dark_corners(frame):
+    img = frame["image"]
+    c = SIZE // 2
+    assert img[c, c].max() > 10, "lit cube face must be visible"
+    assert np.all(img[0, 0] == 0) and np.all(img[-1, -1] == 0), "misses are black"
+
+
+def test_normal_encoding(frame):
+    # front face normal (0,0,-1) in world; view dir +z with up -Y:
+    # view-space normal (0,0,-1)->encoded via *0.5+0.5 with y,z negated
+    c = SIZE // 2
+    n = frame["normal"][c, c]
+    # camera-facing normal is +z in view space; the y/z negation then maps it
+    # to -1, encoding to 0 (GTAO's decoded viewspace has +z into the screen)
+    assert abs(n[0] - 0.5) < 0.02 and abs(n[1] - 0.5) < 0.02 and n[2] < 0.05
+    # miss pixels encode 0.5
+    np.testing.assert_allclose(frame["normal"][0, 0], 0.5, atol=1e-3)
+
+
+def test_ao_range(frame):
+    ao = frame["ao"]
+    c = SIZE // 2
+    assert ao[c, c] > 150, "flat face should be mostly unoccluded"
+    assert ao.dtype == np.uint8
+
+
+def test_shadowing_darkens():
+    """A light whose rays toward the camera-facing face are blocked by the
+    cube itself (light behind the cube) must produce the 0.05 shadow
+    attenuation on that face."""
+    r = make_renderer()
+    out_front = {k: np.asarray(v) for k, v in r.render().items()}
+
+    r2 = make_renderer()
+    r2.lights_mut().point_lights[0].pos = np.array([0.0, 0.0, 2.0], np.float32)
+    out_back = {k: np.asarray(v) for k, v in r2.render().items()}
+
+    c = SIZE // 2
+    front = out_front["color"][c, c].max()
+    back = out_back["color"][c, c].max()
+    assert back < front * 0.2, f"shadowed face not dark: {back} vs {front}"
+
+
+def test_async_dispatch_returns_future():
+    r = make_renderer()
+    out = r.render(block=False)
+    out["image"].block_until_ready()
+    assert np.asarray(out["image"]).shape == (SIZE, SIZE, 3)

@@ -13,14 +13,21 @@ T_MIN = 0.001
 T_MAX = 10000.0
 
 
-def camera_rays(camera: dict, width: int, height: int):
-    """Returns (origin (H*W, 3), direction (H*W, 3)) world-space rays."""
+def camera_rays(camera: dict, width: int, height: int,
+                row_start=0, num_rows=None):
+    """Returns (origin (R*W, 3), direction (R*W, 3)) world-space rays for a
+    horizontal band of `num_rows` rows starting at `row_start` (full image by
+    default). The band form is what the multi-chip tile decomposition uses —
+    each chip generates only its own rays (dist/sharding.py)."""
     view_inv = camera["view_inv"]
     proj_inv = camera["proj_inv"]
+    num_rows = height if num_rows is None else num_rows
 
     x = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
-    y = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0 - 1.0
-    dx, dy = jnp.meshgrid(x, y)  # (H, W)
+    rows = row_start + jnp.arange(num_rows, dtype=jnp.float32)
+    y = (rows + 0.5) / height * 2.0 - 1.0
+    dx, dy = jnp.meshgrid(x, y)  # (R, W)
+    height = num_rows  # shapes below are per-band
 
     ndc = jnp.stack([dx, dy, jnp.ones_like(dx), jnp.ones_like(dx)], axis=-1)
     target = jnp.einsum("ij,hwj->hwi", proj_inv, ndc)[..., :3]
