@@ -1,0 +1,87 @@
+"""XeGTAO pass unit tests (synthetic G-buffers)."""
+import jax.numpy as jnp
+import numpy as np
+
+from tpurt.passes.gtao import (
+    GtaoSettings,
+    _hilbert_lut_64,
+    compute_ao,
+    gtao_constants,
+    pack_edges,
+    prefilter_depths,
+    spatio_temporal_noise,
+    unpack_edges,
+)
+
+H = W = 64
+
+
+def consts():
+    return gtao_constants(W, H, 0.1, 1000.0, float(np.pi / 2), 1.0)
+
+
+def test_hilbert_lut_is_permutation():
+    lut = _hilbert_lut_64()
+    assert sorted(lut.reshape(-1).tolist()) == list(range(64 * 64))
+
+
+def test_noise_in_unit_range_and_temporal():
+    n0x, n0y = spatio_temporal_noise(8, 8, 0)
+    n1x, _ = spatio_temporal_noise(8, 8, 1)
+    for n in (n0x, n0y, n1x):
+        a = np.asarray(n)
+        assert (a >= 0).all() and (a < 1).all()
+    assert not np.array_equal(np.asarray(n0x), np.asarray(n1x))
+
+
+def test_prefilter_constant_depth():
+    d = jnp.full((H, W), 5.0)
+    mips = prefilter_depths(d, consts())
+    assert len(mips) == 5
+    shapes = [(64, 64), (32, 32), (16, 16), (8, 8), (4, 4)]
+    for m, s in zip(mips, shapes):
+        assert m.shape == s
+        np.testing.assert_allclose(np.asarray(m), 5.0, rtol=1e-3)
+
+
+def test_edges_pack_unpack_roundtrip():
+    vals = jnp.array([[[0.0, 1 / 3, 2 / 3, 1.0]]])
+    packed = pack_edges(vals)
+    un = unpack_edges(packed)
+    np.testing.assert_allclose(np.asarray(un), np.asarray(vals), atol=1e-6)
+
+
+def test_flat_plane_is_unoccluded():
+    """A flat camera-facing wall must stay (nearly) fully visible after the
+    full chain (occlusion-term scale restores ~1.0 at final apply)."""
+    depth = jnp.full((H, W), 5.0)
+    # camera-facing normal encodes to (0.5, 0.5, 0) (y/z negated encoding)
+    normal_enc = jnp.broadcast_to(jnp.array([0.5, 0.5, 0.0]), (H, W, 3))
+    settings = GtaoSettings(slice_count=2, steps_per_slice=2, denoise=1)
+    ao = compute_ao(depth, normal_enc, consts(), settings, noise_index=0)
+    inner = np.asarray(ao)[8:-8, 8:-8]
+    assert inner.min() >= 230, f"flat plane over-occluded: {inner.min()}"
+
+
+def test_trench_is_occluded():
+    """A narrow trench (recessed strip within the effect radius) must be
+    darker than the surrounding floor."""
+    d = np.full((H, W), 2.0, np.float32)
+    d[:, 30:34] = 2.15
+    depth = jnp.asarray(d)
+    normal_enc = jnp.broadcast_to(jnp.array([0.5, 0.5, 0.0]), (H, W, 3))
+    settings = GtaoSettings(slice_count=3, steps_per_slice=3, denoise=1)
+    ao = compute_ao(depth, normal_enc, consts(), settings, noise_index=0)
+    a = np.asarray(ao)
+    trench = a[H // 2, 30:34].mean()
+    floor = a[H // 2, 5:15].mean()
+    assert trench < floor - 15, f"trench {trench} not darker than floor {floor}"
+
+
+def test_denoise_levels_pass_counts():
+    assert GtaoSettings(denoise=0).num_denoise_passes == 1
+    assert GtaoSettings(denoise=1).num_denoise_passes == 1
+    assert GtaoSettings(denoise=2).num_denoise_passes == 2
+    assert GtaoSettings(denoise=3).num_denoise_passes == 3
+    assert GtaoSettings(denoise=0).denoise_blur_beta == 1e4
+    assert GtaoSettings(denoise=1).denoise_blur_beta == 1.2
