@@ -1,0 +1,73 @@
+"""Pallas packet tracer vs the XLA reference tracer (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpurt.bvh import build_bvh_sah
+from tpurt.bvh.flat import tri_aabbs
+from tpurt.kernels.traverse import make_traversal_geom, trace_any, trace_closest
+from tpurt.kernels.traverse_pallas import (
+    fits_smem,
+    trace_any_packets,
+    trace_closest_packets,
+)
+from tpurt.passes.rays import camera_rays
+from tpurt.scene.camera import Camera
+
+from test_bvh import random_tris
+
+H = W = 64
+
+
+@pytest.fixture(scope="module")
+def setup():
+    v0, v1, v2 = random_tris(200, seed=7, spread=3.0, size=1.5)
+    amin, amax = tri_aabbs(v0, v1, v2)
+    bvh = build_bvh_sah(amin, amax)
+    geom = make_traversal_geom(v0, v1, v2, bvh.tri_order)
+    tree = jax.tree.map(jnp.asarray, bvh.as_pytree())
+
+    cam = Camera(aspect=1.0)
+    cam.set_pos([0.0, 0.0, -10.0])
+    cam.set_dir([0.0, 0.0, 1.0])
+    o, d = camera_rays(cam.uniform(), W, H)
+    return tree, geom, o, d
+
+
+def test_fits_smem_budget():
+    assert fits_smem(1000, 1000)
+    assert not fits_smem(10_000_000, 10_000_000)
+
+
+def test_packet_closest_matches_xla(setup):
+    tree, geom, o, d = setup
+    ref = trace_closest(tree, geom, o, d, 1e-3, 1e4, max_leaf=4)
+    got = trace_closest_packets(tree, geom, o, d, 1e-3, 1e4,
+                                height=H, width=W, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got["tri"]), np.asarray(ref["tri"]))
+    hit = np.asarray(ref["tri"]) >= 0
+    assert hit.sum() > 100
+    np.testing.assert_allclose(np.asarray(got["t"])[hit],
+                               np.asarray(ref["t"])[hit], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["u"])[hit],
+                               np.asarray(ref["u"])[hit], atol=1e-5)
+
+
+def test_packet_any_matches_xla(setup):
+    tree, geom, o, d = setup
+    ref = trace_any(tree, geom, o, d, 1e-3, 1e4, max_leaf=4)
+    got = trace_any_packets(tree, geom, o, d, 1e-3, 1e4,
+                            height=H, width=W, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_packet_inactive_lanes(setup):
+    """Lanes with t_max = 0 (masked shadow rays) must report unoccluded."""
+    tree, geom, o, d = setup
+    n = o.shape[0]
+    t_max = np.full(n, 1e4, np.float32)
+    t_max[::2] = 0.0
+    got = trace_any_packets(tree, geom, o, d, 1e-2, jnp.asarray(t_max),
+                            height=H, width=W, interpret=True)
+    assert not np.asarray(got)[::2].any()

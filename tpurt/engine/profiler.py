@@ -67,14 +67,52 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
-def profile_frame(renderer, repeats: int = 1) -> FrameStats:
-    """Timed, synchronized breakdown of the renderer's frame passes."""
+def _pass_fns(width, height, gtao_settings):
+    """Individually jitted pass segments (cached per static config)."""
+    from functools import partial
+
+    import jax.numpy as jnp
+
     from ..kernels.traverse import trace_closest
     from ..passes.encodings import quantize_r11g11b10f, quantize_r16f
-    from ..passes.gtao import compute_ao, gtao_constants
+    from ..passes.gtao import compute_ao
     from ..passes.rays import T_MAX, T_MIN, camera_rays
     from ..passes.shade import shade
     from ..passes.tonemap import tonemap_frame
+
+    @partial(jax.jit)
+    def rays_fn(cam):
+        return camera_rays(cam, width, height)
+
+    @partial(jax.jit)
+    def trace_fn(scene, o, d):
+        return trace_closest(scene["bvh"], scene["geom"], o, d,
+                             T_MIN, T_MAX, max_leaf=4)
+
+    @partial(jax.jit)
+    def shade_fn(scene, cam, lights, hits, o, d):
+        g = shade(scene, cam, lights, hits, o, d)
+        color = quantize_r11g11b10f(g["color"]).reshape(height, width, 3)
+        depth = quantize_r16f(g["depth"]).reshape(height, width)
+        normal = quantize_r11g11b10f(g["normal_enc"]).reshape(height, width, 3)
+        return color, depth, normal
+
+    @partial(jax.jit)
+    def gtao_fn(depth, normal, consts):
+        return compute_ao(depth, normal, consts, gtao_settings, jnp.int32(0))
+
+    @partial(jax.jit)
+    def tonemap_fn(color, ao, lpm):
+        return tonemap_frame(color, ao, lpm)
+
+    return rays_fn, trace_fn, shade_fn, gtao_fn, tonemap_fn
+
+
+def profile_frame(renderer, repeats: int = 1) -> FrameStats:
+    """Timed, synchronized breakdown of the renderer's frame passes. Each
+    pass is its own jitted program (the fused frame is faster; this isolates
+    where time goes). The first call pays per-pass compiles."""
+    from ..passes.gtao import gtao_constants
 
     c = renderer.config
     cam = renderer.camera.uniform()
@@ -84,30 +122,34 @@ def profile_frame(renderer, repeats: int = 1) -> FrameStats:
                             renderer.camera.aspect)
     scene = renderer.scene.as_pytree()
     n_lights = renderer.lights.get_lights_count()
+    rays_fn, trace_fn, shade_fn, gtao_fn, tonemap_fn = _pass_fns(
+        c.width, c.height, c.gtao)
+
+    # warm-up (compile) pass, untimed
+    o, d = rays_fn(cam)
+    hits = trace_fn(scene, o, d)
+    color, depth, normal = shade_fn(scene, cam, lights, hits, o, d)
+    ao = gtao_fn(depth, normal, consts)
+    jax.block_until_ready(tonemap_fn(color, ao, renderer._lpm_derived))
 
     timer = PassTimer()
     for _ in range(repeats):
         with timer.time_pass("rays") as box:
-            o, d = camera_rays(cam, c.width, c.height)
+            o, d = rays_fn(cam)
             box.value = (o, d)
         with timer.time_pass("trace", count_rays=c.width * c.height) as box:
-            hits = trace_closest(scene["bvh"], scene["geom"], o, d,
-                                 T_MIN, T_MAX, max_leaf=4)
+            hits = trace_fn(scene, o, d)
             box.value = hits
         with timer.time_pass("shade+shadows",
                              count_rays=c.width * c.height * n_lights) as box:
-            g = shade(scene, cam, lights, hits, o, d)
-            box.value = g
+            color, depth, normal = shade_fn(scene, cam, lights, hits, o, d)
+            box.value = (color, depth, normal)
         with timer.time_pass("gtao") as box:
-            color = quantize_r11g11b10f(g["color"]).reshape(c.height, c.width, 3)
-            depth = quantize_r16f(g["depth"]).reshape(c.height, c.width)
-            normal = quantize_r11g11b10f(g["normal_enc"]).reshape(c.height, c.width, 3)
-            ao = compute_ao(depth, normal, consts, c.gtao, 0)
+            ao = gtao_fn(depth, normal, consts)
             box.value = ao
         with timer.time_pass("tonemap") as box:
-            rgb = tonemap_frame(color, ao, renderer._lpm_derived)
+            rgb = tonemap_fn(color, ao, renderer._lpm_derived)
             box.value = rgb
-    # average over repeats
     if repeats > 1:
         timer.stats.ms_per_pass = {
             k: v / repeats for k, v in timer.stats.ms_per_pass.items()}

@@ -1,0 +1,313 @@
+"""Pallas packet BVH traversal — the hot-path replacement for the XLA
+while-loop tracer on TPU.
+
+Design (see /opt/skills/guides/pallas_guide.md): rays are processed in
+(8, 128) = 1024-ray packets, one grid step per packet, with the image
+pre-swizzled so a packet is a coherent 32x32 pixel tile. The whole packet
+traverses the BVH together behind a single *scalar* stack in SMEM (classic
+packet traversal): a node is entered when ANY lane's slab test passes, and
+every per-node operation is a dense (8, 128) VPU op — there are **zero
+gathers** anywhere in the kernel. Node and triangle tables ride in as
+scalar-prefetch (SMEM) operands, so node fetches are scalar loads that
+broadcast into vector registers.
+
+Compared to the XLA tracer (kernels/traverse.py), which is per-lane
+independent but pays a dynamic gather per node visit, the packet kernel
+exploits primary/shadow-ray coherence: the union of packet paths costs dense
+vector math instead of scattered memory traffic — the right trade on a
+machine whose gathers are slow and whose VPU is wide.
+
+Capacity: SMEM must hold the node + triangle tables (~40 B/node+tri). The
+engine falls back to the XLA tracer for scenes beyond the SMEM budget; the
+HBM-resident double-buffered variant is the planned follow-up for that case.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 32                 # image tiles are TILE x TILE = 1024 rays
+PACKET_SUBLANES = 8
+PACKET_LANES = 128
+STACK_DEPTH = 192
+# conservative SMEM budget for node+tri tables (bytes)
+SMEM_BUDGET = 256 * 1024
+
+
+def fits_smem(num_nodes: int, num_tris: int) -> bool:
+    nodes = num_nodes * (6 * 4 + 4 * 4)
+    tris = num_tris * (9 * 4)
+    return nodes + tris + STACK_DEPTH * 4 + 4096 < SMEM_BUDGET
+
+
+def pack_tables(bvh: dict, geom: dict):
+    """Node/tri tables in the kernel's scalar-prefetch layout."""
+    aabb = jnp.concatenate([
+        jnp.asarray(bvh["aabb_min"], jnp.float32),
+        jnp.asarray(bvh["aabb_max"], jnp.float32),
+    ], axis=1)                                              # (M, 6)
+    meta = jnp.stack([
+        jnp.asarray(bvh["entry"], jnp.int32),
+        jnp.asarray(bvh["skip"], jnp.int32),
+        jnp.asarray(bvh["first_tri"], jnp.int32),
+        jnp.asarray(bvh["tri_count"], jnp.int32),
+    ], axis=1)                                              # (M, 4)
+    tri = jnp.concatenate([
+        jnp.asarray(geom["v0"], jnp.float32),
+        jnp.asarray(geom["e1"], jnp.float32),
+        jnp.asarray(geom["e2"], jnp.float32),
+    ], axis=1)                                              # (T, 9)
+    tri_id = jnp.asarray(geom["tri_id"], jnp.int32)
+    return aabb, meta, tri, tri_id
+
+
+def _packet_kernel(aabb_ref, meta_ref, tri_ref, tri_id_ref,
+                   ox, oy, oz, dx, dy, dz, tmn, tmx,
+                   t_out, tri_out, u_out, v_out,
+                   stack, *, max_leaf: int, any_hit: bool):
+    inv_x = 1.0 / dx[:]
+    inv_y = 1.0 / dy[:]
+    inv_z = 1.0 / dz[:]
+    o_x, o_y, o_z = ox[:], oy[:], oz[:]
+    d_x, d_y, d_z = dx[:], dy[:], dz[:]
+    t_min = tmn[:]
+    t_max0 = tmx[:]
+
+    stack[0] = jnp.int32(0)
+
+    def slab(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz, tfar):
+        tx0 = (bminx - o_x) * inv_x
+        tx1 = (bmaxx - o_x) * inv_x
+        ty0 = (bminy - o_y) * inv_y
+        ty1 = (bmaxy - o_y) * inv_y
+        tz0 = (bminz - o_z) * inv_z
+        tz1 = (bmaxz - o_z) * inv_z
+        tnear = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                        jnp.minimum(ty0, ty1)),
+                            jnp.maximum(jnp.minimum(tz0, tz1), t_min))
+        tfar_ = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                        jnp.maximum(ty0, ty1)),
+                            jnp.minimum(jnp.maximum(tz0, tz1), tfar))
+        return tnear <= tfar_
+
+    def mt_test(ti, tfar):
+        v0x = tri_ref[ti, 0]
+        v0y = tri_ref[ti, 1]
+        v0z = tri_ref[ti, 2]
+        e1x = tri_ref[ti, 3]
+        e1y = tri_ref[ti, 4]
+        e1z = tri_ref[ti, 5]
+        e2x = tri_ref[ti, 6]
+        e2y = tri_ref[ti, 7]
+        e2z = tri_ref[ti, 8]
+        # pvec = d x e2
+        px = d_y * e2z - d_z * e2y
+        py = d_z * e2x - d_x * e2z
+        pz = d_x * e2y - d_y * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        valid = jnp.abs(det) > 1e-12
+        inv_det = 1.0 / jnp.where(valid, det, 1.0)
+        tx = o_x - v0x
+        ty = o_y - v0y
+        tz = o_z - v0z
+        u = (tx * px + ty * py + tz * pz) * inv_det
+        # qvec = tvec x e1
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (d_x * qx + d_y * qy + d_z * qz) * inv_det
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        hit = (valid & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+               & (t > t_min) & (t < tfar))
+        return hit, t, u, v
+
+    if any_hit:
+        init = (jnp.int32(1), jnp.zeros_like(t_min, dtype=jnp.bool_))
+
+        def cond(c):
+            sp, occ = c
+            return (sp > 0) & jnp.logical_not(jnp.all(occ | (t_max0 <= t_min)))
+
+        def body(c):
+            sp, occ = c
+            node = stack[sp - 1]
+            sp = sp - 1
+            tfar = jnp.where(occ, t_min, t_max0)  # occluded lanes drop out
+            hit_box = slab(aabb_ref[node, 0], aabb_ref[node, 1],
+                           aabb_ref[node, 2], aabb_ref[node, 3],
+                           aabb_ref[node, 4], aabb_ref[node, 5], tfar)
+            any_lane = jnp.any(hit_box)
+            count = meta_ref[node, 3]
+            first = meta_ref[node, 2]
+            is_leaf = count > 0
+
+            def leaf_body(k, occ):
+                ti = first + k
+                h, _, _, _ = mt_test(ti, jnp.where(occ, t_min, t_max0))
+                return jnp.where((k < count) & any_lane, occ | (h & hit_box), occ)
+
+            occ = jax.lax.cond(
+                is_leaf & any_lane,
+                lambda o: jax.lax.fori_loop(0, max_leaf, leaf_body, o),
+                lambda o: o, occ)
+
+            push = any_lane & jnp.logical_not(is_leaf)
+            left = meta_ref[node, 0]
+            left_c = jnp.maximum(left, 0)
+            right = meta_ref[left_c, 1]
+            stack[jnp.minimum(sp, STACK_DEPTH - 2)] = right
+            stack[jnp.minimum(sp + 1, STACK_DEPTH - 1)] = left_c
+            sp = jnp.where(push, jnp.minimum(sp + 2, STACK_DEPTH), sp)
+            return sp, occ
+
+        _, occluded = jax.lax.while_loop(cond, body, init)
+        t_out[:] = jnp.where(occluded, 1.0, 0.0).astype(jnp.float32)
+    else:
+        init = (jnp.int32(1), t_max0,
+                jnp.full(t_min.shape, -1, jnp.int32),
+                jnp.zeros_like(t_min), jnp.zeros_like(t_min))
+
+        def cond(c):
+            return c[0] > 0
+
+        def body(c):
+            sp, t, tri, u, v = c
+            node = stack[sp - 1]
+            sp = sp - 1
+            hit_box = slab(aabb_ref[node, 0], aabb_ref[node, 1],
+                           aabb_ref[node, 2], aabb_ref[node, 3],
+                           aabb_ref[node, 4], aabb_ref[node, 5], t)
+            any_lane = jnp.any(hit_box)
+            count = meta_ref[node, 3]
+            first = meta_ref[node, 2]
+            is_leaf = count > 0
+
+            def leaf_body(k, carry):
+                t, tri, u, v = carry
+                ti = first + k
+                h, tk, uk, vk = mt_test(ti, t)
+                upd = h & hit_box & (k < count)
+                t = jnp.where(upd, tk, t)
+                tri = jnp.where(upd, tri_id_ref[ti], tri)
+                u = jnp.where(upd, uk, u)
+                v = jnp.where(upd, vk, v)
+                return t, tri, u, v
+
+            t, tri, u, v = jax.lax.cond(
+                is_leaf & any_lane,
+                lambda carry: jax.lax.fori_loop(0, max_leaf, leaf_body, carry),
+                lambda carry: carry, (t, tri, u, v))
+
+            push = any_lane & jnp.logical_not(is_leaf)
+            left = meta_ref[node, 0]
+            left_c = jnp.maximum(left, 0)
+            right = meta_ref[left_c, 1]
+            stack[jnp.minimum(sp, STACK_DEPTH - 2)] = right
+            stack[jnp.minimum(sp + 1, STACK_DEPTH - 1)] = left_c
+            sp = jnp.where(push, jnp.minimum(sp + 2, STACK_DEPTH), sp)
+            return sp, t, tri, u, v
+
+        _, t, tri, u, v = jax.lax.while_loop(cond, body, init)
+        t_out[:] = t
+        tri_out[:] = tri
+        u_out[:] = u
+        v_out[:] = v
+
+
+def _trace_packets(aabb, meta, tri, tri_id, rays, max_leaf: int,
+                   any_hit: bool, interpret: bool = False):
+    """rays: dict of 8 arrays shaped (P*8, 128)."""
+    n_sub = rays["ox"].shape[0]
+    grid = (n_sub // PACKET_SUBLANES,)
+
+    def block(i, *prefetch_refs):
+        # index_map returns *block* indices (units of the block shape)
+        return (i, 0)
+
+    ray_spec = pl.BlockSpec((PACKET_SUBLANES, PACKET_LANES), block,
+                            memory_space=pltpu.VMEM)
+    out_shapes = [
+        jax.ShapeDtypeStruct((n_sub, PACKET_LANES), jnp.float32),   # t / occ
+        jax.ShapeDtypeStruct((n_sub, PACKET_LANES), jnp.int32),     # tri
+        jax.ShapeDtypeStruct((n_sub, PACKET_LANES), jnp.float32),   # u
+        jax.ShapeDtypeStruct((n_sub, PACKET_LANES), jnp.float32),   # v
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=grid,
+        in_specs=[ray_spec] * 8,
+        out_specs=[ray_spec] * 4,
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+    )
+    kernel = partial(_packet_kernel, max_leaf=max_leaf, any_hit=any_hit)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(aabb, meta, tri, tri_id,
+      rays["ox"], rays["oy"], rays["oz"],
+      rays["dx"], rays["dy"], rays["dz"],
+      rays["tmin"], rays["tmax"])
+
+
+# ----------------------------------------------------------- tile swizzle ---
+
+def _to_packets(flat, height, width):
+    """(H*W,) row-major -> (P*8, 128) where each 8x128 block is one coherent
+    32x32 image tile."""
+    x = flat.reshape(height // TILE, TILE, width // TILE, TILE)
+    x = x.transpose(0, 2, 1, 3).reshape(-1, PACKET_SUBLANES, PACKET_LANES)
+    return x.reshape(-1, PACKET_LANES)
+
+
+def _from_packets(packed, height, width):
+    x = packed.reshape(height // TILE, width // TILE, TILE, TILE)
+    return x.transpose(0, 2, 1, 3).reshape(height * width)
+
+
+def _rays_to_packets(origin, direction, t_min, t_max, height, width):
+    n = height * width
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    f = partial(_to_packets, height=height, width=width)
+    return dict(
+        ox=f(origin[:, 0]), oy=f(origin[:, 1]), oz=f(origin[:, 2]),
+        dx=f(direction[:, 0]), dy=f(direction[:, 1]), dz=f(direction[:, 2]),
+        tmin=f(t_min), tmax=f(t_max),
+    )
+
+
+@partial(jax.jit, static_argnames=("height", "width", "max_leaf", "interpret"))
+def trace_closest_packets(bvh: dict, geom: dict, origin, direction,
+                          t_min, t_max, *, height: int, width: int,
+                          max_leaf: int = 4, interpret: bool = False):
+    """Closest-hit packet trace over an image-shaped ray batch.
+    Same contract as kernels.traverse.trace_closest (t=t_max & tri=-1 on miss)."""
+    assert height % TILE == 0 and width % TILE == 0, \
+        f"packet tracer needs {TILE}-aligned image, got {height}x{width}"
+    aabb, meta, tri, tri_id = pack_tables(bvh, geom)
+    rays = _rays_to_packets(origin, direction, t_min, t_max, height, width)
+    t, tri_o, u, v = _trace_packets(aabb, meta, tri, tri_id, rays,
+                                    max_leaf, any_hit=False,
+                                    interpret=interpret)
+    g = partial(_from_packets, height=height, width=width)
+    return dict(t=g(t), tri=g(tri_o), u=g(u), v=g(v))
+
+
+@partial(jax.jit, static_argnames=("height", "width", "max_leaf", "interpret"))
+def trace_any_packets(bvh: dict, geom: dict, origin, direction,
+                      t_min, t_max, *, height: int, width: int,
+                      max_leaf: int = 4, interpret: bool = False):
+    """Any-hit packet trace; returns boolean occlusion mask (H*W,)."""
+    assert height % TILE == 0 and width % TILE == 0
+    aabb, meta, tri, tri_id = pack_tables(bvh, geom)
+    rays = _rays_to_packets(origin, direction, t_min, t_max, height, width)
+    occ, _, _, _ = _trace_packets(aabb, meta, tri, tri_id, rays,
+                                  max_leaf, any_hit=True, interpret=interpret)
+    return _from_packets(occ, height, width) > 0.5
