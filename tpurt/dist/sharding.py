@@ -90,7 +90,6 @@ def render_frame_sharded(scene: dict, camera: dict, lights: dict,
         per_chip, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P()),
         out_specs=P(axis, None, None),
-        check_rep=False,
     )
     return fn(scene, camera, lights, gtao_consts, lpm_derived,
               jnp.asarray(noise_index))

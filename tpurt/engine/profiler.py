@@ -120,7 +120,7 @@ def profile_frame(renderer, repeats: int = 1) -> FrameStats:
     consts = gtao_constants(c.width, c.height, renderer.camera.znear,
                             renderer.camera.zfar, renderer.camera.fovy,
                             renderer.camera.aspect)
-    scene = renderer.scene.as_pytree()
+    scene = renderer.scene_device
     n_lights = renderer.lights.get_lights_count()
     rays_fn, trace_fn, shade_fn, gtao_fn, tonemap_fn = _pass_fns(
         c.width, c.height, c.gtao)

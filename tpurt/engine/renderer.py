@@ -40,6 +40,9 @@ class RendererConfig:
     lpm: LpmParams = field(default_factory=LpmParams)
     enable_gtao: bool = True
     enable_tonemap: bool = True
+    # "auto": Pallas packet tracer on TPU when the image is 32-aligned and
+    # the BVH fits the SMEM budget; "xla" / "pallas" force a path.
+    tracer: str = "auto"
 
 
 class Renderer:
@@ -50,6 +53,7 @@ class Renderer:
         self.lights = Lights()
         self.models: list[Model] = []
         self._scene: Optional[FlatScene] = None
+        self._scene_device = None
         self._lpm_ctl, self._lpm_derived = lpm_setup(c.lpm)
         self._frame_idx = 0
         self.rendered_frames = 0
@@ -86,6 +90,15 @@ class Renderer:
         if (changed or self._scene is None) and any(
                 m.is_device_resident() for m in self.models):
             self._scene = flatten_scene(self.models)
+            # Upload once: keep the scene resident in HBM so per-frame calls
+            # transfer only the small dynamic inputs (camera/lights/consts).
+            # This is the analogue of the reference's host->device staging
+            # copies happening at model-upload time, not per frame.
+            import jax
+            import jax.numpy as jnp
+
+            self._scene_device = jax.tree.map(jnp.asarray,
+                                              self._scene.as_pytree())
 
     # -- frame loop -----------------------------------------------------------
 
@@ -111,16 +124,33 @@ class Renderer:
                                 self.camera.zfar, self.camera.fovy,
                                 self.camera.aspect)
         out = render_frame(
-            self._scene.as_pytree(), cam, self.lights.shader_arrays(),
+            self._scene_device, cam, self.lights.shader_arrays(),
             consts, self._lpm_derived,
             np.int32(self._frame_idx % 64),
             width=c.width, height=c.height, gtao_settings=c.gtao,
-            enable_gtao=c.enable_gtao, enable_tonemap=c.enable_tonemap)
+            enable_gtao=c.enable_gtao, enable_tonemap=c.enable_tonemap,
+            use_pallas=self._use_pallas())
         self._frame_idx += 1
         self.rendered_frames += 1
         if block:
             out["image"].block_until_ready()
         return out
+
+    def _use_pallas(self) -> bool:
+        c = self.config
+        if c.tracer == "xla":
+            return False
+        if c.tracer == "pallas":
+            return True
+        import jax
+
+        from ..kernels.traverse_pallas import TILE, fits_smem
+
+        return (jax.default_backend() in ("tpu", "axon")
+                and c.width % TILE == 0 and c.height % TILE == 0
+                and self._scene is not None
+                and fits_smem(self._scene.bvh["aabb_min"].shape[0],
+                              self._scene.geom["v0"].shape[0]))
 
     def render_image(self) -> np.ndarray:
         """Render and read back the 8-bit sRGB frame."""
@@ -129,3 +159,8 @@ class Renderer:
     @property
     def scene(self) -> Optional[FlatScene]:
         return self._scene
+
+    @property
+    def scene_device(self):
+        """The HBM-resident scene pytree."""
+        return self._scene_device

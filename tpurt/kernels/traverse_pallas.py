@@ -127,17 +127,20 @@ def _packet_kernel(aabb_ref, meta_ref, tri_ref, tri_id_ref,
         return hit, t, u, v
 
     if any_hit:
-        init = (jnp.int32(1), jnp.zeros_like(t_min, dtype=jnp.bool_))
+        # occlusion carried as f32 0/1 — Mosaic mishandles i1 loop carries
+        init = (jnp.int32(1), jnp.zeros_like(t_min))
 
         def cond(c):
             sp, occ = c
-            return (sp > 0) & jnp.logical_not(jnp.all(occ | (t_max0 <= t_min)))
+            inactive = t_max0 <= t_min
+            return (sp > 0) & jnp.logical_not(
+                jnp.all((occ > 0.0) | inactive))
 
         def body(c):
             sp, occ = c
             node = stack[sp - 1]
             sp = sp - 1
-            tfar = jnp.where(occ, t_min, t_max0)  # occluded lanes drop out
+            tfar = jnp.where(occ > 0.0, t_min, t_max0)  # occluded lanes drop out
             hit_box = slab(aabb_ref[node, 0], aabb_ref[node, 1],
                            aabb_ref[node, 2], aabb_ref[node, 3],
                            aabb_ref[node, 4], aabb_ref[node, 5], tfar)
@@ -148,8 +151,9 @@ def _packet_kernel(aabb_ref, meta_ref, tri_ref, tri_id_ref,
 
             def leaf_body(k, occ):
                 ti = first + k
-                h, _, _, _ = mt_test(ti, jnp.where(occ, t_min, t_max0))
-                return jnp.where((k < count) & any_lane, occ | (h & hit_box), occ)
+                h, _, _, _ = mt_test(ti, jnp.where(occ > 0.0, t_min, t_max0))
+                upd = h & hit_box & (k < count)
+                return jnp.where(upd, 1.0, occ)
 
             occ = jax.lax.cond(
                 is_leaf & any_lane,
@@ -166,7 +170,7 @@ def _packet_kernel(aabb_ref, meta_ref, tri_ref, tri_id_ref,
             return sp, occ
 
         _, occluded = jax.lax.while_loop(cond, body, init)
-        t_out[:] = jnp.where(occluded, 1.0, 0.0).astype(jnp.float32)
+        t_out[:] = occluded
     else:
         init = (jnp.int32(1), t_max0,
                 jnp.full(t_min.shape, -1, jnp.int32),
