@@ -86,10 +86,14 @@ def render_frame_sharded(scene: dict, camera: dict, lights: dict,
         rgb = tonemap_frame(color, ao_band, lpm_derived)
         return pack_unorm8(rgb)
 
+    # check_vma off: the tracer's while_loop carries start from unvarying
+    # constants and become device-varying inside the loop, which the VMA
+    # checker (jax >= 0.8) rejects even though the program is correct SPMD.
     fn = shard_map(
         per_chip, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P()),
         out_specs=P(axis, None, None),
+        check_vma=False,
     )
     return fn(scene, camera, lights, gtao_consts, lpm_derived,
               jnp.asarray(noise_index))
