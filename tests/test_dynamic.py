@@ -1,0 +1,58 @@
+"""Dynamic mode: in-jit LBVH rebuild from per-frame instance transforms."""
+import numpy as np
+import jax.numpy as jnp
+
+from tpurt.engine.dynamic import render_frame_dynamic
+from tpurt.passes.gtao import gtao_constants
+
+from test_frame import make_renderer, SIZE
+
+
+def _args(r):
+    cam = r.camera.uniform()
+    consts = gtao_constants(SIZE, SIZE, r.camera.znear, r.camera.zfar,
+                            r.camera.fovy, r.camera.aspect)
+    return cam, r.lights.shader_arrays(), consts, r._lpm_derived
+
+
+def test_dynamic_matches_static_at_rest():
+    r = make_renderer()
+    static = {k: np.asarray(v) for k, v in r.render().items()}
+
+    r2 = make_renderer()
+    cam, lights, consts, lpm = _args(r2)
+    out = render_frame_dynamic(
+        r2.scene.as_object_pytree(), r2.scene.transforms, cam, lights,
+        consts, lpm, np.int32(0), width=SIZE, height=SIZE,
+        gtao_settings=r2.config.gtao)
+    dyn = {k: np.asarray(v) for k, v in out.items()}
+
+    # same geometry, different BVH builder -> same hits except possible
+    # tie-breaks on shared edges; images must agree at (nearly) every pixel
+    diff = np.abs(dyn["depth"] - static["depth"])
+    assert (diff < 1e-3).mean() > 0.999
+    img_diff = np.abs(dyn["image"].astype(int) - static["image"].astype(int))
+    assert (img_diff <= 1).mean() > 0.995
+
+
+def test_dynamic_transform_moves_object():
+    r = make_renderer()
+    cam, lights, consts, lpm = _args(r)
+    obj = r.scene.as_object_pytree()
+    t0 = r.scene.transforms
+
+    out0 = render_frame_dynamic(obj, t0, cam, lights, consts, lpm,
+                                np.int32(0), width=SIZE, height=SIZE,
+                                gtao_settings=r.config.gtao)
+    # translate the cube out of view
+    t1 = np.array(t0, np.float32)
+    t1[0, 0, 3] += 100.0
+    out1 = render_frame_dynamic(obj, jnp.asarray(t1), cam, lights, consts,
+                                lpm, np.int32(0), width=SIZE, height=SIZE,
+                                gtao_settings=r.config.gtao)
+
+    c = SIZE // 2
+    assert np.asarray(out0["depth"])[c, c] < 100.0   # hit
+    assert np.asarray(out1["depth"])[c, c] == 10000.0  # moved away: miss
+    # no recompile needed between transform changes (same shapes) — both
+    # calls above share one jit cache entry by construction

@@ -87,6 +87,8 @@ class Renderer:
         changed = False
         for m in self.models:
             changed |= m.update_model_status(self.camera.pos)
+            changed |= m.dirty
+            m.dirty = False
         if (changed or self._scene is None) and any(
                 m.is_device_resident() for m in self.models):
             self._scene = flatten_scene(self.models)

@@ -33,9 +33,16 @@ HOST_DISTANCE = 20.0
 
 
 class Model:
-    def __init__(self, file_path, model_matrix_3x4, blas_builder=None):
+    def __init__(self, file_path, model_matrix_3x4, blas_builder=None,
+                 visible: bool = True):
         self.file_path = str(file_path)
         self.model_matrix = np.asarray(model_matrix_3x4, np.float32).reshape(3, 4)
+        # Ray-traced primitive exclusion: an invisible model is left out of
+        # the world BVH entirely, like an instance omitted from the TLAS
+        # (the reference excludes models via residency, renderer.rs:641-650;
+        # this flag gives the same control explicitly).
+        self.visible = bool(visible)
+        self.dirty = True  # scene tables need (re)building
         self.state = Residency.STORAGE
         self._primitives = None
         self._sphere: Optional[Sphere] = None
@@ -87,7 +94,18 @@ class Model:
         return self._sphere.transform(self.model_matrix)
 
     def is_device_resident(self) -> bool:
-        return self.state == Residency.DEVICE
+        return self.state == Residency.DEVICE and self.visible
+
+    def set_visible(self, visible: bool):
+        changed = self.visible != bool(visible)
+        self.visible = bool(visible)
+        self.dirty = self.dirty or changed
+        return changed
+
+    def set_model_matrix(self, model_matrix_3x4):
+        self.model_matrix = np.asarray(model_matrix_3x4,
+                                       np.float32).reshape(3, 4)
+        self.dirty = True
 
     def primitives(self):
         assert self._primitives is not None, "model not host-resident"

@@ -54,6 +54,12 @@ class FlatScene:
     tex_stack: Any   # (P*3, H, W, 4) u8 — layers albedo/orm/normal per prim
     tex_size: Any    # (P, 2) i32 (h, w) valid extent per prim
     num_prims: int = 0
+    # object-space tables for the dynamic (per-frame-rebuild) mode
+    vtx_instance: Any = None   # (V,) i32 instance id per vertex
+    obj_vtx_pos: Any = None    # (V, 3) f32 object space
+    obj_vtx_normal: Any = None
+    obj_vtx_tangent: Any = None
+    transforms: Any = None     # (I, 3, 4) f32 instance transforms
 
     def as_pytree(self) -> dict:
         return dict(
@@ -61,6 +67,18 @@ class FlatScene:
             tri_prim=self.tri_prim, vtx_pos=self.vtx_pos, vtx_uv=self.vtx_uv,
             vtx_normal=self.vtx_normal, vtx_tangent=self.vtx_tangent,
             tex_stack=self.tex_stack, tex_size=self.tex_size,
+        )
+
+    def as_object_pytree(self) -> dict:
+        """Inputs for the dynamic mode: object-space geometry + instance ids
+        (transforms are passed separately per frame)."""
+        return dict(
+            tri_vertex=self.tri_vertex, tri_prim=self.tri_prim,
+            vtx_instance=self.vtx_instance, obj_vtx_pos=self.obj_vtx_pos,
+            obj_vtx_normal=self.obj_vtx_normal,
+            obj_vtx_tangent=self.obj_vtx_tangent,
+            vtx_uv=self.vtx_uv, tex_stack=self.tex_stack,
+            tex_size=self.tex_size,
         )
 
 
@@ -84,33 +102,34 @@ def _transform_directions(m3x4: np.ndarray, dirs: np.ndarray) -> np.ndarray:
 def flatten_scene(models: List[Model]) -> FlatScene:
     """Flatten all device-resident models; build the world BVH (binned SAH,
     the analogue of the driver's PREFER_FAST_TRACE build)."""
-    pos_l, uv_l, nrm_l, tan_l = [], [], [], []
+    pos_l, uv_l, nrm_l, tan_l, inst_l = [], [], [], [], []
     tri_v_l, tri_p_l = [], []
     tex_entries = []  # (prim_idx, layer, ImageData)
     tex_sizes = []
+    transforms = []
 
     vtx_base = 0
     prim_idx = 0
+    inst_idx = 0
     for model in models:
         if not model.is_device_resident():
             continue
-        m = model.model_matrix
+        transforms.append(model.model_matrix)
         for prim in model.primitives():
             n_vtx = len(prim["positions"])
-            pos_l.append(_transform_points(m, prim["positions"]).astype(np.float32))
+            pos_l.append(np.asarray(prim["positions"], np.float32))
             uv_l.append(prim["tex_coords"] if prim["tex_coords"] is not None
                         else np.zeros((n_vtx, 2), np.float32))
-            nrm_l.append(_transform_normals(m, prim["normals"])
+            nrm_l.append(np.asarray(prim["normals"], np.float32)
                          if prim["normals"] is not None
                          else np.zeros((n_vtx, 3), np.float32))
             if prim["tangents"] is not None:
-                t = prim["tangents"]
-                txyz = _transform_directions(m, t[:, :3])
-                tan_l.append(np.concatenate([txyz, t[:, 3:4]], axis=1).astype(np.float32))
+                tan_l.append(np.asarray(prim["tangents"], np.float32))
             else:
                 # synthesize a tangent orthogonal-ish to the normal; the
                 # Gram-Schmidt in the shading pass fixes it up
                 tan_l.append(np.tile(np.array([[1, 0, 0, 1]], np.float32), (n_vtx, 1)))
+            inst_l.append(np.full(n_vtx, inst_idx, np.int32))
             tri_v_l.append(prim["indices"].astype(np.int64) + vtx_base)
             tri_p_l.append(np.full(len(prim["indices"]), prim_idx, np.int32))
             vtx_base += n_vtx
@@ -123,16 +142,30 @@ def flatten_scene(models: List[Model]) -> FlatScene:
                     size = (img.height, img.width)
             tex_sizes.append(size if size is not None else (1, 1))
             prim_idx += 1
+        inst_idx += 1
 
     if prim_idx == 0:
         raise ValueError("no device-resident models to flatten")
 
-    vtx_pos = np.concatenate(pos_l)
+    obj_vtx_pos = np.concatenate(pos_l)
     vtx_uv = np.concatenate(uv_l).astype(np.float32)
-    vtx_normal = np.concatenate(nrm_l)
-    vtx_tangent = np.concatenate(tan_l)
+    obj_vtx_normal = np.concatenate(nrm_l)
+    obj_vtx_tangent = np.concatenate(tan_l)
+    vtx_instance = np.concatenate(inst_l)
     tri_vertex = np.concatenate(tri_v_l).astype(np.int32)
     tri_prim = np.concatenate(tri_p_l)
+    transforms = np.asarray(transforms, np.float32)
+
+    # world-space tables (static path: transform once at flatten time)
+    vtx_pos = np.empty_like(obj_vtx_pos)
+    vtx_normal = np.empty_like(obj_vtx_normal)
+    vtx_tangent = obj_vtx_tangent.copy()
+    for i in range(inst_idx):
+        sel = vtx_instance == i
+        m = transforms[i]
+        vtx_pos[sel] = _transform_points(m, obj_vtx_pos[sel]).astype(np.float32)
+        vtx_normal[sel] = _transform_normals(m, obj_vtx_normal[sel])
+        vtx_tangent[sel, :3] = _transform_directions(m, obj_vtx_tangent[sel, :3])
 
     hmax = max(max(h for h, w in tex_sizes), 1)
     wmax = max(max(w for h, w in tex_sizes), 1)
@@ -163,4 +196,7 @@ def flatten_scene(models: List[Model]) -> FlatScene:
         tri_prim=tri_prim, vtx_pos=vtx_pos, vtx_uv=vtx_uv,
         vtx_normal=vtx_normal, vtx_tangent=vtx_tangent,
         tex_stack=tex_stack, tex_size=tex_size, num_prims=prim_idx,
+        vtx_instance=vtx_instance, obj_vtx_pos=obj_vtx_pos,
+        obj_vtx_normal=obj_vtx_normal, obj_vtx_tangent=obj_vtx_tangent,
+        transforms=transforms,
     )
