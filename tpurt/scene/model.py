@@ -52,6 +52,31 @@ class Model:
         # the reference's Storage::to_host on construction (vk_model.rs:36-42).
         self._to_host()
 
+    @classmethod
+    def from_arrays(cls, primitives, model_matrix_3x4, visible: bool = True):
+        """In-memory model (procedural geometry / tests): `primitives` is a
+        list of dicts shaped like GltfModelReader.primitive_arrays() output."""
+        from .mesh import ritter_bounding_sphere
+
+        self = cls.__new__(cls)
+        self.file_path = "<arrays>"
+        self.model_matrix = np.asarray(model_matrix_3x4, np.float32).reshape(3, 4)
+        self.visible = bool(visible)
+        self.dirty = True
+        self.state = Residency.HOST
+        self._blas = None
+        self._blas_builder = None
+        for p in primitives:
+            p.setdefault("tex_coords", None)
+            p.setdefault("normals", None)
+            p.setdefault("tangents", None)
+            p.setdefault("textures", {})
+        self._primitives = primitives
+        self._sphere = ritter_bounding_sphere(
+            [p["positions"] for p in primitives])
+        self._from_arrays = True
+        return self
+
     # -- state transitions ---------------------------------------------------
 
     def _to_host(self):
@@ -64,7 +89,8 @@ class Model:
         self.state = Residency.HOST
 
     def _to_storage(self):
-        self._primitives = None
+        if not getattr(self, "_from_arrays", False):
+            self._primitives = None  # in-memory models cannot be reloaded
         self._blas = None
         self.state = Residency.STORAGE
 
