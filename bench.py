@@ -66,15 +66,22 @@ def build_scene():
     return r
 
 
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
 def main():
     import jax
 
+    _log("bench: building scene...")
     renderer = build_scene()
+    _log("bench: scene ready, warming up (first frame compiles)...")
     n_lights = renderer.lights.get_lights_count()
     rays_per_frame = WIDTH * HEIGHT * (1 + n_lights)
 
-    for _ in range(WARMUP):
+    for i in range(WARMUP):
         renderer.render(block=True)
+        _log(f"bench: warmup frame {i + 1}/{WARMUP} done")
 
     start = time.perf_counter()
     out = None

@@ -69,6 +69,17 @@ def permute_pixels(src: np.ndarray, src_texel_size: int, src_to_dst: Dict[int, i
     host side we use one vectorized numpy form (with a C++ fast path in
     tpurt.native for large textures). Unmapped destination bytes are zero.
     """
+    if np.asarray(src).size >= 1 << 16:
+        try:
+            from ..native import native_permute_pixels
+
+            out = native_permute_pixels(np.asarray(src, np.uint8),
+                                        src_texel_size, src_to_dst,
+                                        dst_texel_size)
+            if out is not None:
+                return out
+        except Exception:
+            pass
     src = np.asarray(src, np.uint8).reshape(-1, src_texel_size)
     out = np.zeros((src.shape[0], dst_texel_size), np.uint8)
     for s_i, d_i in src_to_dst.items():
