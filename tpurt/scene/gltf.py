@@ -158,13 +158,24 @@ class GltfModelReader:
 
     @classmethod
     def open(cls, file_path, normalize_vectors: bool = False,
-             coerce_image_to_format: Optional[str] = None) -> "GltfModelReader":
-        doc, buffer_data, image_blobs = cls._parse_glb(file_path)
+             coerce_image_to_format: Optional[str] = None,
+             strict: bool = True) -> "GltfModelReader":
+        """Open a .glb (binary) or .gltf (JSON + external buffer) model.
+
+        strict=True enforces the reference's single-mesh/single-buffer
+        validation (gltf_model_reader.rs:62-63); strict=False merges the
+        primitives of every mesh (a capability extension).
+        """
+        if str(file_path).lower().endswith(".gltf"):
+            doc, buffer_data, image_blobs = cls._parse_gltf_json(file_path)
+        else:
+            doc, buffer_data, image_blobs = cls._parse_glb(file_path)
 
         meshes = doc.get("meshes", [])
         buffers = doc.get("buffers", [])
-        assert len(meshes) == 1, "expected exactly 1 mesh"
-        assert len(buffers) == 1, "expected exactly 1 buffer"
+        if strict:
+            assert len(meshes) == 1, "expected exactly 1 mesh"
+            assert len(buffers) == 1, "expected exactly 1 buffer"
 
         accessors = doc.get("accessors", [])
         buffer_views = doc.get("bufferViews", [])
@@ -194,8 +205,9 @@ class GltfModelReader:
             _decode_image_bytes(blob) if blob is not None else None for blob in image_blobs
         ]
 
+        all_prims = [p for mesh in meshes for p in mesh["primitives"]]
         primitives = []
-        for prim in meshes[0]["primitives"]:
+        for prim in all_prims:
             p = _Primitive()
             if "indices" in prim:
                 p.mesh_attributes[MeshAttributeType.INDICES] = attr_from_accessor(prim["indices"])
@@ -229,6 +241,41 @@ class GltfModelReader:
             model._coerce_images_to_format(coerce_image_to_format)
         model._validate_model()
         return model
+
+    @staticmethod
+    def _parse_gltf_json(file_path):
+        """.gltf with external or data-URI buffers/images."""
+        import base64
+        import os
+        import urllib.parse
+
+        base_dir = os.path.dirname(os.path.abspath(file_path))
+        with open(file_path, "r") as f:
+            doc = json.load(f)
+
+        def load_uri(uri: str) -> bytes:
+            if uri.startswith("data:"):
+                return base64.b64decode(uri.split(",", 1)[1])
+            path = os.path.join(base_dir, urllib.parse.unquote(uri))
+            with open(path, "rb") as fh:
+                return fh.read()
+
+        buffers = doc.get("buffers", [])
+        blob = load_uri(buffers[0]["uri"]) if buffers else b""
+        buffer_data = np.frombuffer(blob, np.uint8).copy()
+
+        image_blobs = []
+        views = doc.get("bufferViews", [])
+        for img in doc.get("images", []):
+            if "bufferView" in img:
+                v = views[img["bufferView"]]
+                start = v.get("byteOffset", 0)
+                image_blobs.append(bytes(blob[start:start + v["byteLength"]]))
+            elif "uri" in img:
+                image_blobs.append(load_uri(img["uri"]))
+            else:
+                image_blobs.append(None)
+        return doc, buffer_data, image_blobs
 
     @staticmethod
     def _parse_glb(file_path):
