@@ -34,7 +34,7 @@ except ImportError:  # pragma: no cover
 
 from ..kernels.traverse import trace_closest
 from ..passes.encodings import pack_unorm8, quantize_r11g11b10f, quantize_r16f
-from ..passes.gtao import GtaoSettings, compute_ao
+from ..passes.gtao import GtaoSettings, compute_ao_band
 from ..passes.rays import T_MAX, T_MIN, camera_rays
 from ..passes.shade import shade
 from ..passes.tonemap import tonemap_frame
@@ -79,9 +79,9 @@ def render_frame_sharded(scene: dict, camera: dict, lights: dict,
         depth_full = jax.lax.all_gather(depth, axis, axis=0, tiled=True)
         normal_full = jax.lax.all_gather(normal, axis, axis=0, tiled=True)
 
-        ao_full = compute_ao(depth_full, normal_full, gtao_consts,
-                             gtao_settings, noise_index)
-        ao_band = jax.lax.dynamic_slice_in_dim(ao_full, row0, band, axis=0)
+        # each chip computes GTAO only for its band (+ denoise halo)
+        ao_band = compute_ao_band(depth_full, normal_full, gtao_consts,
+                                  gtao_settings, noise_index, row0, band)
 
         rgb = tonemap_frame(color, ao_band, lpm_derived)
         return pack_unorm8(rgb)

@@ -125,10 +125,12 @@ def _hilbert_lut_64() -> np.ndarray:
 _HILBERT_LUT = _hilbert_lut_64()
 
 
-def spatio_temporal_noise(height: int, width: int, noise_index):
-    """Hilbert-driven R2 sequence (main_pass.comp.hlsl:48-65)."""
+def spatio_temporal_noise(height: int, width: int, noise_index,
+                          rows=None):
+    """Hilbert-driven R2 sequence (main_pass.comp.hlsl:48-65). `rows` gives
+    absolute row indices for a band (defaults to 0..height)."""
     lut = jnp.asarray(_HILBERT_LUT)
-    yy = jnp.arange(height) % 64
+    yy = (jnp.arange(height) if rows is None else rows) % 64
     xx = jnp.arange(width) % 64
     idx = lut[yy[:, None], xx[None, :]].astype(jnp.uint32)
     idx = idx + jnp.uint32(288) * (jnp.uint32(noise_index) % 64)
@@ -249,29 +251,40 @@ def _shift_clamp(img, dy, dx):
 # ------------------------------------------------------------- main pass ----
 
 def main_pass(depth_mips, normal_enc, consts, settings: GtaoSettings,
-              noise_index):
-    """XeGTAO_MainPass over the full image.
+              noise_index, row_start: int = 0, num_rows=None):
+    """XeGTAO_MainPass.
 
-    depth_mips: output of prefilter_depths. normal_enc: (H, W, 3) the
-    encoded G-buffer normals (*0.5+0.5, view space, y/z negated — decoded
-    here exactly like main_pass.comp.hlsl:29-46).
-    Returns (ao_u8 (H,W), edges_u8 (H,W)).
+    depth_mips: output of prefilter_depths over the FULL image. normal_enc:
+    (H, W, 3) encoded G-buffer normals (*0.5+0.5, view space, y/z negated —
+    decoded exactly like main_pass.comp.hlsl:29-46).
+
+    row_start/num_rows restrict the *output* to a horizontal band (absolute
+    pixel coordinates are preserved, sampling still sees the whole pyramid) —
+    the multi-chip path computes only its own band + denoise halo.
+    Returns (ao_u8 (R,W), edges_u8 (R,W)).
     """
     d0 = depth_mips[0]
     h, w = d0.shape
+    num_rows = h if num_rows is None else num_rows
     pixel_size = jnp.asarray(consts["viewport_pixel_size"], jnp.float32)
     ndc_mul = jnp.asarray(consts["ndc_to_view_mul"], jnp.float32)
     ndc_add = jnp.asarray(consts["ndc_to_view_add"], jnp.float32)
 
+    full_image = isinstance(row_start, int) and row_start == 0 and num_rows == h
+    rows = jnp.clip(row_start + jnp.arange(num_rows), 0, h - 1)
     xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
-    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
-    sp_x, sp_y = jnp.meshgrid(xs, ys)  # normalized screen pos
+    ys = (rows.astype(jnp.float32) + 0.5) / h
+    sp_x, sp_y = jnp.meshgrid(xs, ys)  # normalized screen pos (band)
 
-    viewspace_z = d0
-    pix_l = _shift_clamp(d0, 0, -1)
-    pix_r = _shift_clamp(d0, 0, 1)
-    pix_t = _shift_clamp(d0, -1, 0)
-    pix_b = _shift_clamp(d0, 1, 0)
+    def band(img):
+        return img if full_image else img[rows]
+
+    viewspace_z = band(d0)
+    pix_l = band(_shift_clamp(d0, 0, -1))
+    pix_r = band(_shift_clamp(d0, 0, 1))
+    pix_t = band(_shift_clamp(d0, -1, 0))
+    pix_b = band(_shift_clamp(d0, 1, 0))
+    normal_enc = band(normal_enc)
 
     edges = _calculate_edges(viewspace_z, pix_l, pix_r, pix_t, pix_b)
     edges_u8 = pack_edges(edges)
@@ -300,9 +313,10 @@ def main_pass(depth_mips, normal_enc, consts, settings: GtaoSettings,
     falloff_mul = -1.0 / falloff_range
     falloff_add = falloff_from / falloff_range + 1.0
 
-    visibility = jnp.zeros((h, w), jnp.float32)
+    visibility = jnp.zeros((num_rows, w), jnp.float32)
 
-    noise_slice, noise_sample = spatio_temporal_noise(h, w, noise_index)
+    noise_slice, noise_sample = spatio_temporal_noise(
+        num_rows, w, noise_index, rows=rows)
 
     pixel_too_close_threshold = 1.3
     ndc_mul_x_pix = jnp.asarray(consts["ndc_to_view_mul_x_pixel_size"],
@@ -466,6 +480,24 @@ def denoise_pass(ao_u8, edges_u8, settings: GtaoSettings, final_apply: bool):
     if final_apply:
         out = out * XE_GTAO_OCCLUSION_TERM_SCALE
     return (jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+
+
+def compute_ao_band(view_depth, normal_enc, consts, settings: GtaoSettings,
+                    noise_index, row_start, band_rows: int):
+    """GTAO restricted to a horizontal output band (multi-chip path): the
+    main pass runs over the band plus a denoise halo, and the halo is
+    trimmed after the denoise chain. Halo rows outside the image duplicate
+    the edge rows exactly (incl. noise), reproducing single-device
+    edge-clamping bit-exactly. `row_start` may be a traced value."""
+    halo = settings.num_denoise_passes + 1
+    mips = prefilter_depths(view_depth, consts)
+    ao, edges = main_pass(mips, normal_enc, consts, settings, noise_index,
+                          row_start=row_start - halo,
+                          num_rows=band_rows + 2 * halo)
+    n_passes = settings.num_denoise_passes
+    for i in range(n_passes):
+        ao = denoise_pass(ao, edges, settings, final_apply=(i == n_passes - 1))
+    return ao[halo:halo + band_rows]
 
 
 def compute_ao(view_depth, normal_enc, consts, settings: GtaoSettings,
