@@ -40,11 +40,13 @@ def test_fits_smem_budget():
     assert not fits_smem(10_000_000, 10_000_000)
 
 
-def test_packet_closest_matches_xla(setup):
+@pytest.mark.parametrize("tables", ["smem", "vmem"])
+def test_packet_closest_matches_xla(setup, tables):
     tree, geom, o, d = setup
     ref = trace_closest(tree, geom, o, d, 1e-3, 1e4, max_leaf=4)
     got = trace_closest_packets(tree, geom, o, d, 1e-3, 1e4,
-                                height=H, width=W, interpret=True)
+                                height=H, width=W, interpret=True,
+                                tables=tables)
     np.testing.assert_array_equal(np.asarray(got["tri"]), np.asarray(ref["tri"]))
     hit = np.asarray(ref["tri"]) >= 0
     assert hit.sum() > 100

@@ -27,29 +27,30 @@ MAX_LEAF = 4
 
 @partial(jax.jit, static_argnames=("width", "height", "gtao_settings",
                                    "enable_gtao", "enable_tonemap",
-                                   "use_pallas"))
+                                   "pallas_tables"))
 def render_frame(scene: dict, camera: dict, lights: dict, gtao_consts: dict,
                  lpm_derived: dict, noise_index, *, width: int, height: int,
                  gtao_settings: GtaoSettings = GtaoSettings(),
                  enable_gtao: bool = True, enable_tonemap: bool = True,
-                 use_pallas: bool = False):
+                 pallas_tables: str = ""):
     """Render one frame. Returns dict with:
     image (H,W,3) u8 sRGB, color/depth/normal G-buffer, ao (H,W) u8.
-    use_pallas routes primary + shadow rays through the packet tracer.
+    pallas_tables ("smem"/"vmem") routes primary + shadow rays through the
+    packet tracer with that table tier; "" uses the XLA tracer.
     """
     origin, direction = camera_rays(camera, width, height)
-    if use_pallas:
+    if pallas_tables:
         from ..kernels.traverse_pallas import trace_closest_packets
 
         hits = trace_closest_packets(scene["bvh"], scene["geom"], origin,
                                      direction, T_MIN, T_MAX,
                                      height=height, width=width,
-                                     max_leaf=MAX_LEAF)
+                                     max_leaf=MAX_LEAF, tables=pallas_tables)
     else:
         hits = trace_closest(scene["bvh"], scene["geom"], origin, direction,
                              T_MIN, T_MAX, max_leaf=MAX_LEAF)
     g = shade(scene, camera, lights, hits, origin, direction,
-              use_pallas=use_pallas, height=height, width=width)
+              pallas_tables=pallas_tables, height=height, width=width)
 
     # G-buffer storage-format quantization (B10G11R11F color+normal, R16F depth)
     color = quantize_r11g11b10f(g["color"]).reshape(height, width, 3)

@@ -131,28 +131,34 @@ class Renderer:
             np.int32(self._frame_idx % 64),
             width=c.width, height=c.height, gtao_settings=c.gtao,
             enable_gtao=c.enable_gtao, enable_tonemap=c.enable_tonemap,
-            use_pallas=self._use_pallas())
+            pallas_tables=self._pallas_tables())
         self._frame_idx += 1
         self.rendered_frames += 1
         if block:
             out["image"].block_until_ready()
         return out
 
-    def _use_pallas(self) -> bool:
+    def _pallas_tables(self) -> str:
+        """Pick the packet-tracer table tier: "smem" -> "vmem" -> "" (XLA)."""
         c = self.config
         if c.tracer == "xla":
-            return False
-        if c.tracer == "pallas":
-            return True
+            return ""
         import jax
 
-        from ..kernels.traverse_pallas import TILE, fits_smem
+        from ..kernels.traverse_pallas import TILE, table_mode
 
-        return (jax.default_backend() in ("tpu", "axon")
-                and c.width % TILE == 0 and c.height % TILE == 0
-                and self._scene is not None
-                and fits_smem(self._scene.bvh["aabb_min"].shape[0],
-                              self._scene.geom["v0"].shape[0]))
+        aligned = c.width % TILE == 0 and c.height % TILE == 0
+        if c.tracer in ("smem", "vmem"):
+            return c.tracer
+        if c.tracer == "pallas":
+            mode = table_mode(self._scene.bvh["aabb_min"].shape[0],
+                              self._scene.geom["v0"].shape[0])
+            return mode or "smem"
+        if (jax.default_backend() in ("tpu", "axon") and aligned
+                and self._scene is not None):
+            return table_mode(self._scene.bvh["aabb_min"].shape[0],
+                              self._scene.geom["v0"].shape[0]) or ""
+        return ""
 
     def render_image(self) -> np.ndarray:
         """Render and read back the 8-bit sRGB frame."""

@@ -45,6 +45,24 @@ def fits_smem(num_nodes: int, num_tris: int) -> bool:
     return nodes + tris + STACK_DEPTH * 4 + 4096 < SMEM_BUDGET
 
 
+# VMEM tables: each (M, c<=9) row pads to a full 128-lane row (512 B).
+VMEM_BUDGET = 96 * 1024 * 1024
+
+
+def fits_vmem(num_nodes: int, num_tris: int) -> bool:
+    rows = 2 * num_nodes + 2 * num_tris  # aabb+meta per node, tri+tri_id
+    return rows * 512 + (1 << 20) < VMEM_BUDGET
+
+
+def table_mode(num_nodes: int, num_tris: int):
+    """Pick the table tier for a scene size; None = fall back to XLA."""
+    if fits_smem(num_nodes, num_tris):
+        return "smem"
+    if fits_vmem(num_nodes, num_tris):
+        return "vmem"
+    return None
+
+
 def pack_tables(bvh: dict, geom: dict):
     """Node/tri tables in the kernel's scalar-prefetch layout."""
     aabb = jnp.concatenate([
@@ -62,7 +80,10 @@ def pack_tables(bvh: dict, geom: dict):
         jnp.asarray(geom["e1"], jnp.float32),
         jnp.asarray(geom["e2"], jnp.float32),
     ], axis=1)                                              # (T, 9)
-    tri_id = jnp.asarray(geom["tri_id"], jnp.int32)
+    # (T, 1): 1-D arrays land in the lane dimension, which cannot be
+    # dynamically indexed by scalars; a trailing unit lane keeps the node
+    # index on the (dynamically indexable) sublane dimension.
+    tri_id = jnp.asarray(geom["tri_id"], jnp.int32).reshape(-1, 1)
     return aabb, meta, tri, tri_id
 
 
@@ -197,7 +218,7 @@ def _packet_kernel(aabb_ref, meta_ref, tri_ref, tri_id_ref,
                 h, tk, uk, vk = mt_test(ti, t)
                 upd = h & hit_box & (k < count)
                 t = jnp.where(upd, tk, t)
-                tri = jnp.where(upd, tri_id_ref[ti], tri)
+                tri = jnp.where(upd, tri_id_ref[ti, 0], tri)
                 u = jnp.where(upd, uk, u)
                 v = jnp.where(upd, vk, v)
                 return t, tri, u, v
@@ -224,8 +245,15 @@ def _packet_kernel(aabb_ref, meta_ref, tri_ref, tri_id_ref,
 
 
 def _trace_packets(aabb, meta, tri, tri_id, rays, max_leaf: int,
-                   any_hit: bool, interpret: bool = False):
-    """rays: dict of 8 arrays shaped (P*8, 128)."""
+                   any_hit: bool, interpret: bool = False,
+                   tables: str = "smem"):
+    """rays: dict of 8 arrays shaped (P*8, 128).
+
+    tables: where the node/tri tables live —
+      "smem": scalar-prefetch operands (fastest node fetch, tightest budget)
+      "vmem": VMEM operands read with dynamic-sublane scalar loads
+              (~5x the SMEM capacity at a small per-step cost).
+    """
     n_sub = rays["ox"].shape[0]
     grid = (n_sub // PACKET_SUBLANES,)
 
@@ -241,23 +269,44 @@ def _trace_packets(aabb, meta, tri, tri_id, rays, max_leaf: int,
         jax.ShapeDtypeStruct((n_sub, PACKET_LANES), jnp.float32),   # u
         jax.ShapeDtypeStruct((n_sub, PACKET_LANES), jnp.float32),   # v
     ]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=grid,
-        in_specs=[ray_spec] * 8,
-        out_specs=[ray_spec] * 4,
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
-    )
     kernel = partial(_packet_kernel, max_leaf=max_leaf, any_hit=any_hit)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=out_shapes,
-        interpret=interpret,
-    )(aabb, meta, tri, tri_id,
-      rays["ox"], rays["oy"], rays["oz"],
-      rays["dx"], rays["dy"], rays["dz"],
-      rays["tmin"], rays["tmax"])
+    if tables == "smem":
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=grid,
+            in_specs=[ray_spec] * 8,
+            out_specs=[ray_spec] * 4,
+            scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(aabb, meta, tri, tri_id,
+          rays["ox"], rays["oy"], rays["oz"],
+          rays["dx"], rays["dy"], rays["dz"],
+          rays["tmin"], rays["tmax"])
+    elif tables == "vmem":
+        table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[table_spec] * 4 + [ray_spec] * 8,
+            out_specs=[ray_spec] * 4,
+            scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(aabb, meta, tri, tri_id,
+          rays["ox"], rays["oy"], rays["oz"],
+          rays["dx"], rays["dy"], rays["dz"],
+          rays["tmin"], rays["tmax"])
+    else:
+        raise ValueError(f"unknown tables mode {tables!r}")
 
 
 # ----------------------------------------------------------- tile swizzle ---
@@ -287,10 +336,12 @@ def _rays_to_packets(origin, direction, t_min, t_max, height, width):
     )
 
 
-@partial(jax.jit, static_argnames=("height", "width", "max_leaf", "interpret"))
+@partial(jax.jit, static_argnames=("height", "width", "max_leaf", "interpret",
+                                   "tables"))
 def trace_closest_packets(bvh: dict, geom: dict, origin, direction,
                           t_min, t_max, *, height: int, width: int,
-                          max_leaf: int = 4, interpret: bool = False):
+                          max_leaf: int = 4, interpret: bool = False,
+                          tables: str = "smem"):
     """Closest-hit packet trace over an image-shaped ray batch.
     Same contract as kernels.traverse.trace_closest (t=t_max & tri=-1 on miss)."""
     assert height % TILE == 0 and width % TILE == 0, \
@@ -299,19 +350,22 @@ def trace_closest_packets(bvh: dict, geom: dict, origin, direction,
     rays = _rays_to_packets(origin, direction, t_min, t_max, height, width)
     t, tri_o, u, v = _trace_packets(aabb, meta, tri, tri_id, rays,
                                     max_leaf, any_hit=False,
-                                    interpret=interpret)
+                                    interpret=interpret, tables=tables)
     g = partial(_from_packets, height=height, width=width)
     return dict(t=g(t), tri=g(tri_o), u=g(u), v=g(v))
 
 
-@partial(jax.jit, static_argnames=("height", "width", "max_leaf", "interpret"))
+@partial(jax.jit, static_argnames=("height", "width", "max_leaf", "interpret",
+                                   "tables"))
 def trace_any_packets(bvh: dict, geom: dict, origin, direction,
                       t_min, t_max, *, height: int, width: int,
-                      max_leaf: int = 4, interpret: bool = False):
+                      max_leaf: int = 4, interpret: bool = False,
+                      tables: str = "smem"):
     """Any-hit packet trace; returns boolean occlusion mask (H*W,)."""
     assert height % TILE == 0 and width % TILE == 0
     aabb, meta, tri, tri_id = pack_tables(bvh, geom)
     rays = _rays_to_packets(origin, direction, t_min, t_max, height, width)
     occ, _, _, _ = _trace_packets(aabb, meta, tri, tri_id, rays,
-                                  max_leaf, any_hit=True, interpret=interpret)
+                                  max_leaf, any_hit=True, interpret=interpret,
+                                  tables=tables)
     return _from_packets(occ, height, width) > 0.5

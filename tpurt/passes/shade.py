@@ -75,16 +75,16 @@ def sample_bilinear(tex_stack, tex_size, prim, layer: int, uv):
 
 
 def shade(scene: dict, camera: dict, lights: dict, hits: dict,
-          origin, direction, *, use_pallas: bool = False,
+          origin, direction, *, pallas_tables: str = "",
           height: int = 0, width: int = 0):
     """Shade one batch of primary hits.
 
     Returns dict(color (N,3), depth (N,), normal_enc (N,3)) — the unquantized
     G-buffer; the engine applies format quantization (B10G11R11F / R16F).
-    With use_pallas, shadow rays go through the packet tracer (shadow rays
-    inherit the pixel tiling, so the swizzle stays coherent).
+    With pallas_tables set, shadow rays go through the packet tracer (shadow
+    rays inherit the pixel tiling, so the swizzle stays coherent).
     """
-    if use_pallas:
+    if pallas_tables:
         from ..kernels.traverse_pallas import trace_any_packets
     tri = hits["tri"]
     valid = tri >= 0
@@ -170,10 +170,11 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
         wants_shadow = valid & (light["casts_shadows"] > 0) & (nc_NdotL > 0)
         # inactive lanes get tmax=0 -> they leave the BVH on the first step
         t_max = jnp.where(wants_shadow, L_len, 0.0)
-        if use_pallas:
+        if pallas_tables:
             occluded = trace_any_packets(scene["bvh"], scene["geom"],
                                          world_pos, L, SHADOW_T_MIN, t_max,
-                                         height=height, width=width)
+                                         height=height, width=width,
+                                         tables=pallas_tables)
         else:
             occluded = trace_any(scene["bvh"], scene["geom"], world_pos, L,
                                  SHADOW_T_MIN, t_max, max_leaf=4)
