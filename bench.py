@@ -30,24 +30,27 @@ def build_scene():
     from tpurt.engine import Renderer, RendererConfig
     from tpurt.passes.gtao import GtaoSettings
     from tpurt.scene.lights import AreaLight, SpotLight
+    from tpurt.scene.procedural import box_field, ground_plane
 
     cfg = RendererConfig(width=WIDTH, height=HEIGHT,
                          gtao=GtaoSettings(slice_count=9, steps_per_slice=3,
                                            denoise=1))  # ULTRA + Sharp
     r = Renderer(cfg)
 
-    # A grid of textured cubes stands in for the (unshipped) Sponza.glb:
-    # 8x8 instances, each with its own primitive entry, like multi-model
-    # scenes with running custom indices (renderer.rs:641-650).
+    # Sponza-scale stand-in (the real asset is unshipped): a 12x12 field of
+    # subdivided boxes (~43k tris) + ground, plus textured glTF cubes for
+    # the material/texture path — multi-model with running custom indices
+    # (renderer.rs:641-650).
+    r.models.append(box_field(nx=12, nz=12, subdiv=5))
+    r.models.append(ground_plane())
     for i in range(8):
-        for j in range(8):
-            m = np.array([[0.45, 0, 0, (i - 3.5) * 1.1],
-                          [0, 0.45, 0, 0.0],
-                          [0, 0, 0.45, (j - 3.5) * 1.1]], np.float32)
-            r.add_model(BOX, m)
+        m = np.array([[0.45, 0, 0, (i - 3.5) * 1.4],
+                      [0, 0.45, 0, -2.2],
+                      [0, 0, 0.45, 0.0]], np.float32)
+        r.add_model(BOX, m)
 
-    r.camera_mut().set_pos([0.0, -2.5, -5.5])
-    d = np.array([0.0, 0.35, 1.0])
+    r.camera_mut().set_pos([0.0, -2.5, -9.5])
+    d = np.array([0.0, 0.3, 1.0])
     r.camera_mut().set_dir(d / np.linalg.norm(d))
 
     # the reference app's two lights (main.rs:38-64), repositioned for scale
@@ -83,11 +86,12 @@ def main():
         renderer.render(block=True)
         _log(f"bench: warmup frame {i + 1}/{WARMUP} done")
 
+    # blocking frames: reliable on the tunneled backend (async chains can
+    # wedge, see CLAUDE.md); the ~1ms RPC per frame is included in ms/frame
     start = time.perf_counter()
     out = None
     for _ in range(FRAMES):
-        out = renderer.render(block=False)
-    out["image"].block_until_ready()
+        out = renderer.render(block=True)
     elapsed = time.perf_counter() - start
 
     ms_per_frame = elapsed * 1000.0 / FRAMES

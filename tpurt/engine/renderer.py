@@ -54,6 +54,10 @@ class Renderer:
         self.models: list[Model] = []
         self._scene: Optional[FlatScene] = None
         self._scene_device = None
+        # dirty-flag input caching (the analogue of the reference's
+        # needs_update uniform uploads, vk_camera.rs:104-126): unchanged
+        # camera/lights/constants reuse their device-resident arrays
+        self._input_cache = {}
         self._lpm_ctl, self._lpm_derived = lpm_setup(c.lpm)
         self._frame_idx = 0
         self.rendered_frames = 0
@@ -121,12 +125,13 @@ class Renderer:
         self._update_models()
         assert self._scene is not None, "call prepare_first_frame() first"
 
-        cam = self.camera.uniform()
+        cam = self._cached("camera", self.camera.uniform())
         consts = gtao_constants(c.width, c.height, self.camera.znear,
                                 self.camera.zfar, self.camera.fovy,
                                 self.camera.aspect)
+        lights = self._cached("lights", self.lights.shader_arrays())
         out = render_frame(
-            self._scene_device, cam, self.lights.shader_arrays(),
+            self._scene_device, cam, lights,
             consts, self._lpm_derived,
             np.int32(self._frame_idx % 64),
             width=c.width, height=c.height, gtao_settings=c.gtao,
@@ -137,6 +142,22 @@ class Renderer:
         if block:
             out["image"].block_until_ready()
         return out
+
+    def _cached(self, key: str, host_pytree: dict):
+        """Reuse device arrays for inputs whose host values are unchanged."""
+        import jax
+        import jax.numpy as jnp
+
+        prev = self._input_cache.get(key)
+        if prev is not None:
+            prev_host, prev_dev = prev
+            if (prev_host.keys() == host_pytree.keys() and all(
+                    np.array_equal(prev_host[k], host_pytree[k])
+                    for k in host_pytree)):
+                return prev_dev
+        dev = jax.tree.map(jnp.asarray, host_pytree)
+        self._input_cache[key] = (host_pytree, dev)
+        return dev
 
     def _pallas_tables(self) -> str:
         """Pick the packet-tracer table tier: "smem" -> "vmem" -> "" (XLA)."""
