@@ -53,7 +53,13 @@ def build_scene():
     d = np.array([0.0, 0.3, 1.0])
     r.camera_mut().set_dir(d / np.linalg.norm(d))
 
-    # the reference app's two lights (main.rs:38-64), repositioned for scale
+    # the reference app's two lights (main.rs:38-64) repositioned for scale,
+    # plus a directional sun so the whole field participates
+    from tpurt.scene.lights import DirectionalLight
+
+    r.lights_mut().directional_lights.append(DirectionalLight(
+        dir=np.array([0.35, 0.85, 0.4]) / np.linalg.norm([0.35, 0.85, 0.4]),
+        color=[1.4, 1.3, 1.1], casts_shadows=True))
     r.lights_mut().spot_lights.append(SpotLight(
         pos=[0.0, -4.0, 0.0], dir=[0.0, 1.0, 0.0],
         color=np.array([1.36, 0.16, 2.22]) * 10.0, falloff_distance=12.0,

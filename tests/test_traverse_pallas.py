@@ -40,7 +40,7 @@ def test_fits_smem_budget():
     assert not fits_smem(10_000_000, 10_000_000)
 
 
-@pytest.mark.parametrize("tables", ["smem", "vmem"])
+@pytest.mark.parametrize("tables", ["smem", "vmem", "hbm"])
 def test_packet_closest_matches_xla(setup, tables):
     tree, geom, o, d = setup
     ref = trace_closest(tree, geom, o, d, 1e-3, 1e4, max_leaf=4)
@@ -56,11 +56,12 @@ def test_packet_closest_matches_xla(setup, tables):
                                np.asarray(ref["u"])[hit], atol=1e-5)
 
 
-def test_packet_any_matches_xla(setup):
+@pytest.mark.parametrize("tables", ["smem", "hbm"])
+def test_packet_any_matches_xla(setup, tables):
     tree, geom, o, d = setup
     ref = trace_any(tree, geom, o, d, 1e-3, 1e4, max_leaf=4)
     got = trace_any_packets(tree, geom, o, d, 1e-3, 1e4,
-                            height=H, width=W, interpret=True)
+                            height=H, width=W, interpret=True, tables=tables)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 

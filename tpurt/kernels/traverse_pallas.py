@@ -55,12 +55,12 @@ def fits_vmem(num_nodes: int, num_tris: int) -> bool:
 
 
 def table_mode(num_nodes: int, num_tris: int):
-    """Pick the table tier for a scene size; None = fall back to XLA."""
+    """Pick the table tier for a scene size: smem -> vmem -> hbm."""
     if fits_smem(num_nodes, num_tris):
         return "smem"
     if fits_vmem(num_nodes, num_tris):
         return "vmem"
-    return None
+    return "hbm"
 
 
 def pack_tables(bvh: dict, geom: dict):
@@ -87,65 +87,74 @@ def pack_tables(bvh: dict, geom: dict):
     return aabb, meta, tri, tri_id
 
 
-def _packet_kernel(aabb_ref, meta_ref, tri_ref, tri_id_ref,
-                   ox, oy, oz, dx, dy, dz, tmn, tmx,
-                   t_out, tri_out, u_out, v_out,
-                   stack, *, max_leaf: int, any_hit: bool):
-    inv_x = 1.0 / dx[:]
-    inv_y = 1.0 / dy[:]
-    inv_z = 1.0 / dz[:]
-    o_x, o_y, o_z = ox[:], oy[:], oz[:]
-    d_x, d_y, d_z = dx[:], dy[:], dz[:]
-    t_min = tmn[:]
-    t_max0 = tmx[:]
+class _Rays:
+    """Per-packet ray registers + the shared intersection math."""
 
-    stack[0] = jnp.int32(0)
+    def __init__(self, ox, oy, oz, dx, dy, dz, tmn, tmx):
+        self.o_x, self.o_y, self.o_z = ox[:], oy[:], oz[:]
+        self.d_x, self.d_y, self.d_z = dx[:], dy[:], dz[:]
+        self.inv_x = 1.0 / self.d_x
+        self.inv_y = 1.0 / self.d_y
+        self.inv_z = 1.0 / self.d_z
+        self.t_min = tmn[:]
+        self.t_max0 = tmx[:]
 
-    def slab(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz, tfar):
-        tx0 = (bminx - o_x) * inv_x
-        tx1 = (bmaxx - o_x) * inv_x
-        ty0 = (bminy - o_y) * inv_y
-        ty1 = (bmaxy - o_y) * inv_y
-        tz0 = (bminz - o_z) * inv_z
-        tz1 = (bmaxz - o_z) * inv_z
+    def slab(self, bminx, bminy, bminz, bmaxx, bmaxy, bmaxz, tfar):
+        tx0 = (bminx - self.o_x) * self.inv_x
+        tx1 = (bmaxx - self.o_x) * self.inv_x
+        ty0 = (bminy - self.o_y) * self.inv_y
+        ty1 = (bmaxy - self.o_y) * self.inv_y
+        tz0 = (bminz - self.o_z) * self.inv_z
+        tz1 = (bmaxz - self.o_z) * self.inv_z
         tnear = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
                                         jnp.minimum(ty0, ty1)),
-                            jnp.maximum(jnp.minimum(tz0, tz1), t_min))
+                            jnp.maximum(jnp.minimum(tz0, tz1), self.t_min))
         tfar_ = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
                                         jnp.maximum(ty0, ty1)),
                             jnp.minimum(jnp.maximum(tz0, tz1), tfar))
         return tnear <= tfar_
 
-    def mt_test(ti, tfar):
-        v0x = tri_ref[ti, 0]
-        v0y = tri_ref[ti, 1]
-        v0z = tri_ref[ti, 2]
-        e1x = tri_ref[ti, 3]
-        e1y = tri_ref[ti, 4]
-        e1z = tri_ref[ti, 5]
-        e2x = tri_ref[ti, 6]
-        e2y = tri_ref[ti, 7]
-        e2z = tri_ref[ti, 8]
-        # pvec = d x e2
+    def mt(self, tri_row, tfar):
+        """tri_row: callable c -> scalar for the 9 packed triangle floats."""
+        v0x, v0y, v0z = tri_row(0), tri_row(1), tri_row(2)
+        e1x, e1y, e1z = tri_row(3), tri_row(4), tri_row(5)
+        e2x, e2y, e2z = tri_row(6), tri_row(7), tri_row(8)
+        d_x, d_y, d_z = self.d_x, self.d_y, self.d_z
         px = d_y * e2z - d_z * e2y
         py = d_z * e2x - d_x * e2z
         pz = d_x * e2y - d_y * e2x
         det = e1x * px + e1y * py + e1z * pz
         valid = jnp.abs(det) > 1e-12
         inv_det = 1.0 / jnp.where(valid, det, 1.0)
-        tx = o_x - v0x
-        ty = o_y - v0y
-        tz = o_z - v0z
+        tx = self.o_x - v0x
+        ty = self.o_y - v0y
+        tz = self.o_z - v0z
         u = (tx * px + ty * py + tz * pz) * inv_det
-        # qvec = tvec x e1
         qx = ty * e1z - tz * e1y
         qy = tz * e1x - tx * e1z
         qz = tx * e1y - ty * e1x
         v = (d_x * qx + d_y * qy + d_z * qz) * inv_det
         t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
         hit = (valid & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-               & (t > t_min) & (t < tfar))
+               & (t > self.t_min) & (t < tfar))
         return hit, t, u, v
+
+
+def _packet_kernel(aabb_ref, meta_ref, tri_ref, tri_id_ref,
+                   ox, oy, oz, dx, dy, dz, tmn, tmx,
+                   t_out, tri_out, u_out, v_out,
+                   stack, *, max_leaf: int, any_hit: bool):
+    rays = _Rays(ox, oy, oz, dx, dy, dz, tmn, tmx)
+    t_min = rays.t_min
+    t_max0 = rays.t_max0
+
+    stack[0] = jnp.int32(0)
+
+    def slab(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz, tfar):
+        return rays.slab(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz, tfar)
+
+    def mt_test(ti, tfar):
+        return rays.mt(lambda c: tri_ref[ti, c], tfar)
 
     if any_hit:
         # occlusion carried as f32 0/1 — Mosaic mishandles i1 loop carries
@@ -244,6 +253,148 @@ def _packet_kernel(aabb_ref, meta_ref, tri_ref, tri_id_ref,
         v_out[:] = v
 
 
+def _packet_kernel_hbm(aabb_ref, meta_ref, tri_ref, tri_id_ref,
+                       ox, oy, oz, dx, dy, dz, tmn, tmx,
+                       t_out, tri_out, u_out, v_out,
+                       stack, node_f, node_i, tri_buf, tri_id_buf, sems,
+                       *, max_leaf: int, any_hit: bool):
+    """HBM-table variant: node/tri tables stay in HBM (unbounded scene
+    size); each step DMAs one node row (aabb + meta overlapped) into VMEM
+    scratch, and leaves DMA their triangle block under a predicated region.
+    Slower per step than the SMEM/VMEM tiers, but capacity-unbounded."""
+    rays = _Rays(ox, oy, oz, dx, dy, dz, tmn, tmx)
+    t_min = rays.t_min
+    t_max0 = rays.t_max0
+    num_tris = tri_ref.shape[0]
+
+    stack[0] = jnp.int32(0)
+
+    def fetch_node(node):
+        cp_a = pltpu.make_async_copy(aabb_ref.at[pl.ds(node, 1)],
+                                     node_f, sems.at[0])
+        cp_m = pltpu.make_async_copy(meta_ref.at[pl.ds(node, 1)],
+                                     node_i, sems.at[1])
+        cp_a.start()
+        cp_m.start()
+        cp_a.wait()
+        cp_m.wait()
+
+    def tri_row_maker(k):
+        def row(c):
+            return tri_buf[k, c]
+        return row
+
+    def step_common(node, tfar_for_box):
+        fetch_node(node)
+        hit_box = rays.slab(node_f[0, 0], node_f[0, 1], node_f[0, 2],
+                            node_f[0, 3], node_f[0, 4], node_f[0, 5],
+                            tfar_for_box)
+        any_lane = jnp.any(hit_box)
+        entry = node_i[0, 0]
+        count = node_i[0, 3]
+        first = node_i[0, 2]
+        is_leaf = count > 0
+        do_leaf = is_leaf & any_lane
+
+        @pl.when(do_leaf)
+        def _():
+            first_c = jnp.clip(first, 0, num_tris - max_leaf)
+            cp_t = pltpu.make_async_copy(
+                tri_ref.at[pl.ds(first_c, max_leaf)], tri_buf, sems.at[2])
+            cp_i = pltpu.make_async_copy(
+                tri_id_ref.at[pl.ds(first_c, max_leaf)], tri_id_buf,
+                sems.at[3])
+            cp_t.start()
+            cp_i.start()
+            cp_t.wait()
+            cp_i.wait()
+
+        # offset of the real first triangle inside the clamped DMA window
+        first_c = jnp.clip(first, 0, num_tris - max_leaf)
+        k_off = first - first_c
+        return hit_box, any_lane, entry, count, is_leaf, do_leaf, k_off
+
+    if any_hit:
+        init = (jnp.int32(1), jnp.zeros_like(t_min))
+
+        def cond(c):
+            sp, occ = c
+            return (sp > 0) & jnp.logical_not(
+                jnp.all((occ > 0.0) | (t_max0 <= t_min)))
+
+        def body(c):
+            sp, occ = c
+            node = stack[sp - 1]
+            sp = sp - 1
+            tfar = jnp.where(occ > 0.0, t_min, t_max0)
+            (hit_box, any_lane, entry, count, is_leaf, do_leaf,
+             k_off) = step_common(node, tfar)
+
+            for k in range(max_leaf):
+                h, _, _, _ = rays.mt(tri_row_maker(k), tfar)
+                in_range = (k >= k_off) & (k < k_off + count)
+                upd = h & hit_box & in_range & do_leaf
+                occ = jnp.where(upd, 1.0, occ)
+
+            push = any_lane & jnp.logical_not(is_leaf)
+            # right sibling = skip[left]; needs one more fetch of the left
+            # child's meta row
+            left_c = jnp.maximum(entry, 0)
+            cp_m = pltpu.make_async_copy(meta_ref.at[pl.ds(left_c, 1)],
+                                         node_i, sems.at[1])
+            cp_m.start()
+            cp_m.wait()
+            right = node_i[0, 1]
+            stack[jnp.minimum(sp, STACK_DEPTH - 2)] = right
+            stack[jnp.minimum(sp + 1, STACK_DEPTH - 1)] = left_c
+            sp = jnp.where(push, jnp.minimum(sp + 2, STACK_DEPTH), sp)
+            return sp, occ
+
+        _, occluded = jax.lax.while_loop(cond, body, init)
+        t_out[:] = occluded
+    else:
+        init = (jnp.int32(1), t_max0,
+                jnp.full(t_min.shape, -1, jnp.int32),
+                jnp.zeros_like(t_min), jnp.zeros_like(t_min))
+
+        def cond(c):
+            return c[0] > 0
+
+        def body(c):
+            sp, t, tri, u, v = c
+            node = stack[sp - 1]
+            sp = sp - 1
+            (hit_box, any_lane, entry, count, is_leaf, do_leaf,
+             k_off) = step_common(node, t)
+
+            for k in range(max_leaf):
+                h, tk, uk, vk = rays.mt(tri_row_maker(k), t)
+                in_range = (k >= k_off) & (k < k_off + count)
+                upd = h & hit_box & in_range & do_leaf
+                t = jnp.where(upd, tk, t)
+                tri = jnp.where(upd, tri_id_buf[k, 0], tri)
+                u = jnp.where(upd, uk, u)
+                v = jnp.where(upd, vk, v)
+
+            push = any_lane & jnp.logical_not(is_leaf)
+            left_c = jnp.maximum(entry, 0)
+            cp_m = pltpu.make_async_copy(meta_ref.at[pl.ds(left_c, 1)],
+                                         node_i, sems.at[1])
+            cp_m.start()
+            cp_m.wait()
+            right = node_i[0, 1]
+            stack[jnp.minimum(sp, STACK_DEPTH - 2)] = right
+            stack[jnp.minimum(sp + 1, STACK_DEPTH - 1)] = left_c
+            sp = jnp.where(push, jnp.minimum(sp + 2, STACK_DEPTH), sp)
+            return sp, t, tri, u, v
+
+        _, t, tri, u, v = jax.lax.while_loop(cond, body, init)
+        t_out[:] = t
+        tri_out[:] = tri
+        u_out[:] = u
+        v_out[:] = v
+
+
 def _trace_packets(aabb, meta, tri, tri_id, rays, max_leaf: int,
                    any_hit: bool, interpret: bool = False,
                    tables: str = "smem"):
@@ -269,6 +420,35 @@ def _trace_packets(aabb, meta, tri, tri_id, rays, max_leaf: int,
         jax.ShapeDtypeStruct((n_sub, PACKET_LANES), jnp.float32),   # u
         jax.ShapeDtypeStruct((n_sub, PACKET_LANES), jnp.float32),   # v
     ]
+    if tables == "hbm":
+        kernel = partial(_packet_kernel_hbm, max_leaf=max_leaf,
+                         any_hit=any_hit)
+        table_spec = pl.BlockSpec(memory_space=pl.ANY)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[table_spec] * 4 + [ray_spec] * 8,
+            out_specs=[ray_spec] * 4,
+            scratch_shapes=[
+                pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+                pltpu.VMEM((1, 6), jnp.float32),        # node aabb row
+                pltpu.VMEM((1, 4), jnp.int32),          # node meta row
+                pltpu.VMEM((max_leaf, 9), jnp.float32),  # leaf tris
+                pltpu.VMEM((max_leaf, 1), jnp.int32),    # leaf tri ids
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shapes,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(aabb, meta, tri, tri_id,
+          rays["ox"], rays["oy"], rays["oz"],
+          rays["dx"], rays["dy"], rays["dz"],
+          rays["tmin"], rays["tmax"])
+
     kernel = partial(_packet_kernel, max_leaf=max_leaf, any_hit=any_hit)
     if tables == "smem":
         grid_spec = pltpu.PrefetchScalarGridSpec(
