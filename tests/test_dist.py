@@ -30,3 +30,14 @@ def test_sharded_matches_single_device():
     sharded = np.asarray(out)
 
     np.testing.assert_array_equal(single, sharded)
+
+
+def test_renderer_mesh_api():
+    """RendererConfig.mesh routes frames through the sharded path."""
+    r = make_renderer()
+    single = np.asarray(r.render()["image"])
+
+    r2 = make_renderer()
+    r2.config.mesh = make_mesh(8)
+    out = r2.render()
+    np.testing.assert_array_equal(single, np.asarray(out["image"]))

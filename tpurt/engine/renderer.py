@@ -40,9 +40,13 @@ class RendererConfig:
     lpm: LpmParams = field(default_factory=LpmParams)
     enable_gtao: bool = True
     enable_tonemap: bool = True
-    # "auto": Pallas packet tracer on TPU when the image is 32-aligned and
-    # the BVH fits the SMEM budget; "xla" / "pallas" force a path.
+    # "auto": Pallas packet tracer on TPU when the image is 32-aligned
+    # (table tier smem -> vmem -> hbm by scene size); "xla" forces the
+    # XLA tracer; "smem"/"vmem"/"hbm" force a tier.
     tracer: str = "auto"
+    # Multi-chip: a jax.sharding.Mesh to band-decompose frames over
+    # (dist/sharding.py); None = single chip.
+    mesh: Optional[object] = None
 
 
 class Renderer:
@@ -130,6 +134,19 @@ class Renderer:
                                 self.camera.zfar, self.camera.fovy,
                                 self.camera.aspect)
         lights = self._cached("lights", self.lights.shader_arrays())
+        if c.mesh is not None:
+            from ..dist.sharding import render_frame_sharded
+
+            image = render_frame_sharded(
+                self._scene_device, cam, lights, consts, self._lpm_derived,
+                np.int32(self._frame_idx % 64),
+                width=c.width, height=c.height, gtao_settings=c.gtao,
+                mesh=c.mesh)
+            self._frame_idx += 1
+            self.rendered_frames += 1
+            if block:
+                image.block_until_ready()
+            return dict(image=image)
         out = render_frame(
             self._scene_device, cam, lights,
             consts, self._lpm_derived,
