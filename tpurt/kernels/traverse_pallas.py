@@ -253,31 +253,52 @@ def _packet_kernel(aabb_ref, meta_ref, tri_ref, tri_id_ref,
         v_out[:] = v
 
 
-def _packet_kernel_hbm(aabb_ref, meta_ref, tri_ref, tri_id_ref,
+def pack_tables_hbm(bvh: dict, geom: dict):
+    """HBM-tier packing: one 128-lane f32 row per node / per triangle (DMA
+    slices must be 128-aligned on the lane dimension).
+
+    Node row: [aabb_min.xyz, aabb_max.xyz, entry, skip, first, count,
+    right_child] — indices stored as exact small floats (< 2^24), and the
+    right child (= skip[entry]) precomputed so a step needs ONE row DMA.
+    Tri row: [v0, e1, e2, tri_id]."""
+    aabb_min = jnp.asarray(bvh["aabb_min"], jnp.float32)
+    m = aabb_min.shape[0]
+    entry = jnp.asarray(bvh["entry"], jnp.int32)
+    skip = jnp.asarray(bvh["skip"], jnp.int32)
+    right = skip[jnp.clip(entry, 0, m - 1)]
+    nodes = jnp.zeros((m, 128), jnp.float32)
+    nodes = nodes.at[:, 0:3].set(aabb_min)
+    nodes = nodes.at[:, 3:6].set(jnp.asarray(bvh["aabb_max"], jnp.float32))
+    nodes = nodes.at[:, 6].set(entry.astype(jnp.float32))
+    nodes = nodes.at[:, 7].set(skip.astype(jnp.float32))
+    nodes = nodes.at[:, 8].set(jnp.asarray(bvh["first_tri"], jnp.float32))
+    nodes = nodes.at[:, 9].set(jnp.asarray(bvh["tri_count"], jnp.float32))
+    nodes = nodes.at[:, 10].set(right.astype(jnp.float32))
+
+    t = geom["v0"].shape[0]
+    tris = jnp.zeros((t, 128), jnp.float32)
+    tris = tris.at[:, 0:3].set(jnp.asarray(geom["v0"], jnp.float32))
+    tris = tris.at[:, 3:6].set(jnp.asarray(geom["e1"], jnp.float32))
+    tris = tris.at[:, 6:9].set(jnp.asarray(geom["e2"], jnp.float32))
+    tris = tris.at[:, 9].set(jnp.asarray(geom["tri_id"], jnp.float32))
+    return nodes, tris
+
+
+def _packet_kernel_hbm(nodes_ref, tris_ref,
                        ox, oy, oz, dx, dy, dz, tmn, tmx,
                        t_out, tri_out, u_out, v_out,
-                       stack, node_f, node_i, tri_buf, tri_id_buf, sems,
+                       stack, node_buf, tri_buf, sems,
                        *, max_leaf: int, any_hit: bool):
     """HBM-table variant: node/tri tables stay in HBM (unbounded scene
-    size); each step DMAs one node row (aabb + meta overlapped) into VMEM
-    scratch, and leaves DMA their triangle block under a predicated region.
-    Slower per step than the SMEM/VMEM tiers, but capacity-unbounded."""
+    size); each step DMAs one 512 B node row into VMEM scratch, and leaves
+    DMA their triangle block under a predicated region. Slower per step
+    than the SMEM/VMEM tiers, but capacity-unbounded."""
     rays = _Rays(ox, oy, oz, dx, dy, dz, tmn, tmx)
     t_min = rays.t_min
     t_max0 = rays.t_max0
-    num_tris = tri_ref.shape[0]
+    num_tris = tris_ref.shape[0]
 
     stack[0] = jnp.int32(0)
-
-    def fetch_node(node):
-        cp_a = pltpu.make_async_copy(aabb_ref.at[pl.ds(node, 1)],
-                                     node_f, sems.at[0])
-        cp_m = pltpu.make_async_copy(meta_ref.at[pl.ds(node, 1)],
-                                     node_i, sems.at[1])
-        cp_a.start()
-        cp_m.start()
-        cp_a.wait()
-        cp_m.wait()
 
     def tri_row_maker(k):
         def row(c):
@@ -285,34 +306,38 @@ def _packet_kernel_hbm(aabb_ref, meta_ref, tri_ref, tri_id_ref,
         return row
 
     def step_common(node, tfar_for_box):
-        fetch_node(node)
-        hit_box = rays.slab(node_f[0, 0], node_f[0, 1], node_f[0, 2],
-                            node_f[0, 3], node_f[0, 4], node_f[0, 5],
+        cp = pltpu.make_async_copy(nodes_ref.at[pl.ds(node, 1)],
+                                   node_buf, sems.at[0])
+        cp.start()
+        cp.wait()
+        hit_box = rays.slab(node_buf[0, 0], node_buf[0, 1], node_buf[0, 2],
+                            node_buf[0, 3], node_buf[0, 4], node_buf[0, 5],
                             tfar_for_box)
         any_lane = jnp.any(hit_box)
-        entry = node_i[0, 0]
-        count = node_i[0, 3]
-        first = node_i[0, 2]
+        entry = node_buf[0, 6].astype(jnp.int32)
+        first = node_buf[0, 8].astype(jnp.int32)
+        count = node_buf[0, 9].astype(jnp.int32)
+        right = node_buf[0, 10].astype(jnp.int32)
         is_leaf = count > 0
         do_leaf = is_leaf & any_lane
+        first_c = jnp.clip(first, 0, num_tris - max_leaf)
 
         @pl.when(do_leaf)
         def _():
-            first_c = jnp.clip(first, 0, num_tris - max_leaf)
             cp_t = pltpu.make_async_copy(
-                tri_ref.at[pl.ds(first_c, max_leaf)], tri_buf, sems.at[2])
-            cp_i = pltpu.make_async_copy(
-                tri_id_ref.at[pl.ds(first_c, max_leaf)], tri_id_buf,
-                sems.at[3])
+                tris_ref.at[pl.ds(first_c, max_leaf)], tri_buf, sems.at[1])
             cp_t.start()
-            cp_i.start()
             cp_t.wait()
-            cp_i.wait()
 
         # offset of the real first triangle inside the clamped DMA window
-        first_c = jnp.clip(first, 0, num_tris - max_leaf)
         k_off = first - first_c
-        return hit_box, any_lane, entry, count, is_leaf, do_leaf, k_off
+        return hit_box, any_lane, entry, right, count, is_leaf, do_leaf, k_off
+
+    def push_children(sp, push, entry, right):
+        left_c = jnp.maximum(entry, 0)
+        stack[jnp.minimum(sp, STACK_DEPTH - 2)] = right
+        stack[jnp.minimum(sp + 1, STACK_DEPTH - 1)] = left_c
+        return jnp.where(push, jnp.minimum(sp + 2, STACK_DEPTH), sp)
 
     if any_hit:
         init = (jnp.int32(1), jnp.zeros_like(t_min))
@@ -327,7 +352,7 @@ def _packet_kernel_hbm(aabb_ref, meta_ref, tri_ref, tri_id_ref,
             node = stack[sp - 1]
             sp = sp - 1
             tfar = jnp.where(occ > 0.0, t_min, t_max0)
-            (hit_box, any_lane, entry, count, is_leaf, do_leaf,
+            (hit_box, any_lane, entry, right, count, is_leaf, do_leaf,
              k_off) = step_common(node, tfar)
 
             for k in range(max_leaf):
@@ -337,17 +362,7 @@ def _packet_kernel_hbm(aabb_ref, meta_ref, tri_ref, tri_id_ref,
                 occ = jnp.where(upd, 1.0, occ)
 
             push = any_lane & jnp.logical_not(is_leaf)
-            # right sibling = skip[left]; needs one more fetch of the left
-            # child's meta row
-            left_c = jnp.maximum(entry, 0)
-            cp_m = pltpu.make_async_copy(meta_ref.at[pl.ds(left_c, 1)],
-                                         node_i, sems.at[1])
-            cp_m.start()
-            cp_m.wait()
-            right = node_i[0, 1]
-            stack[jnp.minimum(sp, STACK_DEPTH - 2)] = right
-            stack[jnp.minimum(sp + 1, STACK_DEPTH - 1)] = left_c
-            sp = jnp.where(push, jnp.minimum(sp + 2, STACK_DEPTH), sp)
+            sp = push_children(sp, push, entry, right)
             return sp, occ
 
         _, occluded = jax.lax.while_loop(cond, body, init)
@@ -364,7 +379,7 @@ def _packet_kernel_hbm(aabb_ref, meta_ref, tri_ref, tri_id_ref,
             sp, t, tri, u, v = c
             node = stack[sp - 1]
             sp = sp - 1
-            (hit_box, any_lane, entry, count, is_leaf, do_leaf,
+            (hit_box, any_lane, entry, right, count, is_leaf, do_leaf,
              k_off) = step_common(node, t)
 
             for k in range(max_leaf):
@@ -372,20 +387,12 @@ def _packet_kernel_hbm(aabb_ref, meta_ref, tri_ref, tri_id_ref,
                 in_range = (k >= k_off) & (k < k_off + count)
                 upd = h & hit_box & in_range & do_leaf
                 t = jnp.where(upd, tk, t)
-                tri = jnp.where(upd, tri_id_buf[k, 0], tri)
+                tri = jnp.where(upd, tri_buf[k, 9].astype(jnp.int32), tri)
                 u = jnp.where(upd, uk, u)
                 v = jnp.where(upd, vk, v)
 
             push = any_lane & jnp.logical_not(is_leaf)
-            left_c = jnp.maximum(entry, 0)
-            cp_m = pltpu.make_async_copy(meta_ref.at[pl.ds(left_c, 1)],
-                                         node_i, sems.at[1])
-            cp_m.start()
-            cp_m.wait()
-            right = node_i[0, 1]
-            stack[jnp.minimum(sp, STACK_DEPTH - 2)] = right
-            stack[jnp.minimum(sp + 1, STACK_DEPTH - 1)] = left_c
-            sp = jnp.where(push, jnp.minimum(sp + 2, STACK_DEPTH), sp)
+            sp = push_children(sp, push, entry, right)
             return sp, t, tri, u, v
 
         _, t, tri, u, v = jax.lax.while_loop(cond, body, init)
@@ -423,28 +430,27 @@ def _trace_packets(aabb, meta, tri, tri_id, rays, max_leaf: int,
     if tables == "hbm":
         kernel = partial(_packet_kernel_hbm, max_leaf=max_leaf,
                          any_hit=any_hit)
-        table_spec = pl.BlockSpec(memory_space=pl.ANY)
+        table_spec = pl.BlockSpec(memory_space=pltpu.HBM)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
-            in_specs=[table_spec] * 4 + [ray_spec] * 8,
+            in_specs=[table_spec] * 2 + [ray_spec] * 8,
             out_specs=[ray_spec] * 4,
             scratch_shapes=[
                 pltpu.SMEM((STACK_DEPTH,), jnp.int32),
-                pltpu.VMEM((1, 6), jnp.float32),        # node aabb row
-                pltpu.VMEM((1, 4), jnp.int32),          # node meta row
-                pltpu.VMEM((max_leaf, 9), jnp.float32),  # leaf tris
-                pltpu.VMEM((max_leaf, 1), jnp.int32),    # leaf tri ids
-                pltpu.SemaphoreType.DMA((4,)),
+                pltpu.VMEM((1, 128), jnp.float32),         # node row
+                pltpu.VMEM((max_leaf, 128), jnp.float32),  # leaf tri rows
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         )
+        nodes128, tris128 = aabb, meta  # packed by the hbm caller
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=out_shapes,
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        )(aabb, meta, tri, tri_id,
+        )(nodes128, tris128,
           rays["ox"], rays["oy"], rays["oz"],
           rays["dx"], rays["dy"], rays["dz"],
           rays["tmin"], rays["tmax"])
@@ -526,7 +532,11 @@ def trace_closest_packets(bvh: dict, geom: dict, origin, direction,
     Same contract as kernels.traverse.trace_closest (t=t_max & tri=-1 on miss)."""
     assert height % TILE == 0 and width % TILE == 0, \
         f"packet tracer needs {TILE}-aligned image, got {height}x{width}"
-    aabb, meta, tri, tri_id = pack_tables(bvh, geom)
+    if tables == "hbm":
+        nodes128, tris128 = pack_tables_hbm(bvh, geom)
+        aabb, meta, tri, tri_id = nodes128, tris128, None, None
+    else:
+        aabb, meta, tri, tri_id = pack_tables(bvh, geom)
     rays = _rays_to_packets(origin, direction, t_min, t_max, height, width)
     t, tri_o, u, v = _trace_packets(aabb, meta, tri, tri_id, rays,
                                     max_leaf, any_hit=False,
@@ -543,7 +553,11 @@ def trace_any_packets(bvh: dict, geom: dict, origin, direction,
                       tables: str = "smem"):
     """Any-hit packet trace; returns boolean occlusion mask (H*W,)."""
     assert height % TILE == 0 and width % TILE == 0
-    aabb, meta, tri, tri_id = pack_tables(bvh, geom)
+    if tables == "hbm":
+        nodes128, tris128 = pack_tables_hbm(bvh, geom)
+        aabb, meta, tri, tri_id = nodes128, tris128, None, None
+    else:
+        aabb, meta, tri, tri_id = pack_tables(bvh, geom)
     rays = _rays_to_packets(origin, direction, t_min, t_max, height, width)
     occ, _, _, _ = _trace_packets(aabb, meta, tri, tri_id, rays,
                                   max_leaf, any_hit=True, interpret=interpret,
