@@ -202,12 +202,26 @@ def _packet_kernel(aabb_ref, meta_ref, tri_ref, tri_id_ref,
         _, occluded = jax.lax.while_loop(cond, body, init)
         t_out[:] = occluded
     else:
+        # packet mean direction — drives near-child-first ordering so the
+        # shrinking t bound can cull the far subtree (ordered traversal)
+        md_x = jnp.sum(rays.d_x)
+        md_y = jnp.sum(rays.d_y)
+        md_z = jnp.sum(rays.d_z)
+
         init = (jnp.int32(1), t_max0,
                 jnp.full(t_min.shape, -1, jnp.int32),
                 jnp.zeros_like(t_min), jnp.zeros_like(t_min))
 
         def cond(c):
             return c[0] > 0
+
+        def child_key(n):
+            """Projection of the child's AABB centroid onto the packet's
+            mean direction (smaller = nearer)."""
+            cx = aabb_ref[n, 0] + aabb_ref[n, 3]
+            cy = aabb_ref[n, 1] + aabb_ref[n, 4]
+            cz = aabb_ref[n, 2] + aabb_ref[n, 5]
+            return cx * md_x + cy * md_y + cz * md_z
 
         def body(c):
             sp, t, tri, u, v = c
@@ -241,8 +255,12 @@ def _packet_kernel(aabb_ref, meta_ref, tri_ref, tri_id_ref,
             left = meta_ref[node, 0]
             left_c = jnp.maximum(left, 0)
             right = meta_ref[left_c, 1]
-            stack[jnp.minimum(sp, STACK_DEPTH - 2)] = right
-            stack[jnp.minimum(sp + 1, STACK_DEPTH - 1)] = left_c
+            # ordered: push far child first so the near one is popped first
+            left_near = child_key(left_c) <= child_key(right)
+            far = jnp.where(left_near, right, left_c)
+            near = jnp.where(left_near, left_c, right)
+            stack[jnp.minimum(sp, STACK_DEPTH - 2)] = far
+            stack[jnp.minimum(sp + 1, STACK_DEPTH - 1)] = near
             sp = jnp.where(push, jnp.minimum(sp + 2, STACK_DEPTH), sp)
             return sp, t, tri, u, v
 
