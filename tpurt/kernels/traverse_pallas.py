@@ -315,6 +315,7 @@ def _packet_kernel_hbm(nodes_ref, tris_ref,
     t_min = rays.t_min
     t_max0 = rays.t_max0
     num_tris = tris_ref.shape[0]
+    num_nodes = nodes_ref.shape[0]
 
     stack[0] = jnp.int32(0)
 
@@ -323,11 +324,23 @@ def _packet_kernel_hbm(nodes_ref, tris_ref,
             return tri_buf[k, c]
         return row
 
-    def step_common(node, tfar_for_box):
-        cp = pltpu.make_async_copy(nodes_ref.at[pl.ds(node, 1)],
-                                   node_buf, sems.at[0])
-        cp.start()
-        cp.wait()
+    # Speculative pipeline: the row for the node about to be popped is
+    # always already in flight — each step waits for it, then immediately
+    # launches the fetch for the *next* stack top, overlapping that DMA
+    # with this step's vector math.
+    def start_fetch(node):
+        pltpu.make_async_copy(
+            nodes_ref.at[pl.ds(jnp.clip(node, 0, num_nodes - 1), 1)],
+            node_buf, sems.at[0]).start()
+
+    def wait_fetch():
+        pltpu.make_async_copy(nodes_ref.at[pl.ds(0, 1)], node_buf,
+                              sems.at[0]).wait()
+
+    start_fetch(jnp.int32(0))
+
+    def step_common(tfar_for_box):
+        wait_fetch()
         hit_box = rays.slab(node_buf[0, 0], node_buf[0, 1], node_buf[0, 2],
                             node_buf[0, 3], node_buf[0, 4], node_buf[0, 5],
                             tfar_for_box)
@@ -351,11 +364,13 @@ def _packet_kernel_hbm(nodes_ref, tris_ref,
         k_off = first - first_c
         return hit_box, any_lane, entry, right, count, is_leaf, do_leaf, k_off
 
-    def push_children(sp, push, entry, right):
+    def push_children_and_prefetch(sp, push, entry, right):
         left_c = jnp.maximum(entry, 0)
         stack[jnp.minimum(sp, STACK_DEPTH - 2)] = right
         stack[jnp.minimum(sp + 1, STACK_DEPTH - 1)] = left_c
-        return jnp.where(push, jnp.minimum(sp + 2, STACK_DEPTH), sp)
+        sp = jnp.where(push, jnp.minimum(sp + 2, STACK_DEPTH), sp)
+        start_fetch(stack[jnp.maximum(sp - 1, 0)])
+        return sp
 
     if any_hit:
         init = (jnp.int32(1), jnp.zeros_like(t_min))
@@ -367,23 +382,23 @@ def _packet_kernel_hbm(nodes_ref, tris_ref,
 
         def body(c):
             sp, occ = c
-            node = stack[sp - 1]
             sp = sp - 1
             tfar = jnp.where(occ > 0.0, t_min, t_max0)
             (hit_box, any_lane, entry, right, count, is_leaf, do_leaf,
-             k_off) = step_common(node, tfar)
+             k_off) = step_common(tfar)
+
+            push = any_lane & jnp.logical_not(is_leaf)
+            sp = push_children_and_prefetch(sp, push, entry, right)
 
             for k in range(max_leaf):
                 h, _, _, _ = rays.mt(tri_row_maker(k), tfar)
                 in_range = (k >= k_off) & (k < k_off + count)
                 upd = h & hit_box & in_range & do_leaf
                 occ = jnp.where(upd, 1.0, occ)
-
-            push = any_lane & jnp.logical_not(is_leaf)
-            sp = push_children(sp, push, entry, right)
             return sp, occ
 
         _, occluded = jax.lax.while_loop(cond, body, init)
+        wait_fetch()  # drain the orphan speculative fetch
         t_out[:] = occluded
     else:
         init = (jnp.int32(1), t_max0,
@@ -395,10 +410,12 @@ def _packet_kernel_hbm(nodes_ref, tris_ref,
 
         def body(c):
             sp, t, tri, u, v = c
-            node = stack[sp - 1]
             sp = sp - 1
             (hit_box, any_lane, entry, right, count, is_leaf, do_leaf,
-             k_off) = step_common(node, t)
+             k_off) = step_common(t)
+
+            push = any_lane & jnp.logical_not(is_leaf)
+            sp = push_children_and_prefetch(sp, push, entry, right)
 
             for k in range(max_leaf):
                 h, tk, uk, vk = rays.mt(tri_row_maker(k), t)
@@ -408,12 +425,10 @@ def _packet_kernel_hbm(nodes_ref, tris_ref,
                 tri = jnp.where(upd, tri_buf[k, 9].astype(jnp.int32), tri)
                 u = jnp.where(upd, uk, u)
                 v = jnp.where(upd, vk, v)
-
-            push = any_lane & jnp.logical_not(is_leaf)
-            sp = push_children(sp, push, entry, right)
             return sp, t, tri, u, v
 
         _, t, tri, u, v = jax.lax.while_loop(cond, body, init)
+        wait_fetch()  # drain the orphan speculative fetch
         t_out[:] = t
         tri_out[:] = tri
         u_out[:] = u
