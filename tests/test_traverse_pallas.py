@@ -65,6 +65,21 @@ def test_packet_any_matches_xla(setup, tables):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_packet_unaligned_resolution(setup):
+    """Non-32-aligned images are edge-padded internally (1080p support)."""
+    tree, geom, _, _ = setup
+    from tpurt.scene.camera import Camera
+
+    cam = Camera(aspect=60 / 44)
+    cam.set_pos([0.0, 0.0, -10.0])
+    cam.set_dir([0.0, 0.0, 1.0])
+    o, d = camera_rays(cam.uniform(), 60, 44)
+    ref = trace_closest(tree, geom, o, d, 1e-3, 1e4, max_leaf=4)
+    got = trace_closest_packets(tree, geom, o, d, 1e-3, 1e4,
+                                height=44, width=60, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got["tri"]), np.asarray(ref["tri"]))
+
+
 def test_packet_inactive_lanes(setup):
     """Lanes with t_max = 0 (masked shadow rays) must report unoccluded."""
     tree, geom, o, d = setup

@@ -183,19 +183,15 @@ class Renderer:
             return ""
         import jax
 
-        from ..kernels.traverse_pallas import TILE, table_mode
+        from ..kernels.traverse_pallas import table_mode
 
-        aligned = c.width % TILE == 0 and c.height % TILE == 0
-        if c.tracer in ("smem", "vmem"):
+        if c.tracer in ("smem", "vmem", "hbm"):
             return c.tracer
-        if c.tracer == "pallas":
-            mode = table_mode(self._scene.bvh["aabb_min"].shape[0],
-                              self._scene.geom["v0"].shape[0])
-            return mode or "smem"
-        if (jax.default_backend() in ("tpu", "axon") and aligned
-                and self._scene is not None):
+        if (c.tracer == "pallas"
+                or (jax.default_backend() in ("tpu", "axon")
+                    and self._scene is not None)):
             return table_mode(self._scene.bvh["aabb_min"].shape[0],
-                              self._scene.geom["v0"].shape[0]) or ""
+                              self._scene.geom["v0"].shape[0])
         return ""
 
     def render_image(self) -> np.ndarray:

@@ -530,17 +530,28 @@ def _trace_packets(aabb, meta, tri, tri_id, rays, max_leaf: int,
 
 # ----------------------------------------------------------- tile swizzle ---
 
+def _pad_to_tile(n: int) -> int:
+    return ((n + TILE - 1) // TILE) * TILE
+
+
 def _to_packets(flat, height, width):
     """(H*W,) row-major -> (P*8, 128) where each 8x128 block is one coherent
-    32x32 image tile."""
-    x = flat.reshape(height // TILE, TILE, width // TILE, TILE)
+    32x32 image tile. Non-TILE-aligned images are edge-padded (the padded
+    rays duplicate edge pixels and are cropped on the way out)."""
+    hp, wp = _pad_to_tile(height), _pad_to_tile(width)
+    x = flat.reshape(height, width)
+    if (hp, wp) != (height, width):
+        x = jnp.pad(x, ((0, hp - height), (0, wp - width)), mode="edge")
+    x = x.reshape(hp // TILE, TILE, wp // TILE, TILE)
     x = x.transpose(0, 2, 1, 3).reshape(-1, PACKET_SUBLANES, PACKET_LANES)
     return x.reshape(-1, PACKET_LANES)
 
 
 def _from_packets(packed, height, width):
-    x = packed.reshape(height // TILE, width // TILE, TILE, TILE)
-    return x.transpose(0, 2, 1, 3).reshape(height * width)
+    hp, wp = _pad_to_tile(height), _pad_to_tile(width)
+    x = packed.reshape(hp // TILE, wp // TILE, TILE, TILE)
+    x = x.transpose(0, 2, 1, 3).reshape(hp, wp)
+    return x[:height, :width].reshape(height * width)
 
 
 def _rays_to_packets(origin, direction, t_min, t_max, height, width):
@@ -563,8 +574,6 @@ def trace_closest_packets(bvh: dict, geom: dict, origin, direction,
                           tables: str = "smem"):
     """Closest-hit packet trace over an image-shaped ray batch.
     Same contract as kernels.traverse.trace_closest (t=t_max & tri=-1 on miss)."""
-    assert height % TILE == 0 and width % TILE == 0, \
-        f"packet tracer needs {TILE}-aligned image, got {height}x{width}"
     if tables == "hbm":
         nodes128, tris128 = pack_tables_hbm(bvh, geom)
         aabb, meta, tri, tri_id = nodes128, tris128, None, None
@@ -585,7 +594,6 @@ def trace_any_packets(bvh: dict, geom: dict, origin, direction,
                       max_leaf: int = 4, interpret: bool = False,
                       tables: str = "smem"):
     """Any-hit packet trace; returns boolean occlusion mask (H*W,)."""
-    assert height % TILE == 0 and width % TILE == 0
     if tables == "hbm":
         nodes128, tris128 = pack_tables_hbm(bvh, geom)
         aabb, meta, tri, tri_id = nodes128, tris128, None, None
