@@ -55,11 +55,14 @@ def fits_vmem(num_nodes: int, num_tris: int) -> bool:
 
 
 def table_mode(num_nodes: int, num_tris: int):
-    """Pick the table tier for a scene size: smem -> vmem -> hbm."""
+    """Pick the table tier for a scene size: smem, else hbm.
+
+    The VMEM tier remains forceable but is not auto-selected: with the
+    speculative prefetch the HBM tier matches its speed, has no capacity
+    cliff, and avoids scoped-VMEM OOMs at high resolutions (the padded
+    tables count against the 16 MB scoped limit at some operand sizes)."""
     if fits_smem(num_nodes, num_tris):
         return "smem"
-    if fits_vmem(num_nodes, num_tris):
-        return "vmem"
     return "hbm"
 
 
