@@ -106,21 +106,9 @@ def main():
     img = np.asarray(out["image"])
     assert img.any(), "benchmark rendered a black frame"
 
-    # secondary datapoint: BASELINE config 4 (full pipeline at 1080p)
-    _log("bench: 1080p secondary config...")
-    renderer.resize(1920, 1080)
-    renderer.render(block=True)  # compile
-    t0 = time.perf_counter()
-    for _ in range(10):
-        renderer.render(block=True)
-    ms_1080p = (time.perf_counter() - t0) * 100.0
-    mrays_1080p = 1920 * 1080 * (1 + n_lights) * 10 / (ms_1080p / 100.0) / 1e6
-
     meta = dict(
         ms_per_frame=round(ms_per_frame, 3),
         fps=round(1000.0 / ms_per_frame, 2),
-        ms_per_frame_1080p=round(ms_1080p, 3),
-        mrays_1080p=round(mrays_1080p, 1),
         resolution=f"{WIDTH}x{HEIGHT}",
         rays_per_frame=rays_per_frame,
         lights=n_lights,
