@@ -69,6 +69,18 @@ def get_lib():
             f32p, f32p, ctypes.c_int32, ctypes.c_int32,
             f32p, f32p, i32p, i32p, i32p, i32p, i32p]
         lib.tpurt_build_sah.restype = ctypes.c_int32
+
+        lib.tpurt_buddy_create.argtypes = [ctypes.c_int64, ctypes.c_int64]
+        lib.tpurt_buddy_create.restype = ctypes.c_void_p
+        lib.tpurt_buddy_alloc.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                          ctypes.c_int64]
+        lib.tpurt_buddy_alloc.restype = ctypes.c_int64
+        lib.tpurt_buddy_free.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.tpurt_buddy_free.restype = ctypes.c_int
+        lib.tpurt_buddy_free_bytes.argtypes = [ctypes.c_void_p]
+        lib.tpurt_buddy_free_bytes.restype = ctypes.c_int64
+        lib.tpurt_buddy_destroy.argtypes = [ctypes.c_void_p]
+        lib.tpurt_buddy_destroy.restype = None
         _LIB = lib
         return _LIB
 

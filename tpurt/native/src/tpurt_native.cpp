@@ -274,3 +274,114 @@ int32_t tpurt_build_sah(const float* amin, const float* amax, int32_t n,
 }
 
 }  // extern "C"
+
+// ------------------------------------------------------------ buddy arena --
+//
+// Power-of-two buddy sub-allocator over a linear arena — the host-side
+// counterpart of the reference's VkBuffersSubAllocator (free-lists keyed by
+// block size, recursive split on allocate and buddy-merge on free). On TPU
+// the arena indexes into preallocated pooled device arrays (XLA owns real
+// memory); this manages slot lifetimes for streaming/staging pools.
+
+namespace {
+
+struct BuddyArena {
+    int64_t total = 0;
+    int64_t min_block = 0;
+    int num_orders = 0;
+    std::vector<std::vector<int64_t>> free_lists;  // per order: free offsets
+    // allocated offset -> order
+    std::vector<std::pair<int64_t, int>> live;
+
+    int order_of(int64_t size) const {
+        int64_t b = min_block;
+        int o = 0;
+        while (b < size) { b <<= 1; o++; }
+        return o;
+    }
+    int64_t order_size(int o) const { return min_block << o; }
+
+    bool take(int o, int64_t off) {
+        auto& fl = free_lists[o];
+        for (size_t i = 0; i < fl.size(); i++) {
+            if (fl[i] == off) { fl[i] = fl.back(); fl.pop_back(); return true; }
+        }
+        return false;
+    }
+};
+
+}  // namespace
+
+extern "C" void* tpurt_buddy_create(int64_t total_size, int64_t min_block) {
+    if (min_block <= 0 || total_size < min_block) return nullptr;
+    // round min_block up to a power of two; total down to a multiple shape
+    int64_t mb = 1;
+    while (mb < min_block) mb <<= 1;
+    int64_t tot = mb;
+    while (tot * 2 <= total_size) tot <<= 1;
+    auto* a = new BuddyArena();
+    a->min_block = mb;
+    a->total = tot;
+    a->num_orders = a->order_of(tot) + 1;
+    a->free_lists.assign(a->num_orders, {});
+    a->free_lists[a->num_orders - 1].push_back(0);
+    return a;
+}
+
+extern "C" int64_t tpurt_buddy_alloc(void* h, int64_t size, int64_t alignment) {
+    auto* a = static_cast<BuddyArena*>(h);
+    if (!a || size <= 0) return -1;
+    if (alignment < 1) alignment = 1;
+    if (alignment > size) size = alignment;  // pow2 blocks are size-aligned
+    int want = a->order_of(size);
+    if (want >= a->num_orders) return -1;
+    int o = want;
+    while (o < a->num_orders && a->free_lists[o].empty()) o++;
+    if (o == a->num_orders) return -1;
+    int64_t off = a->free_lists[o].back();
+    a->free_lists[o].pop_back();
+    // split down to the wanted order, releasing upper halves
+    while (o > want) {
+        o--;
+        a->free_lists[o].push_back(off + a->order_size(o));
+    }
+    a->live.emplace_back(off, want);
+    return off;
+}
+
+extern "C" int tpurt_buddy_free(void* h, int64_t offset) {
+    auto* a = static_cast<BuddyArena*>(h);
+    if (!a) return -1;
+    int order = -1;
+    for (size_t i = 0; i < a->live.size(); i++) {
+        if (a->live[i].first == offset) {
+            order = a->live[i].second;
+            a->live[i] = a->live.back();
+            a->live.pop_back();
+            break;
+        }
+    }
+    if (order < 0) return -1;
+    // merge with the buddy while possible
+    int64_t off = offset;
+    int o = order;
+    while (o + 1 < a->num_orders) {
+        int64_t buddy = off ^ a->order_size(o);
+        if (!a->take(o, buddy)) break;
+        off = std::min(off, buddy);
+        o++;
+    }
+    a->free_lists[o].push_back(off);
+    return 0;
+}
+
+extern "C" int64_t tpurt_buddy_free_bytes(void* h) {
+    auto* a = static_cast<BuddyArena*>(h);
+    if (!a) return 0;
+    int64_t s = 0;
+    for (int o = 0; o < a->num_orders; o++)
+        s += (int64_t)a->free_lists[o].size() * a->order_size(o);
+    return s;
+}
+
+extern "C" void tpurt_buddy_destroy(void* h) { delete static_cast<BuddyArena*>(h); }
