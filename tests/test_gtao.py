@@ -85,3 +85,39 @@ def test_denoise_levels_pass_counts():
     assert GtaoSettings(denoise=3).num_denoise_passes == 3
     assert GtaoSettings(denoise=0).denoise_blur_beta == 1e4
     assert GtaoSettings(denoise=1).denoise_blur_beta == 1.2
+
+
+def test_bent_normals_flat_plane_faces_camera():
+    """On a camera-facing flat wall the bent normal must be ~the view
+    direction (view-space -z)."""
+    import jax.numpy as jnp
+    from tpurt.passes.gtao import ao_bent_normals, ao_visibility_u8
+
+    depth = jnp.full((H, W), 5.0)
+    normal_enc = jnp.broadcast_to(jnp.array([0.5, 0.5, 0.0]), (H, W, 3))
+    settings = GtaoSettings(slice_count=3, steps_per_slice=2, denoise=1,
+                            bent_normals=True)
+    ao = compute_ao(depth, normal_enc, consts(), settings, noise_index=0)
+    vis = np.asarray(ao_visibility_u8(ao, settings))
+    bn = np.asarray(ao_bent_normals(ao, settings))
+    inner = vis[8:-8, 8:-8]
+    assert inner.min() >= 220, f"flat plane over-occluded: {inner.min()}"
+    bz = bn[8:-8, 8:-8, 2]
+    assert bz.max() < -0.9, f"bent normal should face the camera, got z {bz.max()}"
+
+
+def test_visibility_bent_encode_roundtrip():
+    import jax.numpy as jnp
+    from tpurt.passes.gtao import (
+        decode_visibility_bent_normal,
+        encode_visibility_bent_normal,
+    )
+
+    rng = np.random.default_rng(0)
+    bn = rng.normal(size=(64, 3)).astype(np.float32)
+    bn /= np.linalg.norm(bn, axis=1, keepdims=True)
+    vis = rng.uniform(0, 1, 64).astype(np.float32)
+    packed = encode_visibility_bent_normal(jnp.asarray(vis), jnp.asarray(bn))
+    v2, b2 = decode_visibility_bent_normal(packed)
+    np.testing.assert_allclose(np.asarray(v2), vis, atol=1 / 255 + 1e-6)
+    np.testing.assert_allclose(np.asarray(b2), bn, atol=2 / 255 + 1e-6)

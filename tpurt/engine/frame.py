@@ -57,8 +57,14 @@ def render_frame(scene: dict, camera: dict, lights: dict, gtao_consts: dict,
     depth = quantize_r16f(g["depth"]).reshape(height, width)
     normal = quantize_r11g11b10f(g["normal_enc"]).reshape(height, width, 3)
 
+    bent = None
     if enable_gtao:
-        ao = compute_ao(depth, normal, gtao_consts, gtao_settings, noise_index)
+        from ..passes.gtao import ao_bent_normals, ao_visibility_u8
+
+        ao_term = compute_ao(depth, normal, gtao_consts, gtao_settings,
+                             noise_index)
+        ao = ao_visibility_u8(ao_term, gtao_settings)
+        bent = ao_bent_normals(ao_term, gtao_settings)
     else:
         ao = jnp.full((height, width), 255, jnp.uint8)
 
@@ -68,7 +74,10 @@ def render_frame(scene: dict, camera: dict, lights: dict, gtao_consts: dict,
     else:
         image = pack_unorm8(jnp.clip(color, 0.0, 1.0))
 
-    return dict(image=image, color=color, depth=depth, normal=normal, ao=ao)
+    out = dict(image=image, color=color, depth=depth, normal=normal, ao=ao)
+    if bent is not None:
+        out["bent_normals"] = bent
+    return out
 
 
 @partial(jax.jit, static_argnames=("width", "height"))

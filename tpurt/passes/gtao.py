@@ -60,11 +60,14 @@ PI_HALF = 1.5707963267948966192313216916398
 @dataclass(frozen=True)
 class GtaoSettings:
     """Static (jit-specializing) settings — the reference's GtaoSettings
-    (vk_xe_gtao.rs:93-111). denoise: 0 disabled, 1 sharp, 2 medium, 3 soft."""
+    (vk_xe_gtao.rs:93-111). denoise: 0 disabled, 1 sharp, 2 medium, 3 soft.
+    bent_normals enables the directional component (XeGTAO v1.30's
+    XE_GTAO_COMPUTE_BENT_NORMALS path, compiled out in the reference app)."""
 
     slice_count: int = 9
     steps_per_slice: int = 3
     denoise: int = 1
+    bent_normals: bool = False
 
     @property
     def denoise_blur_beta(self) -> float:
@@ -240,6 +243,59 @@ def _fast_acos(x):
     return jnp.where(x >= 0, res, PI - res)
 
 
+def _rot_from_minus_z(to):
+    """XeGTAO_RotFromToMatrix specialized to from = (0,0,-1)
+    (XeGTAO.hlsli:212-244), vectorized over (..., 3) targets. Returns the
+    rotated image of a vector function: rot(v) applies the matrix."""
+    e = -to[..., 2]
+    f = jnp.abs(e)
+    # v = cross((0,0,-1), to) = (to_y, -to_x, 0)
+    vx = to[..., 1]
+    vy = -to[..., 0]
+    h = 1.0 / jnp.maximum(1.0 + e, 1e-6)
+    m00 = e + h * vx * vx
+    m01 = h * vx * vy        # hvxy - v.z with v.z = 0
+    m02 = vy                 # hvxz + v.y with v.z = 0
+    m10 = h * vx * vy
+    m11 = e + h * vy * vy
+    m12 = -vx
+    m20 = -vy
+    m21 = vx
+    m22 = e                  # e + h*v.z*v.z with v.z = 0
+    near_identity = f > (1.0 - 0.0003)
+
+    def rot(v):
+        rx = m00 * v[..., 0] + m01 * v[..., 1] + m02 * v[..., 2]
+        ry = m10 * v[..., 0] + m11 * v[..., 1] + m12 * v[..., 2]
+        rz = m20 * v[..., 0] + m21 * v[..., 1] + m22 * v[..., 2]
+        out = jnp.stack([rx, ry, rz], axis=-1)
+        return jnp.where(near_identity[..., None], v, out)
+
+    return rot
+
+
+def encode_visibility_bent_normal(visibility, bent_normal):
+    """XeGTAO_EncodeVisibilityBentNormal (:187-190): RGBA8 pack of
+    (bn*0.5+0.5, visibility) into uint32."""
+    def u8(x):
+        return jnp.clip(x * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint32)
+
+    b = bent_normal * 0.5 + 0.5
+    return (u8(b[..., 0]) | (u8(b[..., 1]) << 8) | (u8(b[..., 2]) << 16)
+            | (u8(jnp.clip(visibility, 0.0, 1.0)) << 24))
+
+
+def decode_visibility_bent_normal(packed):
+    """XeGTAO_DecodeVisibilityBentNormal (:192-197)."""
+    def f(x):
+        return x.astype(jnp.float32) / 255.0
+
+    bn = jnp.stack([f(packed & 0xFF), f((packed >> 8) & 0xFF),
+                    f((packed >> 16) & 0xFF)], axis=-1) * 2.0 - 1.0
+    visibility = f(packed >> 24)
+    return visibility, bn
+
+
 def _shift_clamp(img, dy, dx):
     """img shifted so out[y,x] = img[y+dy, x+dx], clamped at borders."""
     h, w = img.shape[:2]
@@ -314,6 +370,8 @@ def main_pass(depth_mips, normal_enc, consts, settings: GtaoSettings,
     falloff_add = falloff_from / falloff_range + 1.0
 
     visibility = jnp.zeros((num_rows, w), jnp.float32)
+    bent = jnp.zeros((num_rows, w, 3), jnp.float32)
+    rot_to_view = _rot_from_minus_z(view_vec) if settings.bent_normals else None
 
     noise_slice, noise_sample = spatio_temporal_noise(
         num_rows, w, noise_index, rows=rows)
@@ -416,6 +474,20 @@ def main_pass(depth_mips, normal_enc, consts, settings: GtaoSettings,
         iarc1 = (cos_norm + 2.0 * h1 * sin_n - jnp.cos(2.0 * h1 - n_angle)) / 4.0
         visibility += projected_normal_len * (iarc0 + iarc1)
 
+        if settings.bent_normals:
+            # "Algorithm 2" directional component (XeGTAO.hlsli:548-554)
+            t0v = (6.0 * jnp.sin(h0 - n_angle) - jnp.sin(3.0 * h0 - n_angle)
+                   + 6.0 * jnp.sin(h1 - n_angle) - jnp.sin(3.0 * h1 - n_angle)
+                   + 16.0 * sin_n
+                   - 3.0 * (jnp.sin(h0 + n_angle) + jnp.sin(h1 + n_angle))) / 12.0
+            t1v = (-jnp.cos(3.0 * h0 - n_angle) - jnp.cos(3.0 * h1 - n_angle)
+                   + 8.0 * jnp.cos(n_angle)
+                   - 3.0 * (jnp.cos(h0 + n_angle) + jnp.cos(h1 + n_angle))) / 12.0
+            local_bn = jnp.stack([direction_vec[..., 0] * t0v,
+                                  direction_vec[..., 1] * t0v,
+                                  -t1v], axis=-1)
+            bent = bent + rot_to_view(local_bn) * projected_normal_len[..., None]
+
     visibility = visibility / slice_count
     visibility = jnp.power(jnp.maximum(visibility, 0.0),
                            consts["final_value_power"])
@@ -423,6 +495,10 @@ def main_pass(depth_mips, normal_enc, consts, settings: GtaoSettings,
 
     # XeGTAO_OutputWorkingTerm (:199-207)
     vis_packed = jnp.clip(visibility / XE_GTAO_OCCLUSION_TERM_SCALE, 0.0, 1.0)
+    if settings.bent_normals:
+        bn = bent / jnp.maximum(
+            jnp.linalg.norm(bent, axis=-1, keepdims=True), 1e-20)
+        return encode_visibility_bent_normal(vis_packed, bn), edges_u8
     ao_u8 = (vis_packed * 255.0 + 0.5).astype(jnp.uint8)
     return ao_u8, edges_u8
 
@@ -430,12 +506,18 @@ def main_pass(depth_mips, normal_enc, consts, settings: GtaoSettings,
 # ---------------------------------------------------------------- denoise ---
 
 def denoise_pass(ao_u8, edges_u8, settings: GtaoSettings, final_apply: bool):
-    """One edge-aware denoise pass (XeGTAO_Denoise, :744-836)."""
+    """One edge-aware denoise pass (XeGTAO_Denoise, :744-836). With bent
+    normals enabled the AO term is the packed R8G8B8A8 (bn, vis) uint32 and
+    the blur runs over the 4-vector (AOTermType, XeGTAO.hlsli:708-712)."""
     blur = settings.denoise_blur_beta if final_apply \
         else settings.denoise_blur_beta / 5.0
     diag_weight = 0.85 * 0.5
 
-    vis = ao_u8.astype(jnp.float32) / 255.0
+    if settings.bent_normals:
+        v, bn = decode_visibility_bent_normal(ao_u8)
+        vis = jnp.concatenate([bn, v[..., None]], axis=-1)  # (..., 4)
+    else:
+        vis = ao_u8.astype(jnp.float32) / 255.0
     edges_c = unpack_edges(edges_u8)
     edges_l = unpack_edges(_shift_clamp(edges_u8, 0, -1))
     edges_r = unpack_edges(_shift_clamp(edges_u8, 0, 1))
@@ -460,12 +542,16 @@ def denoise_pass(ao_u8, edges_u8, settings: GtaoSettings, final_apply: bool):
     w_br = diag_weight * (edges_c[..., 1] * edges_r[..., 3]
                           + edges_c[..., 3] * edges_b[..., 1])
 
-    ssao = vis
-    sum_weight = jnp.full_like(ssao, blur)
-    total = ssao * sum_weight
+    multi = settings.bent_normals
+
+    def wmul(value, weight):
+        return value * (weight[..., None] if multi else weight)
+
+    sum_weight = jnp.full(vis.shape[:2], blur, jnp.float32)
+    total = wmul(vis, sum_weight)
 
     def add(value, weight, total, sum_weight):
-        return total + value * weight, sum_weight + weight
+        return total + wmul(value, weight), sum_weight + weight
 
     total, sum_weight = add(_shift_clamp(vis, 0, -1), edges_c[..., 0], total, sum_weight)
     total, sum_weight = add(_shift_clamp(vis, 0, 1), edges_c[..., 1], total, sum_weight)
@@ -476,7 +562,13 @@ def denoise_pass(ao_u8, edges_u8, settings: GtaoSettings, final_apply: bool):
     total, sum_weight = add(_shift_clamp(vis, 1, -1), w_bl, total, sum_weight)
     total, sum_weight = add(_shift_clamp(vis, 1, 1), w_br, total, sum_weight)
 
-    out = total / sum_weight
+    out = total / (sum_weight[..., None] if multi else sum_weight)
+    if multi:
+        # XeGTAO_Output, bent-normal branch (:722-728)
+        v = out[..., 3] * (XE_GTAO_OCCLUSION_TERM_SCALE if final_apply else 1.0)
+        bn = out[..., :3]
+        bn = bn / jnp.maximum(jnp.linalg.norm(bn, axis=-1, keepdims=True), 1e-20)
+        return encode_visibility_bent_normal(v, bn)
     if final_apply:
         out = out * XE_GTAO_OCCLUSION_TERM_SCALE
     return (jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
@@ -500,11 +592,28 @@ def compute_ao_band(view_depth, normal_enc, consts, settings: GtaoSettings,
     return ao[halo:halo + band_rows]
 
 
+def ao_visibility_u8(ao, settings: GtaoSettings):
+    """Final AO term -> u8 visibility (unpacks the bent-normal encoding)."""
+    if settings.bent_normals:
+        v, _ = decode_visibility_bent_normal(ao)
+        return (jnp.clip(v, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+    return ao
+
+
+def ao_bent_normals(ao, settings: GtaoSettings):
+    """Final AO term -> view-space bent normals, or None."""
+    if not settings.bent_normals:
+        return None
+    _, bn = decode_visibility_bent_normal(ao)
+    return bn / jnp.maximum(jnp.linalg.norm(bn, axis=-1, keepdims=True), 1e-20)
+
+
 def compute_ao(view_depth, normal_enc, consts, settings: GtaoSettings,
                noise_index):
     """Full GTAO chain (compute_ao, vk_xe_gtao.rs:416-642): prefilter ->
-    main pass -> N denoise passes. Returns final AO u8 image (0..255, where
-    255 = fully visible * occlusion-term scale)."""
+    main pass -> N denoise passes. Returns the final AO term: u8 visibility
+    (255 = fully visible * occlusion-term scale), or the packed
+    visibility+bent-normal uint32 when settings.bent_normals."""
     mips = prefilter_depths(view_depth, consts)
     ao, edges = main_pass(mips, normal_enc, consts, settings, noise_index)
     n_passes = settings.num_denoise_passes
