@@ -8,7 +8,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from tpurt.passes.light import get_unnormalized_L_vec
-from tpurt.scene.lights import AreaLight, LIGHT_TYPE_AREA
+from tpurt.scene.lights import AreaLight
 
 
 def test_area_light_L_matches_grid_search():

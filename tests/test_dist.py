@@ -5,10 +5,9 @@ import jax
 import numpy as np
 
 from tpurt.dist import make_mesh, render_frame_sharded
-from tpurt.engine import Renderer, RendererConfig
-from tpurt.passes.gtao import GtaoSettings, gtao_constants
+from tpurt.passes.gtao import gtao_constants
 
-from test_frame import make_renderer, SIZE
+from test_frame import make_renderer
 
 
 def test_sharded_matches_single_device():

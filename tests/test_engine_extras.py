@@ -1,5 +1,4 @@
 """Accumulation/checkpoint, profiler, camera controller, validation layer."""
-import os
 
 import numpy as np
 import pytest

@@ -13,7 +13,7 @@ from tpurt.passes.encodings import (
     r11g11b10_unorm_unpack,
     srgb_approx,
 )
-from tpurt.passes.tonemap import LpmParams, lpm_filter, lpm_setup
+from tpurt.passes.tonemap import lpm_filter, lpm_setup
 from tpurt.scene.lights import (
     LIGHT_TYPE_AREA,
     LIGHT_TYPE_DIRECTIONAL,

@@ -19,7 +19,7 @@ from typing import Optional
 import numpy as np
 
 from .gltf import GltfModelReader
-from .mesh import Sphere, TextureType
+from .mesh import Sphere
 
 
 class Residency(enum.Enum):
