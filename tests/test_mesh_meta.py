@@ -51,3 +51,16 @@ def test_sphere_transform_max_column_scale():
     assert abs(t.radius - 6.0) < 1e-6  # max column norm = 3
 
     assert s.distance_from_point([5.0, 0, 0]) == 2.0
+
+
+def test_image_metrics():
+    from tpurt.utils.image_metrics import diff_report, psnr, rmse
+
+    a = np.zeros((8, 8, 3), np.uint8)
+    b = a.copy()
+    assert rmse(a, b) == 0.0 and psnr(a, b) == float("inf")
+    b[0, 0, 0] = 255
+    r = rmse(a, b)
+    assert abs(r - np.sqrt(1.0 / (8 * 8 * 3))) < 1e-6
+    rep = diff_report(a, b)
+    assert 0 < rep["mismatch_frac"] < 0.01
