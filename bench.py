@@ -16,6 +16,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# persistent compile cache: first remote compile of the frame program is
+# expensive; cache hits keep repeated bench runs fast
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import numpy as np
 
 BOX = "/root/reference/assets/models/BoxTextured.glb"

@@ -96,3 +96,11 @@ def test_validation_catches_broken_scene(renderer):
     broken["tri_prim"] = np.asarray(scene["tri_prim"]) + 10_000
     with pytest.raises(AssertionError):
         validate_scene(broken)
+
+
+def test_renderer_stats(renderer):
+    stats = renderer.stats()
+    assert stats["tris"] > 0 and stats["bvh_nodes"] > 0
+    assert stats["rays_per_frame"] == 64 * 64 * 2  # 1 primary + 1 shadow light
+    assert stats["tracer_tier"] in ("xla", "smem", "vmem", "hbm")
+    assert stats["device_resident_models"] == 1

@@ -198,6 +198,35 @@ class Renderer:
         """Render and read back the 8-bit sRGB frame."""
         return np.asarray(self.render()["image"])
 
+    def stats(self) -> dict:
+        """Structured per-frame/scene stats (the observability surface the
+        reference lacks beyond its FPS print — SURVEY.md §5)."""
+        c = self.config
+        n_lights = self.lights.get_lights_count()
+        shadow_lights = sum(
+            1 for light in self.lights.all_lights() if light.casts_shadows)
+        out = dict(
+            resolution=(c.width, c.height),
+            rays_per_frame=c.width * c.height * (1 + shadow_lights),
+            lights=n_lights,
+            shadow_casting_lights=shadow_lights,
+            rendered_frames=self.rendered_frames,
+            models=len(self.models),
+            device_resident_models=sum(
+                1 for m in self.models if m.is_device_resident()),
+            gtao=dict(slices=c.gtao.slice_count, steps=c.gtao.steps_per_slice,
+                      denoise=c.gtao.denoise,
+                      bent_normals=c.gtao.bent_normals),
+        )
+        if self._scene is not None:
+            out.update(
+                tris=int(self._scene.geom["v0"].shape[0]),
+                bvh_nodes=int(self._scene.bvh["aabb_min"].shape[0]),
+                primitives=self._scene.num_prims,
+                tracer_tier=self._pallas_tables() or "xla",
+            )
+        return out
+
     @property
     def scene(self) -> Optional[FlatScene]:
         return self._scene
