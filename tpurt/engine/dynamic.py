@@ -73,21 +73,33 @@ def build_world_tables(obj_scene: dict, transforms):
 
 
 @partial(jax.jit, static_argnames=("width", "height", "gtao_settings",
-                                   "enable_gtao", "enable_tonemap"))
+                                   "enable_gtao", "enable_tonemap",
+                                   "use_pallas"))
 def render_frame_dynamic(obj_scene: dict, transforms, camera: dict,
                          lights: dict, gtao_consts: dict, lpm_derived: dict,
                          noise_index, *, width: int, height: int,
                          gtao_settings: GtaoSettings = GtaoSettings(),
                          enable_gtao: bool = True,
-                         enable_tonemap: bool = True):
-    """One frame with animated instance transforms: BVH rebuilt in-jit.
-    Uses the XLA tracer (LBVH leaves hold 1 triangle)."""
+                         enable_tonemap: bool = True,
+                         use_pallas: bool = False):
+    """One frame with animated instance transforms: BVH rebuilt in-jit
+    (LBVH leaves hold 1 triangle). use_pallas routes rays through the HBM
+    packet tracer — the freshly built (traced) tables are packed in-jit."""
     scene = build_world_tables(obj_scene, jnp.asarray(transforms, jnp.float32))
 
     origin, direction = camera_rays(camera, width, height)
-    hits = trace_closest(scene["bvh"], scene["geom"], origin, direction,
-                         T_MIN, T_MAX, max_leaf=1)
-    g = shade(scene, camera, lights, hits, origin, direction)
+    if use_pallas:
+        from ..kernels.traverse_pallas import trace_closest_packets
+
+        hits = trace_closest_packets(scene["bvh"], scene["geom"], origin,
+                                     direction, T_MIN, T_MAX, height=height,
+                                     width=width, max_leaf=1, tables="hbm")
+    else:
+        hits = trace_closest(scene["bvh"], scene["geom"], origin, direction,
+                             T_MIN, T_MAX, max_leaf=1)
+    g = shade(scene, camera, lights, hits, origin, direction,
+              pallas_tables="hbm" if use_pallas else "",
+              height=height, width=width)
 
     color = quantize_r11g11b10f(g["color"]).reshape(height, width, 3)
     depth = quantize_r16f(g["depth"]).reshape(height, width)
