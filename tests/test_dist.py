@@ -40,3 +40,17 @@ def test_renderer_mesh_api():
     r2.config.mesh = make_mesh(8)
     out = r2.render()
     np.testing.assert_array_equal(single, np.asarray(out["image"]))
+
+
+def test_sharded_bent_normals_matches_single():
+    from tpurt.passes.gtao import GtaoSettings
+
+    r = make_renderer()
+    r.config.gtao = GtaoSettings(2, 2, denoise=1, bent_normals=True)
+    single = np.asarray(r.render()["image"])
+
+    r2 = make_renderer()
+    r2.config.gtao = GtaoSettings(2, 2, denoise=1, bent_normals=True)
+    r2.config.mesh = make_mesh(8)
+    sharded = np.asarray(r2.render()["image"])
+    np.testing.assert_array_equal(single, sharded)

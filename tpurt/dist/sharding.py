@@ -34,7 +34,7 @@ except ImportError:  # pragma: no cover
 
 from ..kernels.traverse import trace_closest
 from ..passes.encodings import pack_unorm8, quantize_r11g11b10f, quantize_r16f
-from ..passes.gtao import GtaoSettings, compute_ao_band
+from ..passes.gtao import GtaoSettings, ao_visibility_u8, compute_ao_band
 from ..passes.rays import T_MAX, T_MIN, camera_rays
 from ..passes.shade import shade
 from ..passes.tonemap import tonemap_frame
@@ -80,8 +80,10 @@ def render_frame_sharded(scene: dict, camera: dict, lights: dict,
         normal_full = jax.lax.all_gather(normal, axis, axis=0, tiled=True)
 
         # each chip computes GTAO only for its band (+ denoise halo)
-        ao_band = compute_ao_band(depth_full, normal_full, gtao_consts,
-                                  gtao_settings, noise_index, row0, band)
+        ao_band = ao_visibility_u8(
+            compute_ao_band(depth_full, normal_full, gtao_consts,
+                            gtao_settings, noise_index, row0, band),
+            gtao_settings)
 
         rgb = tonemap_frame(color, ao_band, lpm_derived)
         return pack_unorm8(rgb)
