@@ -105,3 +105,20 @@ def test_async_dispatch_returns_future():
     out = r.render(block=False)
     out["image"].block_until_ready()
     assert np.asarray(out["image"]).shape == (SIZE, SIZE, 3)
+
+
+def test_msaa_spp_smooths_edges():
+    r1 = make_renderer()
+    img1 = np.asarray(r1.render()["image"]).astype(int)
+
+    r4 = make_renderer()
+    r4.config.spp = 4
+    img4 = np.asarray(r4.render()["image"]).astype(int)
+
+    # interiors agree, but some silhouette pixels must change
+    assert (img1 != img4).any(), "4-spp must differ at edges"
+    diff = np.abs(img1 - img4).max(axis=-1)
+    assert (diff > 0).mean() < 0.2, "AA should only affect a minority of pixels"
+    c = SIZE // 2
+    assert abs(int(img1[c, c].sum()) - int(img4[c, c].sum())) <= 30, \
+        "face interior should be nearly unchanged"

@@ -25,32 +25,58 @@ from ..passes.tonemap import tonemap_frame
 MAX_LEAF = 4
 
 
+# R2 low-discrepancy sub-pixel offsets for multi-sample anti-aliasing
+# (sample 0 stays at the pixel center so spp=1 matches the reference).
+def _aa_jitters(spp: int):
+    import numpy as _np
+
+    g = 1.32471795724474602596  # plastic constant (2-D R2 sequence)
+    a1, a2 = 1.0 / g, 1.0 / (g * g)
+    idx = _np.arange(spp, dtype=_np.float64)
+    jit = _np.stack([_np.mod(0.5 + a1 * idx, 1.0) - 0.5,
+                     _np.mod(0.5 + a2 * idx, 1.0) - 0.5], axis=1)
+    jit[0] = 0.0
+    return jnp.asarray(jit.astype(_np.float32))
+
+
 @partial(jax.jit, static_argnames=("width", "height", "gtao_settings",
                                    "enable_gtao", "enable_tonemap",
-                                   "pallas_tables"))
+                                   "pallas_tables", "spp"))
 def render_frame(scene: dict, camera: dict, lights: dict, gtao_consts: dict,
                  lpm_derived: dict, noise_index, *, width: int, height: int,
                  gtao_settings: GtaoSettings = GtaoSettings(),
                  enable_gtao: bool = True, enable_tonemap: bool = True,
-                 pallas_tables: str = ""):
+                 pallas_tables: str = "", spp: int = 1):
     """Render one frame. Returns dict with:
     image (H,W,3) u8 sRGB, color/depth/normal G-buffer, ao (H,W) u8.
-    pallas_tables ("smem"/"vmem") routes primary + shadow rays through the
-    packet tracer with that table tier; "" uses the XLA tracer.
+    pallas_tables ("smem"/"vmem"/"hbm") routes primary + shadow rays through
+    the packet tracer with that table tier; "" uses the XLA tracer.
+    spp > 1 averages R2-jittered HDR samples (anti-aliasing); the G-buffer
+    for GTAO comes from the center sample.
     """
-    origin, direction = camera_rays(camera, width, height)
-    if pallas_tables:
-        from ..kernels.traverse_pallas import trace_closest_packets
+    def trace_and_shade(origin, direction):
+        if pallas_tables:
+            from ..kernels.traverse_pallas import trace_closest_packets
 
-        hits = trace_closest_packets(scene["bvh"], scene["geom"], origin,
-                                     direction, T_MIN, T_MAX,
-                                     height=height, width=width,
-                                     max_leaf=MAX_LEAF, tables=pallas_tables)
-    else:
-        hits = trace_closest(scene["bvh"], scene["geom"], origin, direction,
-                             T_MIN, T_MAX, max_leaf=MAX_LEAF)
-    g = shade(scene, camera, lights, hits, origin, direction,
-              pallas_tables=pallas_tables, height=height, width=width)
+            hits = trace_closest_packets(
+                scene["bvh"], scene["geom"], origin, direction, T_MIN, T_MAX,
+                height=height, width=width, max_leaf=MAX_LEAF,
+                tables=pallas_tables)
+        else:
+            hits = trace_closest(scene["bvh"], scene["geom"], origin,
+                                 direction, T_MIN, T_MAX, max_leaf=MAX_LEAF)
+        return shade(scene, camera, lights, hits, origin, direction,
+                     pallas_tables=pallas_tables, height=height, width=width)
+
+    origin, direction = camera_rays(camera, width, height)
+    g = trace_and_shade(origin, direction)
+    if spp > 1:
+        jitters = _aa_jitters(spp)
+        acc = g["color"]
+        for s in range(1, spp):
+            o_s, d_s = _jittered_rays(camera, width, height, jitters[s])
+            acc = acc + trace_and_shade(o_s, d_s)["color"]
+        g = dict(g, color=acc / spp)
 
     # G-buffer storage-format quantization (B10G11R11F color+normal, R16F depth)
     color = quantize_r11g11b10f(g["color"]).reshape(height, width, 3)

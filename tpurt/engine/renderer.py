@@ -47,6 +47,8 @@ class RendererConfig:
     # Multi-chip: a jax.sharding.Mesh to band-decompose frames over
     # (dist/sharding.py); None = single chip.
     mesh: Optional[object] = None
+    # Anti-aliasing samples per pixel (R2-jittered; 1 = reference behavior).
+    spp: int = 1
 
 
 class Renderer:
@@ -153,7 +155,7 @@ class Renderer:
             np.int32(self._frame_idx % 64),
             width=c.width, height=c.height, gtao_settings=c.gtao,
             enable_gtao=c.enable_gtao, enable_tonemap=c.enable_tonemap,
-            pallas_tables=self._pallas_tables())
+            pallas_tables=self._pallas_tables(), spp=c.spp)
         self._frame_idx += 1
         self.rendered_frames += 1
         if block:
