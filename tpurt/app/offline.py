@@ -77,6 +77,10 @@ def main(argv=None):
     p.add_argument("--checkpoint-every", type=int, default=64)
     p.add_argument("--quality", choices=QUALITY, default="ultra")
     p.add_argument("--denoise", type=int, default=1)
+    p.add_argument("--aa-spp", type=int, default=1,
+                   help="anti-aliasing samples per pixel (real-time mode)")
+    p.add_argument("--bent-normals", action="store_true",
+                   help="enable GTAO's directional component")
     p.add_argument("--cam-pos", type=float, nargs=3, default=[0.0, 0.0, 0.0])
     p.add_argument("--cam-dir", type=float, nargs=3, default=[0.0, 0.0, 1.0])
     p.add_argument("--profile", action="store_true")
@@ -86,7 +90,9 @@ def main(argv=None):
     cfg = RendererConfig(
         width=args.width, height=args.height,
         gtao=GtaoSettings(slice_count=int(slices), steps_per_slice=int(steps),
-                          denoise=args.denoise))
+                          denoise=args.denoise,
+                          bent_normals=args.bent_normals),
+        spp=args.aa_spp)
     renderer = Renderer(cfg)
     default_scene(renderer, args.model)
     renderer.camera_mut().set_pos(args.cam_pos)
