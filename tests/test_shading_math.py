@@ -13,7 +13,7 @@ from tpurt.passes.encodings import (
     r11g11b10_unorm_unpack,
     srgb_approx,
 )
-from tpurt.passes.tonemap import lpm_filter, lpm_setup
+from tpurt.passes.tonemap import LpmParams, lpm_filter, lpm_setup
 from tpurt.scene.lights import (
     LIGHT_TYPE_AREA,
     LIGHT_TYPE_DIRECTIONAL,
@@ -227,3 +227,34 @@ def test_srgb_approx():
     np.testing.assert_allclose(
         np.asarray(srgb_approx(jnp.array([0.5]))),
         np.float32(0.5) ** (np.float32(1) / np.float32(2.2)), rtol=1e-5)
+
+
+def test_lpm_hdr_and_gamut_configs():
+    """Non-default LPM prefabs: HDR10RAW_709 (con2+clip into Rec.2020) and
+    709_P3 (soft gamut mapping from P3 working space)."""
+    from tpurt.passes.tonemap import (
+        LPM_COLORS_709_P3,
+        LPM_COLORS_HDR10RAW_709,
+        LPM_CONFIG_709_P3,
+        LPM_CONFIG_HDR10RAW_709,
+        lpm_hdr10_raw_scalar,
+    )
+
+    _, d = lpm_setup(LpmParams(), LPM_CONFIG_HDR10RAW_709,
+                     LPM_COLORS_HDR10RAW_709,
+                     scale_c=lpm_hdr10_raw_scalar(1000.0))
+    assert np.any(d["con2"] != 0), "HDR10 container conversion must be set"
+    out = np.asarray(lpm_filter(jnp.full((4, 3), 0.5), d,
+                                config=LPM_CONFIG_HDR10RAW_709))
+    assert np.isfinite(out).all() and (out >= 0).all() and (out <= 1).all()
+    # grey stays grey through the 709->2020 conversion
+    assert np.allclose(out[0, 0], out[0, 1], atol=2e-3)
+    assert np.allclose(out[0, 1], out[0, 2], atol=2e-3)
+
+    _, d = lpm_setup(LpmParams(soft_gap=0.02), LPM_CONFIG_709_P3,
+                     LPM_COLORS_709_P3)
+    assert np.any(d["con"] != 0), "P3->709 conversion must be set"
+    out = np.asarray(lpm_filter(jnp.asarray([[4.0, 0.1, 0.1]]), d,
+                                config=LPM_CONFIG_709_P3))
+    assert np.isfinite(out).all()
+    assert out[0, 0] > out[0, 1], "red must dominate after gamut mapping"

@@ -40,10 +40,35 @@ def _col_rgb_to_xyz(r, g, b, w):
 LPM_COL_709_R = (0.64, 0.33)
 LPM_COL_709_G = (0.30, 0.60)
 LPM_COL_709_B = (0.15, 0.06)
+LPM_COL_P3_R = (0.680, 0.320)
+LPM_COL_P3_G = (0.265, 0.690)
+LPM_COL_P3_B = (0.150, 0.060)
+LPM_COL_2020_R = (0.708, 0.292)
+LPM_COL_2020_G = (0.170, 0.797)
+LPM_COL_2020_B = (0.131, 0.046)
 LPM_COL_D65 = (0.3127, 0.3290)
 
-# CON, SOFT, CON2, CLIP, SCALEONLY (ffx_lpm.h:616)
+_709 = (LPM_COL_709_R, LPM_COL_709_G, LPM_COL_709_B, LPM_COL_D65)
+_P3 = (LPM_COL_P3_R, LPM_COL_P3_G, LPM_COL_P3_B, LPM_COL_D65)
+_2020 = (LPM_COL_2020_R, LPM_COL_2020_G, LPM_COL_2020_B, LPM_COL_D65)
+
+# CON, SOFT, CON2, CLIP, SCALEONLY path prefabs (ffx_lpm.h:590-680) and the
+# matching (working, output, container) gamut prefabs. The reference app
+# only ever runs 709_709 (vk_tonemap.rs:101-120); the other prefabs cover
+# the HDR10/P3/2020 output paths of the same filter.
 LPM_CONFIG_709_709 = (False, False, False, False, False)
+LPM_COLORS_709_709 = (_709, _709, _709)
+LPM_CONFIG_HDR10RAW_709 = (False, False, True, True, False)
+LPM_COLORS_HDR10RAW_709 = (_709, _709, _2020)
+LPM_CONFIG_709_P3 = (True, True, False, False, False)
+LPM_COLORS_709_P3 = (_P3, _709, _709)
+LPM_CONFIG_HDR10RAW_2020 = (False, False, False, False, True)
+LPM_COLORS_HDR10RAW_2020 = (_2020, _2020, _2020)
+
+
+def lpm_hdr10_raw_scalar(display_max_nits: float = 1000.0) -> float:
+    """LpmHdr10RawScalar: PQ-space output scale for HDR10 (nits / 10000)."""
+    return display_max_nits / 10000.0
 
 
 def _f32_bits(x) -> int:
@@ -68,15 +93,17 @@ class LpmParams:
     crosstalk: tuple = (1.0, 1.0 / 2.0, 1.0 / 32.0)
 
 
-def lpm_setup(params: LpmParams = LpmParams(), config=LPM_CONFIG_709_709):
+def lpm_setup(params: LpmParams = LpmParams(), config=LPM_CONFIG_709_709,
+              colors=LPM_COLORS_709_709, scale_c: float = 1.0):
     """Compute the 24xuvec4 control block (vk_tonemap.rs:122-324).
 
+    colors = (working, output, container) chroma quadruples (R, G, B, W);
+    scale_c scales the container conversion (hdr10S / fs2S analogue).
     Returns (ctl, derived) where ctl is the packed (24, 4) uint32 block and
     derived is the unpacked float dict used by lpm_filter.
     """
     con, soft, con2, clip, scale_only = config
-    colors = [LPM_COL_709_R, LPM_COL_709_G, LPM_COL_709_B, LPM_COL_D65] * 3
-    scale_c = 1.0
+    colors = [*colors[0], *colors[1], *colors[2]]
 
     contrast = params.contrast + 1.0
     saturation = np.array(params.saturation, np.float32) + np.float32(contrast)
