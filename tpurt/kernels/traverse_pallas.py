@@ -17,9 +17,16 @@ exploits primary/shadow-ray coherence: the union of packet paths costs dense
 vector math instead of scattered memory traffic — the right trade on a
 machine whose gathers are slow and whose VPU is wide.
 
-Capacity: SMEM must hold the node + triangle tables (~40 B/node+tri). The
-engine falls back to the XLA tracer for scenes beyond the SMEM budget; the
-HBM-resident double-buffered variant is the planned follow-up for that case.
+Table tiers (auto-cascaded by scene size, all parity-tested):
+  "smem" — tables as scalar-prefetch operands (~5k tris budget); node
+           fetches are raw scalar loads. Ordered near-child-first descent.
+  "vmem" — tables as VMEM operands read with dynamic-sublane scalar loads
+           (Mosaic forbids dynamic-lane and vector gathers); ~5x capacity,
+           forceable but not auto-picked (scoped-VMEM OOM at large operand
+           sizes).
+  "hbm"  — 128-lane-row tables in HBM; one row DMA per step with the next
+           stack top speculatively in flight (latency hidden behind the
+           packet's vector math). Unbounded capacity, ~same speed as vmem.
 """
 from __future__ import annotations
 
