@@ -157,6 +157,7 @@ def _packet_kernel(aabb_ref, meta_ref, tri_ref, tri_id_ref,
     rays = _Rays(ox, oy, oz, dx, dy, dz, tmn, tmx)
     t_min = rays.t_min
     t_max0 = rays.t_max0
+    num_tris = tri_ref.shape[0]
 
     stack[0] = jnp.int32(0)
 
@@ -190,7 +191,7 @@ def _packet_kernel(aabb_ref, meta_ref, tri_ref, tri_id_ref,
             is_leaf = count > 0
 
             def leaf_body(k, occ):
-                ti = first + k
+                ti = jnp.minimum(first + k, num_tris - 1)
                 h, _, _, _ = mt_test(ti, jnp.where(occ > 0.0, t_min, t_max0))
                 upd = h & hit_box & (k < count)
                 return jnp.where(upd, 1.0, occ)
@@ -225,9 +226,13 @@ def _packet_kernel(aabb_ref, meta_ref, tri_ref, tri_id_ref,
         def cond(c):
             return c[0] > 0
 
+        num_nodes = aabb_ref.shape[0]
+
         def child_key(n):
             """Projection of the child's AABB centroid onto the packet's
-            mean direction (smaller = nearer)."""
+            mean direction (smaller = nearer). Index clamped: for leaves the
+            speculative 'right' can be -1 (value unused, push is false)."""
+            n = jnp.clip(n, 0, num_nodes - 1)
             cx = aabb_ref[n, 0] + aabb_ref[n, 3]
             cy = aabb_ref[n, 1] + aabb_ref[n, 4]
             cz = aabb_ref[n, 2] + aabb_ref[n, 5]
@@ -247,7 +252,7 @@ def _packet_kernel(aabb_ref, meta_ref, tri_ref, tri_id_ref,
 
             def leaf_body(k, carry):
                 t, tri, u, v = carry
-                ti = first + k
+                ti = jnp.minimum(first + k, num_tris - 1)
                 h, tk, uk, vk = mt_test(ti, t)
                 upd = h & hit_box & (k < count)
                 t = jnp.where(upd, tk, t)
