@@ -126,3 +126,28 @@ def test_lbvh_jits_end_to_end():
     geom_ref = make_traversal_geom(v0, v1, v2, np.arange(64))
     ref = trace_closest_brute(geom_ref, o, d, 1e-3, 1e4)
     np.testing.assert_array_equal(np.asarray(got["tri"]), np.asarray(ref["tri"]))
+
+
+def test_degenerate_triangles_do_not_poison_traversal():
+    """Zero-area triangles (all three verts equal / collinear) must neither
+    crash the builders nor produce spurious hits or NaNs."""
+    v0, v1, v2 = random_tris(64, seed=33)
+    # make a quarter of the triangles degenerate
+    v1[::4] = v0[::4]
+    v2[::8] = v0[::8]
+    amin, amax = tri_aabbs(v0, v1, v2)
+
+    for bvh, max_leaf in [(build_bvh_sah(amin, amax), 4),
+                          (build_lbvh(amin, amax), 1)]:
+        geom = make_traversal_geom(v0, v1, v2, bvh.tri_order)
+        o, d = random_rays(128, seed=4, targets=(v0 + v1 + v2) / 3)
+        tree = jax.tree.map(jnp.asarray, bvh.as_pytree())
+        got = trace_closest(tree, geom, o, d, 1e-3, 1e4, max_leaf=max_leaf)
+        ref = trace_closest_brute(geom, o, d, 1e-3, 1e4)
+        np.testing.assert_array_equal(np.asarray(got["tri"]),
+                                      np.asarray(ref["tri"]))
+        assert np.isfinite(np.asarray(got["t"])).all()
+        # degenerate tris never win a hit
+        hit_tris = np.asarray(got["tri"])
+        hit_tris = hit_tris[hit_tris >= 0]
+        assert not np.isin(hit_tris, np.arange(0, 64, 4)).any()
