@@ -291,22 +291,30 @@ def pack_tables_hbm(bvh: dict, geom: dict):
     slices must be 128-aligned on the lane dimension).
 
     Node row: [aabb_min.xyz, aabb_max.xyz, entry, skip, first, count,
-    right_child] — indices stored as exact small floats (< 2^24), and the
-    right child (= skip[entry]) precomputed so a step needs ONE row DMA.
+    right_child, left_centroid.xyz, right_centroid.xyz] — indices stored as
+    exact small floats (< 2^24); the right child (= skip[entry]) and both
+    children's centroids are precomputed so a step needs ONE row DMA and
+    near-child ordering costs nothing extra.
     Tri row: [v0, e1, e2, tri_id]."""
     aabb_min = jnp.asarray(bvh["aabb_min"], jnp.float32)
+    aabb_max = jnp.asarray(bvh["aabb_max"], jnp.float32)
     m = aabb_min.shape[0]
     entry = jnp.asarray(bvh["entry"], jnp.int32)
     skip = jnp.asarray(bvh["skip"], jnp.int32)
-    right = skip[jnp.clip(entry, 0, m - 1)]
+    left_c = jnp.clip(entry, 0, m - 1)
+    right = skip[left_c]
+    right_c = jnp.clip(right, 0, m - 1)
+    centroid = (aabb_min + aabb_max) * 0.5
     nodes = jnp.zeros((m, 128), jnp.float32)
     nodes = nodes.at[:, 0:3].set(aabb_min)
-    nodes = nodes.at[:, 3:6].set(jnp.asarray(bvh["aabb_max"], jnp.float32))
+    nodes = nodes.at[:, 3:6].set(aabb_max)
     nodes = nodes.at[:, 6].set(entry.astype(jnp.float32))
     nodes = nodes.at[:, 7].set(skip.astype(jnp.float32))
     nodes = nodes.at[:, 8].set(jnp.asarray(bvh["first_tri"], jnp.float32))
     nodes = nodes.at[:, 9].set(jnp.asarray(bvh["tri_count"], jnp.float32))
     nodes = nodes.at[:, 10].set(right.astype(jnp.float32))
+    nodes = nodes.at[:, 11:14].set(centroid[left_c])
+    nodes = nodes.at[:, 14:17].set(centroid[right_c])
 
     t = geom["v0"].shape[0]
     tris = jnp.zeros((t, 128), jnp.float32)
@@ -354,6 +362,12 @@ def _packet_kernel_hbm(nodes_ref, tris_ref,
 
     start_fetch(jnp.int32(0))
 
+    # packet mean direction for near-child-first ordering (closest-hit);
+    # the children's centroids ride in the node row, so ordering is free.
+    md_x = jnp.sum(rays.d_x)
+    md_y = jnp.sum(rays.d_y)
+    md_z = jnp.sum(rays.d_z)
+
     def step_common(tfar_for_box):
         wait_fetch()
         hit_box = rays.slab(node_buf[0, 0], node_buf[0, 1], node_buf[0, 2],
@@ -364,6 +378,11 @@ def _packet_kernel_hbm(nodes_ref, tris_ref,
         first = node_buf[0, 8].astype(jnp.int32)
         count = node_buf[0, 9].astype(jnp.int32)
         right = node_buf[0, 10].astype(jnp.int32)
+        key_l = (node_buf[0, 11] * md_x + node_buf[0, 12] * md_y
+                 + node_buf[0, 13] * md_z)
+        key_r = (node_buf[0, 14] * md_x + node_buf[0, 15] * md_y
+                 + node_buf[0, 16] * md_z)
+        left_near = key_l <= key_r
         is_leaf = count > 0
         do_leaf = is_leaf & any_lane
         first_c = jnp.clip(first, 0, num_tris - max_leaf)
@@ -377,12 +396,15 @@ def _packet_kernel_hbm(nodes_ref, tris_ref,
 
         # offset of the real first triangle inside the clamped DMA window
         k_off = first - first_c
-        return hit_box, any_lane, entry, right, count, is_leaf, do_leaf, k_off
+        return (hit_box, any_lane, entry, right, count, is_leaf, do_leaf,
+                k_off, left_near)
 
-    def push_children_and_prefetch(sp, push, entry, right):
+    def push_children_and_prefetch(sp, push, entry, right, left_near):
         left_c = jnp.maximum(entry, 0)
-        stack[jnp.minimum(sp, STACK_DEPTH - 2)] = right
-        stack[jnp.minimum(sp + 1, STACK_DEPTH - 1)] = left_c
+        far = jnp.where(left_near, right, left_c)
+        near = jnp.where(left_near, left_c, right)
+        stack[jnp.minimum(sp, STACK_DEPTH - 2)] = far
+        stack[jnp.minimum(sp + 1, STACK_DEPTH - 1)] = near
         sp = jnp.where(push, jnp.minimum(sp + 2, STACK_DEPTH), sp)
         start_fetch(stack[jnp.maximum(sp - 1, 0)])
         return sp
@@ -400,10 +422,12 @@ def _packet_kernel_hbm(nodes_ref, tris_ref,
             sp = sp - 1
             tfar = jnp.where(occ > 0.0, t_min, t_max0)
             (hit_box, any_lane, entry, right, count, is_leaf, do_leaf,
-             k_off) = step_common(tfar)
+             k_off, left_near) = step_common(tfar)
 
             push = any_lane & jnp.logical_not(is_leaf)
-            sp = push_children_and_prefetch(sp, push, entry, right)
+            # unordered for any-hit: first-found occluder terminates anyway
+            sp = push_children_and_prefetch(sp, push, entry, right,
+                                            jnp.bool_(True))
 
             for k in range(max_leaf):
                 h, _, _, _ = rays.mt(tri_row_maker(k), tfar)
@@ -427,10 +451,10 @@ def _packet_kernel_hbm(nodes_ref, tris_ref,
             sp, t, tri, u, v = c
             sp = sp - 1
             (hit_box, any_lane, entry, right, count, is_leaf, do_leaf,
-             k_off) = step_common(t)
+             k_off, left_near) = step_common(t)
 
             push = any_lane & jnp.logical_not(is_leaf)
-            sp = push_children_and_prefetch(sp, push, entry, right)
+            sp = push_children_and_prefetch(sp, push, entry, right, left_near)
 
             for k in range(max_leaf):
                 h, tk, uk, vk = rays.mt(tri_row_maker(k), t)
