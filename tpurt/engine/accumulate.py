@@ -41,9 +41,11 @@ def init_accumulation(height: int, width: int, seed: int = 0) -> AccumulationSta
 
 def accumulate_samples(state: AccumulationState, scene: dict, camera: dict,
                        lights: dict, num_samples: int, *, width: int,
-                       height: int) -> AccumulationState:
+                       height: int,
+                       pallas_tables: str = "") -> AccumulationState:
     """Add `num_samples` stratified-jitter samples to the accumulator.
-    Sample 0 uses the pixel center (so 1-spp equals the real-time frame)."""
+    Sample 0 uses the pixel center (so 1-spp equals the real-time frame).
+    pallas_tables routes rays through the packet tracer on TPU."""
     color_sum = state.color_sum
     key = state.key
     for s in range(num_samples):
@@ -53,7 +55,8 @@ def accumulate_samples(state: AccumulationState, scene: dict, camera: dict,
             key, sub = jax.random.split(key)
             jitter = jax.random.uniform(sub, (2,), minval=-0.5, maxval=0.5)
         color_sum = color_sum + render_sample_hdr(
-            scene, camera, lights, jitter, width=width, height=height)
+            scene, camera, lights, jitter, width=width, height=height,
+            pallas_tables=pallas_tables)
     return AccumulationState(color_sum=color_sum,
                              num_samples=state.num_samples + num_samples,
                              key=key)

@@ -106,16 +106,25 @@ def render_frame(scene: dict, camera: dict, lights: dict, gtao_consts: dict,
     return out
 
 
-@partial(jax.jit, static_argnames=("width", "height"))
+@partial(jax.jit, static_argnames=("width", "height", "pallas_tables"))
 def render_sample_hdr(scene: dict, camera: dict, lights: dict, jitter,
-                      *, width: int, height: int):
+                      *, width: int, height: int, pallas_tables: str = ""):
     """One progressive-accumulation sample: linear HDR radiance with a
     sub-pixel camera jitter (jitter in [-0.5, 0.5]^2 pixels). Used by the
     accumulation / ground-truth mode (engine.accumulate)."""
     origin, direction = _jittered_rays(camera, width, height, jitter)
-    hits = trace_closest(scene["bvh"], scene["geom"], origin, direction,
-                         T_MIN, T_MAX, max_leaf=MAX_LEAF)
-    g = shade(scene, camera, lights, hits, origin, direction)
+    if pallas_tables:
+        from ..kernels.traverse_pallas import trace_closest_packets
+
+        hits = trace_closest_packets(scene["bvh"], scene["geom"], origin,
+                                     direction, T_MIN, T_MAX, height=height,
+                                     width=width, max_leaf=MAX_LEAF,
+                                     tables=pallas_tables)
+    else:
+        hits = trace_closest(scene["bvh"], scene["geom"], origin, direction,
+                             T_MIN, T_MAX, max_leaf=MAX_LEAF)
+    g = shade(scene, camera, lights, hits, origin, direction,
+              pallas_tables=pallas_tables, height=height, width=width)
     return g["color"].reshape(height, width, 3)
 
 
