@@ -104,3 +104,17 @@ def test_renderer_stats(renderer):
     assert stats["rays_per_frame"] == 64 * 64 * 2  # 1 primary + 1 shadow light
     assert stats["tracer_tier"] in ("xla", "smem", "vmem", "hbm")
     assert stats["device_resident_models"] == 1
+
+
+def test_accumulation_scan_matches_loop_shape(renderer):
+    from tpurt.engine.accumulate import accumulate_samples_scan
+
+    scene = renderer.scene_device
+    cam = renderer.camera.uniform()
+    lights = renderer.lights.shader_arrays()
+    state = init_accumulation(SIZE, SIZE, seed=7)
+    state = accumulate_samples_scan(state, scene, cam, lights, 3,
+                                    width=SIZE, height=SIZE)
+    assert state.num_samples == 3
+    mean = np.asarray(state.mean)
+    assert np.isfinite(mean).all() and mean.max() > 0

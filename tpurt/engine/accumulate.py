@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
+from functools import partial
 from typing import Optional
 
 import jax
@@ -57,6 +58,43 @@ def accumulate_samples(state: AccumulationState, scene: dict, camera: dict,
         color_sum = color_sum + render_sample_hdr(
             scene, camera, lights, jitter, width=width, height=height,
             pallas_tables=pallas_tables)
+    return AccumulationState(color_sum=color_sum,
+                             num_samples=state.num_samples + num_samples,
+                             key=key)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "num_samples",
+                                   "pallas_tables", "include_center"))
+def _accumulate_scan(color_sum, key, scene, camera, lights, *, width, height,
+                     num_samples, pallas_tables, include_center):
+    """num_samples jittered samples in ONE device program (lax.scan) —
+    avoids a host round-trip per sample."""
+    def body(carry, s):
+        acc, key = carry
+        key, sub = jax.random.split(key)
+        jitter = jax.random.uniform(sub, (2,), minval=-0.5, maxval=0.5)
+        if include_center:
+            jitter = jnp.where(s == 0, jnp.zeros(2), jitter)
+        acc = acc + render_sample_hdr(scene, camera, lights, jitter,
+                                      width=width, height=height,
+                                      pallas_tables=pallas_tables)
+        return (acc, key), None
+
+    (color_sum, key), _ = jax.lax.scan(
+        body, (color_sum, key), jnp.arange(num_samples))
+    return color_sum, key
+
+
+def accumulate_samples_scan(state: AccumulationState, scene: dict,
+                            camera: dict, lights: dict, num_samples: int, *,
+                            width: int, height: int,
+                            pallas_tables: str = "") -> AccumulationState:
+    """Scan-based accumulation: the whole batch runs as one jitted program.
+    Preferred on TPU where per-dispatch RPC latency dominates."""
+    color_sum, key = _accumulate_scan(
+        state.color_sum, state.key, scene, camera, lights, width=width,
+        height=height, num_samples=num_samples, pallas_tables=pallas_tables,
+        include_center=(state.num_samples == 0))
     return AccumulationState(color_sum=color_sum,
                              num_samples=state.num_samples + num_samples,
                              key=key)
