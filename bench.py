@@ -84,15 +84,20 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def main():
-    import jax
+def _device_sanity(image) -> tuple:
+    """Black-frame check WITHOUT a full-image readback: reduce on device and
+    read back two scalars (the round-1 bench died pulling 1.9 MB through the
+    flaky tunnel — a readback the repo's own CLAUDE.md warns against)."""
+    import jax.numpy as jnp
 
-    _log("bench: building scene...")
-    renderer = build_scene()
-    _log("bench: scene ready, warming up (first frame compiles)...")
-    n_lights = renderer.lights.get_lights_count()
-    rays_per_frame = WIDTH * HEIGHT * (1 + n_lights)
+    s = jnp.sum(image.astype(jnp.float32))
+    mx = jnp.max(image)
+    return float(s), int(mx)
 
+
+def _measure(renderer, rays_per_frame):
+    """Warmup + timed frames + device-side sanity. Raises on backend error;
+    the caller retries with the (already compiled) program."""
     for i in range(WARMUP):
         renderer.render(block=True)
         _log(f"bench: warmup frame {i + 1}/{WARMUP} done")
@@ -105,11 +110,39 @@ def main():
         out = renderer.render(block=True)
     elapsed = time.perf_counter() - start
 
+    checksum, peak = _device_sanity(out["image"])
+    assert checksum > 0.0, "benchmark rendered a black frame"
+    _log(f"bench: sanity ok (sum={checksum:.3e}, max={peak})")
+    return elapsed
+
+
+def main():
+    import jax
+
+    _log("bench: building scene...")
+    renderer = build_scene()
+    _log("bench: scene ready, warming up (first frame compiles)...")
+    n_lights = renderer.lights.get_lights_count()
+    rays_per_frame = WIDTH * HEIGHT * (1 + n_lights)
+
+    # one retry on backend abort: the tunnel occasionally kills a long RPC;
+    # the compiled program survives in the cache so attempt 2 is cheap
+    attempts = 2
+    elapsed = None
+    for attempt in range(attempts):
+        try:
+            elapsed = _measure(renderer, rays_per_frame)
+            break
+        except Exception as e:  # noqa: BLE001 — backend aborts surface as
+            # JaxRuntimeError/RuntimeError; anything else fails on retry too
+            if attempt + 1 == attempts:
+                raise
+            _log(f"bench: attempt {attempt + 1} failed ({e!r}); "
+                 f"waiting 30s for the tunnel to settle, then retrying...")
+            time.sleep(30)
+
     ms_per_frame = elapsed * 1000.0 / FRAMES
     mrays = rays_per_frame * FRAMES / elapsed / 1e6
-
-    img = np.asarray(out["image"])
-    assert img.any(), "benchmark rendered a black frame"
 
     meta = dict(
         ms_per_frame=round(ms_per_frame, 3),

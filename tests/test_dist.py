@@ -1,6 +1,7 @@
 """Multi-chip sharding: an 8-virtual-device CPU mesh must reproduce the
 single-device frame bit-exactly (replicated scene, band-sharded rays,
-ICI all-gather for the post passes)."""
+ICI all-gather for the post passes) — for the XLA tracer, the Pallas packet
+tracer (interpret mode on CPU), spp > 1, and every output buffer."""
 import jax
 import numpy as np
 
@@ -10,33 +11,65 @@ from tpurt.passes.gtao import gtao_constants
 from test_frame import make_renderer
 
 
-def test_sharded_matches_single_device():
-    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
-    r = make_renderer()
-    single = np.asarray(r.render()["image"])
-
-    # fresh renderer state so noise_index matches frame 0
-    r2 = make_renderer()
+def _sharded_out(r2, mesh, **kw):
     cfg = r2.config
     cam = r2.camera.uniform()
     consts = gtao_constants(cfg.width, cfg.height, r2.camera.znear,
                             r2.camera.zfar, r2.camera.fovy, r2.camera.aspect)
-    mesh = make_mesh(8)
-    out = render_frame_sharded(
+    return render_frame_sharded(
         r2.scene.as_pytree(), cam, r2.lights.shader_arrays(), consts,
         r2._lpm_derived, np.int32(0),
-        width=cfg.width, height=cfg.height, gtao_settings=cfg.gtao, mesh=mesh)
-    sharded = np.asarray(out)
-
-    np.testing.assert_array_equal(single, sharded)
+        width=cfg.width, height=cfg.height, gtao_settings=cfg.gtao, mesh=mesh,
+        **kw)
 
 
-def test_renderer_mesh_api():
-    """RendererConfig.mesh routes frames through the sharded path."""
+def test_sharded_matches_single_device():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
     r = make_renderer()
+    single = r.render()
+
+    # fresh renderer state so noise_index matches frame 0
+    r2 = make_renderer()
+    out = _sharded_out(r2, make_mesh(8))
+    # the full output surface, not just the image
+    for key in ("image", "color", "depth", "normal", "ao"):
+        np.testing.assert_array_equal(np.asarray(single[key]),
+                                      np.asarray(out[key]), err_msg=key)
+
+
+def test_sharded_packet_tracer_matches_single():
+    """The flagship Pallas packet tracer must work under shard_map
+    (interpret mode on CPU) and agree bit-exactly with the single-device
+    packet-traced frame."""
+    r = make_renderer()
+    r.config.tracer = "smem"
     single = np.asarray(r.render()["image"])
 
     r2 = make_renderer()
+    out = _sharded_out(r2, make_mesh(8), pallas_tables="smem")
+    np.testing.assert_array_equal(single, np.asarray(out["image"]))
+
+
+def test_sharded_spp_and_toggles_match_single():
+    r = make_renderer()
+    r.config.spp = 2
+    r.config.enable_tonemap = False
+    single = np.asarray(r.render()["image"])
+
+    r2 = make_renderer()
+    out = _sharded_out(r2, make_mesh(8), spp=2, enable_tonemap=False)
+    np.testing.assert_array_equal(single, np.asarray(out["image"]))
+
+
+def test_renderer_mesh_api():
+    """RendererConfig.mesh routes frames through the sharded path, honoring
+    the full config surface (spp, tracer tier, toggles)."""
+    r = make_renderer()
+    r.config.spp = 2
+    single = np.asarray(r.render()["image"])
+
+    r2 = make_renderer()
+    r2.config.spp = 2
     r2.config.mesh = make_mesh(8)
     out = r2.render()
     np.testing.assert_array_equal(single, np.asarray(out["image"]))
@@ -47,10 +80,13 @@ def test_sharded_bent_normals_matches_single():
 
     r = make_renderer()
     r.config.gtao = GtaoSettings(2, 2, denoise=1, bent_normals=True)
-    single = np.asarray(r.render()["image"])
+    single = r.render()
 
     r2 = make_renderer()
     r2.config.gtao = GtaoSettings(2, 2, denoise=1, bent_normals=True)
     r2.config.mesh = make_mesh(8)
-    sharded = np.asarray(r2.render()["image"])
-    np.testing.assert_array_equal(single, sharded)
+    sharded = r2.render()
+    np.testing.assert_array_equal(np.asarray(single["image"]),
+                                  np.asarray(sharded["image"]))
+    np.testing.assert_array_equal(np.asarray(single["bent_normals"]),
+                                  np.asarray(sharded["bent_normals"]))

@@ -118,3 +118,16 @@ def test_accumulation_scan_matches_loop_shape(renderer):
     assert state.num_samples == 3
     mean = np.asarray(state.mean)
     assert np.isfinite(mean).all() and mean.max() > 0
+
+
+def test_checkpoint_path_without_npz_suffix(tmp_path, renderer):
+    """np.savez appends '.npz' to bare paths; save/load must still agree
+    (a mismatch silently restarted long renders from sample 0)."""
+    from tpurt.engine.accumulate import load_checkpoint, save_checkpoint
+
+    state = init_accumulation(SIZE, SIZE, seed=1)
+    bare = str(tmp_path / "accum.ckpt")
+    save_checkpoint(bare, state)
+    resumed = load_checkpoint(bare)
+    assert resumed is not None
+    assert resumed.num_samples == 0

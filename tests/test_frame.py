@@ -122,3 +122,27 @@ def test_msaa_spp_smooths_edges():
     c = SIZE // 2
     assert abs(int(img1[c, c].sum()) - int(img4[c, c].sum())) <= 30, \
         "face interior should be nearly unchanged"
+
+
+def test_spp_scan_matches_unrolled():
+    """spp beyond SPP_UNROLL runs the extra samples under lax.scan in one
+    program; the result must match an explicit per-jitter accumulation."""
+    from tpurt.engine.frame import _aa_jitters, render_sample_hdr
+    from tpurt.passes.encodings import quantize_r11g11b10f
+
+    spp = 6
+    r = make_renderer()
+    r.config.spp = spp
+    out = np.asarray(r.render()["color"])
+
+    r2 = make_renderer()
+    scene = r2.scene_device
+    cam = r2.camera.uniform()
+    lights = r2.lights.shader_arrays()
+    jitters = _aa_jitters(spp)
+    acc = 0
+    for s in range(spp):
+        acc = acc + render_sample_hdr(scene, cam, lights, jitters[s],
+                                      width=SIZE, height=SIZE)
+    ref = np.asarray(quantize_r11g11b10f(acc / spp))
+    np.testing.assert_allclose(out, ref, atol=1e-6)

@@ -89,3 +89,58 @@ def test_packet_inactive_lanes(setup):
     got = trace_any_packets(tree, geom, o, d, 1e-2, jnp.asarray(t_max),
                             height=H, width=W, interpret=True)
     assert not np.asarray(got)[::2].any()
+
+
+def test_hbm_tiny_scene_leaf_dma_in_bounds():
+    """A scene with fewer triangles than max_leaf must not DMA past the HBM
+    triangle table (the table is padded; the clamp can't go negative)."""
+    v0, v1, v2 = random_tris(2, seed=11, spread=1.0, size=2.0)
+    amin, amax = tri_aabbs(v0, v1, v2)
+    bvh = build_bvh_sah(amin, amax)
+    geom = make_traversal_geom(v0, v1, v2, bvh.tri_order)
+    tree = jax.tree.map(jnp.asarray, bvh.as_pytree())
+
+    cam = Camera(aspect=1.0)
+    cam.set_pos([0.0, 0.0, -10.0])
+    cam.set_dir([0.0, 0.0, 1.0])
+    o, d = camera_rays(cam.uniform(), 32, 32)
+
+    ref = trace_closest(tree, geom, o, d, 1e-3, 1e4, max_leaf=4)
+    got = trace_closest_packets(tree, geom, o, d, 1e-3, 1e4,
+                                height=32, width=32, interpret=True,
+                                max_leaf=4, tables="hbm")
+    np.testing.assert_array_equal(np.asarray(got["tri"]), np.asarray(ref["tri"]))
+    occ_ref = trace_any(tree, geom, o, d, 1e-3, 1e4, max_leaf=4)
+    occ = trace_any_packets(tree, geom, o, d, 1e-3, 1e4, height=32, width=32,
+                            interpret=True, max_leaf=4, tables="hbm")
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ_ref))
+
+
+def test_deep_bvh_raises_at_build_time():
+    """A BVH deeper than the traversal stack budget must fail loudly at
+    build time, not silently corrupt the packet kernel's stack."""
+    from tpurt.bvh.flat import FlatBVH, bvh_max_depth, check_traversal_depth
+
+    # hand-build a right-leaning chain: node i is internal with children
+    # (leaf, chain) laid out depth-first
+    depth = 250
+    m = 2 * depth + 1
+    entry = np.full(m, -1, np.int32)
+    skip = np.full(m, -1, np.int32)
+    first = np.full(m, -1, np.int32)
+    count = np.zeros(m, np.int32)
+    for i in range(depth):
+        n = 2 * i
+        entry[n] = n + 1          # left leaf
+        skip[n + 1] = n + 2       # right = rest of the chain
+        first[n + 1] = i
+        count[n + 1] = 1
+    first[m - 1] = depth
+    count[m - 1] = 1
+    zeros = np.zeros((m, 3), np.float32)
+    bvh = FlatBVH(aabb_min=zeros, aabb_max=zeros + 1, entry=entry, skip=skip,
+                  first_tri=first, tri_count=count,
+                  tri_order=np.arange(depth + 1, dtype=np.int32))
+    assert bvh_max_depth(entry, skip, count) == depth
+    with pytest.raises(ValueError, match="stack budget"):
+        check_traversal_depth(bvh)

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .flat import FlatBVH
+from .flat import FlatBVH, check_traversal_depth
 
 _N_BINS = 16
 
@@ -23,16 +23,22 @@ def build_bvh_sah(aabb_min: np.ndarray, aabb_max: np.ndarray,
     """Binned-SAH top-down build over item AABBs.
 
     Uses the C++ builder from tpurt.native when available, else numpy.
+    Raises at build time if the tree exceeds the traversal stack budget
+    (silent stack clamping in the packet kernel would corrupt results).
     """
+    bvh = None
     try:
         from ..native import native_build_sah
 
         out = native_build_sah(aabb_min, aabb_max, max_leaf_size)
         if out is not None:
-            return FlatBVH(**out)
+            bvh = FlatBVH(**out)
     except Exception:
         pass
-    return _build_numpy(aabb_min, aabb_max, max_leaf_size)
+    if bvh is None:
+        bvh = _build_numpy(aabb_min, aabb_max, max_leaf_size)
+    check_traversal_depth(bvh)
+    return bvh
 
 
 def _build_numpy(aabb_min, aabb_max, max_leaf_size):

@@ -79,6 +79,44 @@ class FlatBVH:
         assert skip.min() >= -1 and skip.max() < len(entry)
 
 
+def bvh_max_depth(entry: np.ndarray, skip: np.ndarray,
+                  tri_count: np.ndarray) -> int:
+    """Max node depth (root = 0) of a threaded BVH, host-side.
+
+    In the DFS layout both children of internal node n are entry[n] (left)
+    and skip[entry[n]] (right sibling), and parents precede children, so a
+    single forward sweep assigns every depth."""
+    entry = np.asarray(entry)
+    skip = np.asarray(skip)
+    tri_count = np.asarray(tri_count)
+    m = len(entry)
+    depth = np.zeros(m, np.int64)
+    for n in range(m):
+        if tri_count[n] == 0:
+            left = entry[n]
+            right = skip[left]
+            depth[left] = depth[n] + 1
+            depth[right] = depth[n] + 1
+    return int(depth.max(initial=0))
+
+
+# The packet kernels' SMEM traversal stack (traverse_pallas.STACK_DEPTH):
+# each internal-node pop pushes 2 children (net +1), so peak stack usage is
+# depth + 2. Exceeding it would silently overwrite live entries and return
+# wrong hits — builders turn that into a loud build-time error instead.
+MAX_SAFE_DEPTH = 192 - 2
+
+
+def check_traversal_depth(bvh: "FlatBVH") -> int:
+    depth = bvh_max_depth(bvh.entry, bvh.skip, bvh.tri_count)
+    if depth > MAX_SAFE_DEPTH:
+        raise ValueError(
+            f"BVH depth {depth} exceeds the traversal stack budget "
+            f"({MAX_SAFE_DEPTH}); the packet tracer would silently corrupt "
+            f"its stack. Increase max_leaf_size or STACK_DEPTH.")
+    return depth
+
+
 def tri_aabbs(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray):
     amin = np.minimum(np.minimum(v0, v1), v2)
     amax = np.maximum(np.maximum(v0, v1), v2)

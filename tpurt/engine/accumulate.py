@@ -100,13 +100,21 @@ def accumulate_samples_scan(state: AccumulationState, scene: dict,
                              key=key)
 
 
+def _ckpt_path(path: str) -> str:
+    """np.savez appends '.npz' to bare paths; normalize so save and load
+    always agree (a mismatch silently restarts long renders from sample 0)."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_checkpoint(path: str, state: AccumulationState):
+    path = _ckpt_path(path)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez(path, color_sum=np.asarray(state.color_sum),
              num_samples=state.num_samples, key=np.asarray(state.key))
 
 
 def load_checkpoint(path: str) -> Optional[AccumulationState]:
+    path = _ckpt_path(path)
     if not os.path.exists(path):
         return None
     data = np.load(path)

@@ -99,7 +99,7 @@ def render_frame_dynamic(obj_scene: dict, transforms, camera: dict,
                              T_MIN, T_MAX, max_leaf=1)
     g = shade(scene, camera, lights, hits, origin, direction,
               pallas_tables="hbm" if use_pallas else "",
-              height=height, width=width)
+              height=height, width=width, max_leaf=1)
 
     color = quantize_r11g11b10f(g["color"]).reshape(height, width, 3)
     depth = quantize_r16f(g["depth"]).reshape(height, width)

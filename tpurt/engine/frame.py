@@ -39,6 +39,59 @@ def _aa_jitters(spp: int):
     return jnp.asarray(jit.astype(_np.float32))
 
 
+# spp values up to this unroll inline; larger counts run the extra samples
+# under lax.scan so the compiled program stays ~spp=4-sized at any spp.
+SPP_UNROLL = 4
+
+
+def render_gbuffer(scene: dict, camera: dict, lights: dict, *, width: int,
+                   height: int, row_start=0, num_rows: int | None = None,
+                   pallas_tables: str = "", spp: int = 1):
+    """Trace + shade the (optionally banded) pixel grid; returns the
+    unquantized G-buffer dict (color spp-averaged, depth/normals from the
+    center sample). Shared by the single-chip frame, the multi-chip
+    shard_map body (dist/sharding.py), and the accumulation sampler."""
+    band = height if num_rows is None else num_rows
+
+    def trace_and_shade(origin, direction):
+        if pallas_tables:
+            from ..kernels.traverse_pallas import trace_closest_packets
+
+            hits = trace_closest_packets(
+                scene["bvh"], scene["geom"], origin, direction, T_MIN, T_MAX,
+                height=band, width=width, max_leaf=MAX_LEAF,
+                tables=pallas_tables)
+        else:
+            hits = trace_closest(scene["bvh"], scene["geom"], origin,
+                                 direction, T_MIN, T_MAX, max_leaf=MAX_LEAF)
+        return shade(scene, camera, lights, hits, origin, direction,
+                     pallas_tables=pallas_tables, height=band, width=width,
+                     max_leaf=MAX_LEAF)
+
+    origin, direction = camera_rays(camera, width, height,
+                                    row_start=row_start, num_rows=num_rows)
+    g = trace_and_shade(origin, direction)
+    if spp > 1:
+        jitters = _aa_jitters(spp)
+
+        def sample_color(jit):
+            o_s, d_s = camera_rays(camera, width, height, row_start=row_start,
+                                   num_rows=num_rows, jitter=jit)
+            return trace_and_shade(o_s, d_s)["color"]
+
+        if spp <= SPP_UNROLL:
+            acc = g["color"]
+            for s in range(1, spp):
+                acc = acc + sample_color(jitters[s])
+        else:
+            def body(acc, jit):
+                return acc + sample_color(jit), None
+
+            acc, _ = jax.lax.scan(body, g["color"], jitters[1:])
+        g = dict(g, color=acc / spp)
+    return g
+
+
 @partial(jax.jit, static_argnames=("width", "height", "gtao_settings",
                                    "enable_gtao", "enable_tonemap",
                                    "pallas_tables", "spp"))
@@ -54,29 +107,8 @@ def render_frame(scene: dict, camera: dict, lights: dict, gtao_consts: dict,
     spp > 1 averages R2-jittered HDR samples (anti-aliasing); the G-buffer
     for GTAO comes from the center sample.
     """
-    def trace_and_shade(origin, direction):
-        if pallas_tables:
-            from ..kernels.traverse_pallas import trace_closest_packets
-
-            hits = trace_closest_packets(
-                scene["bvh"], scene["geom"], origin, direction, T_MIN, T_MAX,
-                height=height, width=width, max_leaf=MAX_LEAF,
-                tables=pallas_tables)
-        else:
-            hits = trace_closest(scene["bvh"], scene["geom"], origin,
-                                 direction, T_MIN, T_MAX, max_leaf=MAX_LEAF)
-        return shade(scene, camera, lights, hits, origin, direction,
-                     pallas_tables=pallas_tables, height=height, width=width)
-
-    origin, direction = camera_rays(camera, width, height)
-    g = trace_and_shade(origin, direction)
-    if spp > 1:
-        jitters = _aa_jitters(spp)
-        acc = g["color"]
-        for s in range(1, spp):
-            o_s, d_s = _jittered_rays(camera, width, height, jitters[s])
-            acc = acc + trace_and_shade(o_s, d_s)["color"]
-        g = dict(g, color=acc / spp)
+    g = render_gbuffer(scene, camera, lights, width=width, height=height,
+                       pallas_tables=pallas_tables, spp=spp)
 
     # G-buffer storage-format quantization (B10G11R11F color+normal, R16F depth)
     color = quantize_r11g11b10f(g["color"]).reshape(height, width, 3)
@@ -112,7 +144,7 @@ def render_sample_hdr(scene: dict, camera: dict, lights: dict, jitter,
     """One progressive-accumulation sample: linear HDR radiance with a
     sub-pixel camera jitter (jitter in [-0.5, 0.5]^2 pixels). Used by the
     accumulation / ground-truth mode (engine.accumulate)."""
-    origin, direction = _jittered_rays(camera, width, height, jitter)
+    origin, direction = camera_rays(camera, width, height, jitter=jitter)
     if pallas_tables:
         from ..kernels.traverse_pallas import trace_closest_packets
 
@@ -124,19 +156,6 @@ def render_sample_hdr(scene: dict, camera: dict, lights: dict, jitter,
         hits = trace_closest(scene["bvh"], scene["geom"], origin, direction,
                              T_MIN, T_MAX, max_leaf=MAX_LEAF)
     g = shade(scene, camera, lights, hits, origin, direction,
-              pallas_tables=pallas_tables, height=height, width=width)
+              pallas_tables=pallas_tables, height=height, width=width,
+              max_leaf=MAX_LEAF)
     return g["color"].reshape(height, width, 3)
-
-
-def _jittered_rays(camera: dict, width: int, height: int, jitter):
-    view_inv = camera["view_inv"]
-    proj_inv = camera["proj_inv"]
-    x = (jnp.arange(width, dtype=jnp.float32) + 0.5 + jitter[0]) / width * 2 - 1
-    y = (jnp.arange(height, dtype=jnp.float32) + 0.5 + jitter[1]) / height * 2 - 1
-    dx, dy = jnp.meshgrid(x, y)
-    ndc = jnp.stack([dx, dy, jnp.ones_like(dx), jnp.ones_like(dx)], axis=-1)
-    target = jnp.einsum("ij,hwj->hwi", proj_inv, ndc)[..., :3]
-    target = target / jnp.linalg.norm(target, axis=-1, keepdims=True)
-    direction = jnp.einsum("ij,hwj->hwi", view_inv[:3, :3], target)
-    origin = jnp.broadcast_to(view_inv[:3, 3], (height, width, 3))
-    return origin.reshape(-1, 3), direction.reshape(-1, 3)

@@ -139,16 +139,18 @@ class Renderer:
         if c.mesh is not None:
             from ..dist.sharding import render_frame_sharded
 
-            image = render_frame_sharded(
+            out = render_frame_sharded(
                 self._scene_device, cam, lights, consts, self._lpm_derived,
                 np.int32(self._frame_idx % 64),
                 width=c.width, height=c.height, gtao_settings=c.gtao,
-                mesh=c.mesh)
+                mesh=c.mesh, enable_gtao=c.enable_gtao,
+                enable_tonemap=c.enable_tonemap,
+                pallas_tables=self._pallas_tables(), spp=c.spp)
             self._frame_idx += 1
             self.rendered_frames += 1
             if block:
-                image.block_until_ready()
-            return dict(image=image)
+                out["image"].block_until_ready()
+            return out
         out = render_frame(
             self._scene_device, cam, lights,
             consts, self._lpm_derived,

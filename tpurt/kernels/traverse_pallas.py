@@ -46,6 +46,14 @@ STACK_DEPTH = 192
 SMEM_BUDGET = 256 * 1024
 
 
+def _resolve_interpret(interpret) -> bool:
+    """interpret=None -> auto: run Mosaic on TPU-class backends, the Pallas
+    interpreter elsewhere (CPU tests exercise the same kernel code path)."""
+    if interpret is not None:
+        return interpret
+    return jax.default_backend() not in ("tpu", "axon")
+
+
 def fits_smem(num_nodes: int, num_tris: int) -> bool:
     nodes = num_nodes * (6 * 4 + 4 * 4)
     tris = num_tris * (9 * 4)
@@ -317,11 +325,16 @@ def pack_tables_hbm(bvh: dict, geom: dict):
     nodes = nodes.at[:, 14:17].set(centroid[right_c])
 
     t = geom["v0"].shape[0]
-    tris = jnp.zeros((t, 128), jnp.float32)
-    tris = tris.at[:, 0:3].set(jnp.asarray(geom["v0"], jnp.float32))
-    tris = tris.at[:, 3:6].set(jnp.asarray(geom["e1"], jnp.float32))
-    tris = tris.at[:, 6:9].set(jnp.asarray(geom["e2"], jnp.float32))
-    tris = tris.at[:, 9].set(jnp.asarray(geom["tri_id"], jnp.float32))
+    # Pad to >= 8 rows so the leaf block DMA (max_leaf rows at a clamped
+    # offset) can never read past the table for tiny scenes (< max_leaf
+    # tris). Padding rows are degenerate (e1 = e2 = 0 -> det 0, no hit) and
+    # excluded by the kernel's in_range mask anyway.
+    tp = max(t, 8)
+    tris = jnp.zeros((tp, 128), jnp.float32)
+    tris = tris.at[:t, 0:3].set(jnp.asarray(geom["v0"], jnp.float32))
+    tris = tris.at[:t, 3:6].set(jnp.asarray(geom["e1"], jnp.float32))
+    tris = tris.at[:t, 6:9].set(jnp.asarray(geom["e2"], jnp.float32))
+    tris = tris.at[:t, 9].set(jnp.asarray(geom["tri_id"], jnp.float32))
     return nodes, tris
 
 
@@ -385,7 +398,8 @@ def _packet_kernel_hbm(nodes_ref, tris_ref,
         left_near = key_l <= key_r
         is_leaf = count > 0
         do_leaf = is_leaf & any_lane
-        first_c = jnp.clip(first, 0, num_tris - max_leaf)
+        # lo > hi would make jnp.clip return hi (negative) — guard tiny scenes
+        first_c = jnp.clip(first, 0, jnp.maximum(num_tris - max_leaf, 0))
 
         @pl.when(do_leaf)
         def _():
@@ -609,10 +623,12 @@ def _rays_to_packets(origin, direction, t_min, t_max, height, width):
                                    "tables"))
 def trace_closest_packets(bvh: dict, geom: dict, origin, direction,
                           t_min, t_max, *, height: int, width: int,
-                          max_leaf: int = 4, interpret: bool = False,
+                          max_leaf: int = 4, interpret: bool | None = None,
                           tables: str = "smem"):
     """Closest-hit packet trace over an image-shaped ray batch.
-    Same contract as kernels.traverse.trace_closest (t=t_max & tri=-1 on miss)."""
+    Same contract as kernels.traverse.trace_closest (t=t_max & tri=-1 on miss).
+    interpret=None auto-selects Mosaic on TPU / interpreter elsewhere."""
+    interpret = _resolve_interpret(interpret)
     if tables == "hbm":
         nodes128, tris128 = pack_tables_hbm(bvh, geom)
         aabb, meta, tri, tri_id = nodes128, tris128, None, None
@@ -630,9 +646,10 @@ def trace_closest_packets(bvh: dict, geom: dict, origin, direction,
                                    "tables"))
 def trace_any_packets(bvh: dict, geom: dict, origin, direction,
                       t_min, t_max, *, height: int, width: int,
-                      max_leaf: int = 4, interpret: bool = False,
+                      max_leaf: int = 4, interpret: bool | None = None,
                       tables: str = "smem"):
     """Any-hit packet trace; returns boolean occlusion mask (H*W,)."""
+    interpret = _resolve_interpret(interpret)
     if tables == "hbm":
         nodes128, tris128 = pack_tables_hbm(bvh, geom)
         aabb, meta, tri, tri_id = nodes128, tris128, None, None

@@ -14,18 +14,23 @@ T_MAX = 10000.0
 
 
 def camera_rays(camera: dict, width: int, height: int,
-                row_start=0, num_rows=None):
+                row_start=0, num_rows=None, jitter=None):
     """Returns (origin (R*W, 3), direction (R*W, 3)) world-space rays for a
     horizontal band of `num_rows` rows starting at `row_start` (full image by
     default). The band form is what the multi-chip tile decomposition uses —
-    each chip generates only its own rays (dist/sharding.py)."""
+    each chip generates only its own rays (dist/sharding.py).
+
+    jitter: optional (2,) sub-pixel offset in [-0.5, 0.5] pixels (AA /
+    progressive accumulation); None = pixel centers (reference behavior)."""
     view_inv = camera["view_inv"]
     proj_inv = camera["proj_inv"]
     num_rows = height if num_rows is None else num_rows
+    jx = 0.0 if jitter is None else jitter[0]
+    jy = 0.0 if jitter is None else jitter[1]
 
-    x = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
+    x = (jnp.arange(width, dtype=jnp.float32) + 0.5 + jx) / width * 2.0 - 1.0
     rows = row_start + jnp.arange(num_rows, dtype=jnp.float32)
-    y = (rows + 0.5) / height * 2.0 - 1.0
+    y = (rows + 0.5 + jy) / height * 2.0 - 1.0
     dx, dy = jnp.meshgrid(x, y)  # (R, W)
     height = num_rows  # shapes below are per-band
 

@@ -76,7 +76,7 @@ def sample_bilinear(tex_stack, tex_size, prim, layer: int, uv):
 
 def shade(scene: dict, camera: dict, lights: dict, hits: dict,
           origin, direction, *, pallas_tables: str = "",
-          height: int = 0, width: int = 0):
+          height: int = 0, width: int = 0, max_leaf: int = 4):
     """Shade one batch of primary hits.
 
     Returns dict(color (N,3), depth (N,), normal_enc (N,3)) — the unquantized
@@ -174,10 +174,11 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
             occluded = trace_any_packets(scene["bvh"], scene["geom"],
                                          world_pos, L, SHADOW_T_MIN, t_max,
                                          height=height, width=width,
+                                         max_leaf=max_leaf,
                                          tables=pallas_tables)
         else:
             occluded = trace_any(scene["bvh"], scene["geom"], world_pos, L,
-                                 SHADOW_T_MIN, t_max, max_leaf=4)
+                                 SHADOW_T_MIN, t_max, max_leaf=max_leaf)
         shadow_attenuation = jnp.where(wants_shadow & occluded,
                                        SHADOW_ATTENUATION, shadow_attenuation)
 

@@ -185,6 +185,10 @@ class GltfModelReader:
         def attr_from_accessor(acc_idx: int) -> _Attribute:
             acc = accessors[acc_idx]
             view = buffer_views[acc["bufferView"]]
+            # only buffers[0] is loaded into buffer_data; a view into any
+            # other buffer would silently read the wrong bytes
+            assert view.get("buffer", 0) == 0, \
+                "accessors must reference buffer 0 (only buffer 0 is loaded)"
             size = _COMPONENT_SIZE[acc["componentType"]] * _TYPE_COUNT[acc["type"]]
             stride = view.get("byteStride", size)
             return _Attribute(
@@ -314,8 +318,19 @@ class GltfModelReader:
     # -- strided attribute access -----------------------------------------
 
     def _attr_view(self, attr: _Attribute) -> np.ndarray:
-        """(count, element_size) u8 strided view into the model buffer."""
+        """(count, element_size) u8 strided view into the model buffer.
+
+        as_strided performs no bounds check; the last element only needs
+        element_size bytes (not a full stride), so validate against the real
+        extent before building the view."""
         count = attr.element_count
+        if count:
+            needed = ((count - 1) * attr.element_stride + attr.element_size)
+            avail = len(self.buffer_data) - attr.buffer_data_start
+            if needed > avail:
+                raise ValueError(
+                    f"accessor overruns buffer: needs {needed} bytes at "
+                    f"offset {attr.buffer_data_start}, has {avail}")
         return np.lib.stride_tricks.as_strided(
             self.buffer_data[attr.buffer_data_start:],
             shape=(count, attr.element_size),
