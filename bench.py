@@ -31,13 +31,13 @@ FRAMES = 20
 NORTH_STAR_MRAYS = 100.0
 
 
-def build_scene():
+def build_scene(width=WIDTH, height=HEIGHT):
     from tpurt.engine import Renderer, RendererConfig
     from tpurt.passes.gtao import GtaoSettings
     from tpurt.scene.lights import AreaLight, SpotLight
     from tpurt.scene.procedural import box_field, ground_plane
 
-    cfg = RendererConfig(width=WIDTH, height=HEIGHT,
+    cfg = RendererConfig(width=width, height=height,
                          gtao=GtaoSettings(slice_count=9, steps_per_slice=3,
                                            denoise=1))  # ULTRA + Sharp
     r = Renderer(cfg)
@@ -116,8 +116,49 @@ def _measure(renderer, rays_per_frame):
     return elapsed
 
 
+def profile_main():
+    """--profile: per-pass ms breakdown (trace / shade+shadows / GTAO /
+    tonemap, sync-point timing) + fused end-to-end, at 800x800 and 1080p.
+    Writes PROFILE.json (VERDICT round-1 item 5)."""
+    import jax
+
+    report = {}
+    for w, h in [(WIDTH, HEIGHT), (1920, 1080)]:
+        _log(f"profile: building {w}x{h} scene...")
+        r = build_scene(w, h)
+        for i in range(2):
+            r.render(block=True)  # compile + settle
+        t0 = time.perf_counter()
+        for _ in range(8):
+            r.render(block=True)
+        fused_ms = (time.perf_counter() - t0) * 1000.0 / 8
+
+        from tpurt.engine.profiler import profile_frame
+
+        stats = profile_frame(r, repeats=5)
+        _log(f"profile {w}x{h}: {stats.pretty()} | fused {fused_ms:.3f} ms")
+        report[f"{w}x{h}"] = dict(
+            per_pass_ms={k: round(v, 4) for k, v in stats.ms_per_pass.items()},
+            sum_of_passes_ms=round(stats.ms_total, 4),
+            fused_frame_ms=round(fused_ms, 4),
+            tracer_tier=r.stats()["tracer_tier"],
+            tris=r.stats()["tris"],
+            note="per-pass numbers include a device sync each; the fused "
+                 "frame is the real cost",
+        )
+    report["device"] = str(jax.devices()[0])
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "PROFILE.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+
+
 def main():
     import jax
+
+    if "--profile" in sys.argv:
+        profile_main()
+        return
 
     _log("bench: building scene...")
     renderer = build_scene()

@@ -67,8 +67,10 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
-def _pass_fns(width, height, gtao_settings):
-    """Individually jitted pass segments (cached per static config)."""
+def _pass_fns(width, height, gtao_settings, pallas_tables: str = ""):
+    """Individually jitted pass segments (cached per static config).
+    pallas_tables routes trace + shadow rays through the packet tracer so
+    the breakdown reflects the pipeline actually used on TPU."""
     from functools import partial
 
     import jax.numpy as jnp
@@ -86,12 +88,21 @@ def _pass_fns(width, height, gtao_settings):
 
     @partial(jax.jit)
     def trace_fn(scene, o, d):
+        if pallas_tables:
+            from ..kernels.traverse_pallas import trace_closest_packets
+
+            return trace_closest_packets(scene["bvh"], scene["geom"], o, d,
+                                         T_MIN, T_MAX, height=height,
+                                         width=width, max_leaf=4,
+                                         tables=pallas_tables)
         return trace_closest(scene["bvh"], scene["geom"], o, d,
                              T_MIN, T_MAX, max_leaf=4)
 
     @partial(jax.jit)
     def shade_fn(scene, cam, lights, hits, o, d):
-        g = shade(scene, cam, lights, hits, o, d)
+        g = shade(scene, cam, lights, hits, o, d,
+                  pallas_tables=pallas_tables, height=height, width=width,
+                  max_leaf=4)
         color = quantize_r11g11b10f(g["color"]).reshape(height, width, 3)
         depth = quantize_r16f(g["depth"]).reshape(height, width)
         normal = quantize_r11g11b10f(g["normal_enc"]).reshape(height, width, 3)
@@ -123,7 +134,7 @@ def profile_frame(renderer, repeats: int = 1) -> FrameStats:
     scene = renderer.scene_device
     n_lights = renderer.lights.get_lights_count()
     rays_fn, trace_fn, shade_fn, gtao_fn, tonemap_fn = _pass_fns(
-        c.width, c.height, c.gtao)
+        c.width, c.height, c.gtao, renderer._pallas_tables())
 
     # warm-up (compile) pass, untimed
     o, d = rays_fn(cam)
