@@ -153,11 +153,66 @@ def profile_main():
     print(json.dumps(report))
 
 
+def materials_main():
+    """--materials: 36-material mipmapped workload (the 256-slot bindless
+    analogue at scale) at 800x800 ULTRA; writes BENCH_MATERIALS.json."""
+    import jax
+
+    from tpurt.engine import Renderer, RendererConfig
+    from tpurt.passes.gtao import GtaoSettings
+    from tpurt.scene.lights import DirectionalLight, SpotLight
+    from tpurt.scene.procedural import ground_plane, material_field
+
+    cfg = RendererConfig(width=WIDTH, height=HEIGHT,
+                         gtao=GtaoSettings(9, 3, denoise=1), mipmaps=True)
+    r = Renderer(cfg)
+    r.models.append(material_field(nx=6, nz=6, subdiv=4))
+    r.models.append(ground_plane())
+    r.camera_mut().set_pos([0.0, -2.5, -6.5])
+    d = np.array([0.0, 0.35, 1.0])
+    r.camera_mut().set_dir(d / np.linalg.norm(d))
+    r.lights_mut().directional_lights.append(DirectionalLight(
+        dir=np.array([0.3, 0.9, 0.3]) / np.linalg.norm([0.3, 0.9, 0.3]),
+        color=[1.5, 1.4, 1.3], casts_shadows=True))
+    r.lights_mut().spot_lights.append(SpotLight(
+        pos=[0.0, -4.0, 0.0], dir=[0.0, 1.0, 0.0],
+        color=np.array([1.36, 0.16, 2.22]) * 10.0, falloff_distance=12.0,
+        penumbra_umbra_angles=(np.radians(30), np.radians(45)),
+        casts_shadows=True))
+    r.prepare_first_frame()
+    rays = WIDTH * HEIGHT * (1 + 2)
+    for i in range(WARMUP):
+        r.render(block=True)
+        _log(f"materials: warmup {i + 1}/{WARMUP}")
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(FRAMES):
+        out = r.render(block=True)
+    el = time.perf_counter() - t0
+    checksum, _ = _device_sanity(out["image"])
+    assert checksum > 0
+    report = dict(
+        metric="Mrays/s, 36 distinct materials + mip-chain trilinear, "
+               "800x800 ULTRA",
+        value=round(rays * FRAMES / el / 1e6, 2), unit="Mrays/s",
+        ms_per_frame=round(el * 1000 / FRAMES, 3),
+        tris=int(r.scene.geom["v0"].shape[0]), materials=r.scene.num_prims,
+        mip_levels=int(r.scene.tex_mip_sizes.shape[1]),
+        device=str(jax.devices()[0]))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_MATERIALS.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+
+
 def main():
     import jax
 
     if "--profile" in sys.argv:
         profile_main()
+        return
+    if "--materials" in sys.argv:
+        materials_main()
         return
 
     _log("bench: building scene...")

@@ -90,3 +90,31 @@ def test_sharded_bent_normals_matches_single():
                                   np.asarray(sharded["image"]))
     np.testing.assert_array_equal(np.asarray(single["bent_normals"]),
                                   np.asarray(sharded["bent_normals"]))
+
+
+def test_sharded_geometry_ring_matches_replicated():
+    """Geometry partitioned across 8 chips + ray ring all-to-all
+    (dist/geometry.py) must reproduce the replicated-BVH frame bit-exactly
+    — primary hits, shadows, and the post passes."""
+    from tpurt.dist.geometry import (render_frame_sharded_geometry,
+                                     shard_geometry)
+
+    r = make_renderer()
+    single = r.render()
+
+    r2 = make_renderer()
+    cfg = r2.config
+    scene = r2.scene.as_pytree()
+    shards = shard_geometry(scene, 8)
+    assert shards["bvh"]["aabb_min"].shape[0] == 8
+    cam = r2.camera.uniform()
+    consts = gtao_constants(cfg.width, cfg.height, r2.camera.znear,
+                            r2.camera.zfar, r2.camera.fovy, r2.camera.aspect)
+    out = render_frame_sharded_geometry(
+        scene, shards, cam, r2.lights.shader_arrays(), consts,
+        r2._lpm_derived, np.int32(0),
+        width=cfg.width, height=cfg.height, gtao_settings=cfg.gtao,
+        mesh=make_mesh(8))
+    for key in ("image", "color", "depth", "normal", "ao"):
+        np.testing.assert_array_equal(np.asarray(single[key]),
+                                      np.asarray(out[key]), err_msg=key)

@@ -49,6 +49,10 @@ class RendererConfig:
     mesh: Optional[object] = None
     # Anti-aliasing samples per pixel (R2-jittered; 1 = reference behavior).
     spp: int = 1
+    # Trilinear mip sampling with ray-cone LOD. The reference's sampler is
+    # trilinear aniso-16 but all its textures allocate a single mip
+    # (vk_rt_descriptor_set.rs:76-97); off = reference behavior.
+    mipmaps: bool = False
 
 
 class Renderer:
@@ -101,7 +105,8 @@ class Renderer:
             m.dirty = False
         if (changed or self._scene is None) and any(
                 m.is_device_resident() for m in self.models):
-            self._scene = flatten_scene(self.models)
+            self._scene = flatten_scene(self.models,
+                                        mipmaps=self.config.mipmaps)
             # Upload once: keep the scene resident in HBM so per-frame calls
             # transfer only the small dynamic inputs (camera/lights/consts).
             # This is the analogue of the reference's host->device staging

@@ -21,6 +21,7 @@ single step (the compaction analogue for this 1-bounce pipeline).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..kernels.traverse import trace_any
 from . import brdf
@@ -74,15 +75,83 @@ def sample_bilinear(tex_stack, tex_size, prim, layer: int, uv):
     return out / 255.0
 
 
+def _sample_mip_bilinear(atlas, offsets, sizes, prim, layer: int, uv, level):
+    """Bilinear REPEAT fetch at an integer mip `level` (per-pixel) from the
+    flat mip atlas. atlas (N,4) u8; offsets (P*3,L) i32; sizes (P,L,2)."""
+    img = prim * 3 + layer
+    hw = sizes[prim, level]                  # (N, 2)
+    h = hw[:, 0]
+    w = hw[:, 1]
+    hf = h.astype(jnp.float32)
+    wf = w.astype(jnp.float32)
+    px = uv[:, 0] * wf - 0.5
+    py = uv[:, 1] * hf - 0.5
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    fx = (px - x0)[:, None]
+    fy = (py - y0)[:, None]
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    y0i = jnp.mod(y0.astype(jnp.int32), h)
+    x1i = jnp.mod(x0i + 1, w)
+    y1i = jnp.mod(y0i + 1, h)
+    base = offsets[img, level]
+
+    def tap(yi, xi):
+        return atlas[base + yi * w + xi].astype(jnp.float32)
+
+    out = ((tap(y0i, x0i) * (1 - fx) + tap(y0i, x1i) * fx) * (1 - fy)
+           + (tap(y1i, x0i) * (1 - fx) + tap(y1i, x1i) * fx) * fy)
+    return out / 255.0
+
+
+def sample_trilinear(atlas, offsets, sizes, prim, layer: int, uv, lod):
+    """Trilinear fetch: bilinear at floor/ceil mip levels, lerped by the
+    fractional lod. The TPU analogue of the reference's immutable
+    LINEAR/LINEAR/LINEAR sampler (vk_rt_descriptor_set.rs:76-97)."""
+    levels = sizes.shape[1]
+    lod = jnp.clip(lod, 0.0, float(levels - 1))
+    l0 = jnp.floor(lod)
+    frac = (lod - l0)[:, None]
+    l0i = l0.astype(jnp.int32)
+    l1i = jnp.minimum(l0i + 1, levels - 1)
+    s0 = _sample_mip_bilinear(atlas, offsets, sizes, prim, layer, uv, l0i)
+    s1 = _sample_mip_bilinear(atlas, offsets, sizes, prim, layer, uv, l1i)
+    return s0 * (1 - frac) + s1 * frac
+
+
+def ray_cone_lod(t, direction, N, p0, p1, p2, uv0, uv1, uv2, tex_w, tex_h,
+                 spread):
+    """Texture LOD from the ray-cone footprint (Akenine-Moeller et al.,
+    "Texture Level of Detail Strategies for Real-Time Ray Tracing"): cone
+    diameter at the hit projected onto the surface, converted to texels via
+    the triangle's uv-per-world-area density."""
+    cone_diam = t * spread
+    cos_in = jnp.abs(jnp.sum(N * direction, axis=-1))
+    footprint = cone_diam / jnp.maximum(cos_in, 0.25)  # bounded anisotropy
+    e1 = p1 - p0
+    e2 = p2 - p0
+    world_area = 0.5 * jnp.linalg.norm(jnp.cross(e1, e2), axis=-1)
+    duv1 = uv1 - uv0
+    duv2 = uv2 - uv0
+    uv_area = 0.5 * jnp.abs(duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0])
+    texel_per_world = jnp.sqrt(
+        uv_area * tex_w * tex_h / jnp.maximum(world_area, 1e-12))
+    return jnp.log2(jnp.maximum(footprint * texel_per_world, 1e-6))
+
+
 def shade(scene: dict, camera: dict, lights: dict, hits: dict,
           origin, direction, *, pallas_tables: str = "",
-          height: int = 0, width: int = 0, max_leaf: int = 4):
+          height: int = 0, width: int = 0, max_leaf: int = 4,
+          shadow_trace_fn=None):
     """Shade one batch of primary hits.
 
     Returns dict(color (N,3), depth (N,), normal_enc (N,3)) — the unquantized
     G-buffer; the engine applies format quantization (B10G11R11F / R16F).
     With pallas_tables set, shadow rays go through the packet tracer (shadow
     rays inherit the pixel tiling, so the swizzle stays coherent).
+    shadow_trace_fn overrides the occlusion tracer entirely —
+    (origin, dir, tmin, tmax) -> bool mask; the sharded-geometry mode
+    passes its ring all-to-all tracer here (dist/geometry.py).
     """
     if pallas_tables:
         from ..kernels.traverse_pallas import trace_any_packets
@@ -122,16 +191,34 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
         - jnp.sum(world_tangent * world_normal, -1, keepdims=True) * world_normal)
     world_binormal = jnp.cross(world_normal, world_tangent) * t0[:, 3:4]
 
-    nmap = sample_bilinear(scene["tex_stack"], scene["tex_size"], prim, 2, tex_coord)
+    if "tex_atlas" in scene:
+        # trilinear mip sampling: LOD from the ray-cone footprint; pixel
+        # cone spread angle recovered from proj[1][1] = 1/tan(fovy/2)
+        rows = height if height else int(round(float(
+            np.sqrt(hits["t"].shape[0]))))
+        spread = 2.0 / (camera["proj"][1, 1] * rows)
+        tex_hw = scene["tex_mip_sizes"][prim, 0].astype(jnp.float32)
+        lod = ray_cone_lod(hits["t"], direction, world_normal, p0, p1, p2,
+                           uv0, uv1, uv2, tex_hw[:, 1], tex_hw[:, 0], spread)
+
+        def fetch(layer):
+            return sample_trilinear(scene["tex_atlas"],
+                                    scene["tex_mip_offsets"],
+                                    scene["tex_mip_sizes"], prim, layer,
+                                    tex_coord, lod)
+    else:
+        def fetch(layer):
+            return sample_bilinear(scene["tex_stack"], scene["tex_size"],
+                                   prim, layer, tex_coord)
+
+    nmap = fetch(2)
     N_ts = _normalize(nmap[:, :3] * 2.0 - 1.0)
     N = _normalize(N_ts[:, 0:1] * world_tangent
                    + N_ts[:, 1:2] * world_binormal
                    + N_ts[:, 2:3] * world_normal)
 
-    albedo = jnp.power(
-        sample_bilinear(scene["tex_stack"], scene["tex_size"], prim, 0, tex_coord)[:, :3],
-        2.2)
-    orm = sample_bilinear(scene["tex_stack"], scene["tex_size"], prim, 1, tex_coord)
+    albedo = jnp.power(fetch(0)[:, :3], 2.2)
+    orm = fetch(1)
     roughness = orm[:, 1]
     metallic = orm[:, 2]
 
@@ -170,7 +257,9 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
         wants_shadow = valid & (light["casts_shadows"] > 0) & (nc_NdotL > 0)
         # inactive lanes get tmax=0 -> they leave the BVH on the first step
         t_max = jnp.where(wants_shadow, L_len, 0.0)
-        if pallas_tables:
+        if shadow_trace_fn is not None:
+            occluded = shadow_trace_fn(world_pos, L, SHADOW_T_MIN, t_max)
+        elif pallas_tables:
             occluded = trace_any_packets(scene["bvh"], scene["geom"],
                                          world_pos, L, SHADOW_T_MIN, t_max,
                                          height=height, width=width,

@@ -72,6 +72,73 @@ def box_field(nx: int = 8, nz: int = 8, subdiv: int = 4, seed: int = 0,
     return Model.from_arrays(prims, eye)
 
 
+def _checker_texture(size: int, ca, cb, tiles: int = 4) -> np.ndarray:
+    """(size, size, 4) u8 checkerboard between colors ca and cb."""
+    yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+    mask = ((yy * tiles // max(size, 1)) + (xx * tiles // max(size, 1))) % 2
+    out = np.empty((size, size, 4), np.uint8)
+    out[..., :] = np.asarray(ca, np.uint8)
+    out[mask == 1] = np.asarray(cb, np.uint8)
+    return out
+
+
+def _image(arr: np.ndarray):
+    from .gltf import ImageData
+
+    h, w = arr.shape[:2]
+    return ImageData(pixels=arr.reshape(-1).copy(), width=w, height=h,
+                     format="R8G8B8A8_UNORM")
+
+
+def material_field(nx: int = 6, nz: int = 6, subdiv: int = 3, seed: int = 7,
+                   spacing: float = 1.2, half: float = 0.45) -> Model:
+    """A Sponza-class *material* workload: a grid of boxes where every box
+    is its own primitive with DISTINCT albedo/ORM/normal textures at varied
+    extents (16..128px) — the nx*nz-slot analogue of the reference's
+    256-slot bindless texture array (vk_rt_descriptor_set.rs:42-97).
+    Materials sweep roughness/metallic and hue so wrong-primitive fetches
+    are visually and numerically detectable."""
+    from .mesh import TextureType
+
+    rng = np.random.default_rng(seed)
+    extents = [16, 32, 64, 128]
+    prims = []
+    for i in range(nx):
+        for j in range(nz):
+            k = i * nz + j
+            h = 0.5 + rng.uniform(0.0, 1.5)
+            center = np.array([(i - (nx - 1) / 2) * spacing, -h * half,
+                               (j - (nz - 1) / 2) * spacing], np.float32)
+            pos, nrm, uv, idx = _cube(
+                center, half * np.array([1, h, 1], np.float32), subdiv)
+
+            size = extents[k % len(extents)]
+            hue = np.array([
+                127 + 120 * np.sin(2.19 * k),
+                127 + 120 * np.sin(2.19 * k + 2.09),
+                127 + 120 * np.sin(2.19 * k + 4.19)]).clip(16, 255)
+            albedo = _checker_texture(size, [*hue.astype(int), 255],
+                                      [250, 250, 250, 255],
+                                      tiles=2 + k % 6)
+            rough = int(40 + (k * 13) % 200)
+            metal = int((k * 29) % 255)
+            orm = np.full((size, size, 4), 255, np.uint8)
+            orm[..., 1] = rough
+            orm[..., 2] = metal
+            normal = np.full((size, size, 4), 255, np.uint8)
+            normal[..., 0] = 128
+            normal[..., 1] = 128
+            prims.append(dict(
+                positions=pos, normals=nrm, tex_coords=uv, tangents=None,
+                textures={TextureType.ALBEDO: _image(albedo),
+                          TextureType.ORM: _image(orm),
+                          TextureType.NORMAL: _image(normal)},
+                indices=idx.reshape(-1, 3)))
+    eye = np.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0]],
+                   np.float32)
+    return Model.from_arrays(prims, eye)
+
+
 def ground_plane(size: float = 20.0, y: float = 0.0) -> Model:
     pos = np.array([[-size, y, -size], [size, y, -size],
                     [size, y, size], [-size, y, size]], np.float32)

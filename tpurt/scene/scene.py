@@ -54,6 +54,13 @@ class FlatScene:
     tex_stack: Any   # (P*3, H, W, 4) u8 — layers albedo/orm/normal per prim
     tex_size: Any    # (P, 2) i32 (h, w) valid extent per prim
     num_prims: int = 0
+    # optional mip chain (RendererConfig.mipmaps): flat texel atlas +
+    # per-image/per-level offsets and sizes. The reference's sampler is
+    # trilinear anisotropic-16 (vk_rt_descriptor_set.rs:76-97) but its
+    # textures allocate a single mip; this is the capability superset.
+    tex_atlas: Any = None        # (N, 4) u8 — all images, all mip levels
+    tex_mip_offsets: Any = None  # (P*3, L) i32 texel offset into the atlas
+    tex_mip_sizes: Any = None    # (P, L, 2) i32 per-level (h, w)
     # object-space tables for the dynamic (per-frame-rebuild) mode
     vtx_instance: Any = None   # (V,) i32 instance id per vertex
     obj_vtx_pos: Any = None    # (V, 3) f32 object space
@@ -62,12 +69,17 @@ class FlatScene:
     transforms: Any = None     # (I, 3, 4) f32 instance transforms
 
     def as_pytree(self) -> dict:
-        return dict(
+        out = dict(
             bvh=self.bvh, geom=self.geom, tri_vertex=self.tri_vertex,
             tri_prim=self.tri_prim, vtx_pos=self.vtx_pos, vtx_uv=self.vtx_uv,
             vtx_normal=self.vtx_normal, vtx_tangent=self.vtx_tangent,
             tex_stack=self.tex_stack, tex_size=self.tex_size,
         )
+        if self.tex_atlas is not None:
+            out.update(tex_atlas=self.tex_atlas,
+                       tex_mip_offsets=self.tex_mip_offsets,
+                       tex_mip_sizes=self.tex_mip_sizes)
+        return out
 
     def as_object_pytree(self) -> dict:
         """Inputs for the dynamic mode: object-space geometry + instance ids
@@ -99,9 +111,59 @@ def _transform_directions(m3x4: np.ndarray, dirs: np.ndarray) -> np.ndarray:
     return (out / np.maximum(norm, 1e-20)).astype(np.float32)
 
 
-def flatten_scene(models: List[Model]) -> FlatScene:
+def _box_mip(arr: np.ndarray) -> np.ndarray:
+    """2x2 box-filter downsample of a (H, W, 4) u8 image (round-to-nearest,
+    odd trailing row/column clamped like GPU mip generation)."""
+    h, w = arr.shape[:2]
+    h2, w2 = max(h // 2, 1), max(w // 2, 1)
+    # pad odd dims by edge-duplication so every output texel averages 2x2
+    if h % 2 and h > 1:
+        arr = np.concatenate([arr, arr[-1:]], axis=0)
+    if w % 2 and w > 1:
+        arr = np.concatenate([arr, arr[:, -1:]], axis=1)
+    if h == 1 and w == 1:
+        return arr
+    a = arr[:h2 * 2, :w2 * 2].astype(np.uint16)
+    q = a.reshape(h2, 2 if h > 1 else 1, w2, 2 if w > 1 else 1, 4)
+    s = q.sum(axis=(1, 3))
+    n = q.shape[1] * q.shape[3]
+    return ((s + n // 2) // n).astype(np.uint8)
+
+
+def build_mip_atlas(tex_stack: np.ndarray, tex_size: np.ndarray):
+    """Full mip chains for every image in the stack, packed into one flat
+    texel atlas. Returns (atlas (N,4) u8, offsets (P*3, L) i32,
+    sizes (P, L, 2) i32). Level count L covers the largest extent."""
+    n_img = tex_stack.shape[0]
+    n_prims = tex_size.shape[0]
+    hmax = int(tex_size[:, 0].max(initial=1))
+    wmax = int(tex_size[:, 1].max(initial=1))
+    levels = max(int(np.ceil(np.log2(max(hmax, wmax, 1)))) + 1, 1)
+
+    chunks = []
+    offsets = np.zeros((n_img, levels), np.int64)
+    sizes = np.zeros((n_prims, levels, 2), np.int32)
+    cursor = 0
+    for img in range(n_img):
+        prim = img // 3
+        h, w = int(tex_size[prim, 0]), int(tex_size[prim, 1])
+        cur = tex_stack[img, :h, :w].copy()
+        for lv in range(levels):
+            offsets[img, lv] = cursor
+            sizes[prim, lv] = cur.shape[:2]
+            chunks.append(cur.reshape(-1, 4))
+            cursor += cur.shape[0] * cur.shape[1]
+            if cur.shape[0] > 1 or cur.shape[1] > 1:
+                cur = _box_mip(cur)
+            # 1x1 repeats for remaining levels (sampler clamp at max lod)
+    atlas = np.concatenate(chunks, axis=0)
+    return atlas, offsets.astype(np.int32), sizes
+
+
+def flatten_scene(models: List[Model], mipmaps: bool = False) -> FlatScene:
     """Flatten all device-resident models; build the world BVH (binned SAH,
-    the analogue of the driver's PREFER_FAST_TRACE build)."""
+    the analogue of the driver's PREFER_FAST_TRACE build). mipmaps adds the
+    per-image mip-chain atlas for trilinear sampling."""
     pos_l, uv_l, nrm_l, tan_l, inst_l = [], [], [], [], []
     tri_v_l, tri_p_l = [], []
     tex_entries = []  # (prim_idx, layer, ImageData)
@@ -191,6 +253,11 @@ def flatten_scene(models: List[Model]) -> FlatScene:
     geom = dict(v0=v0o, e1=(v1[order] - v0o), e2=(v2[order] - v0o),
                 tri_id=order.astype(np.int32))
 
+    tex_atlas = tex_mip_offsets = tex_mip_sizes = None
+    if mipmaps:
+        tex_atlas, tex_mip_offsets, tex_mip_sizes = build_mip_atlas(
+            tex_stack, tex_size)
+
     return FlatScene(
         bvh=bvh.as_pytree(), geom=geom, tri_vertex=tri_vertex,
         tri_prim=tri_prim, vtx_pos=vtx_pos, vtx_uv=vtx_uv,
@@ -199,4 +266,6 @@ def flatten_scene(models: List[Model]) -> FlatScene:
         vtx_instance=vtx_instance, obj_vtx_pos=obj_vtx_pos,
         obj_vtx_normal=obj_vtx_normal, obj_vtx_tangent=obj_vtx_tangent,
         transforms=transforms,
+        tex_atlas=tex_atlas, tex_mip_offsets=tex_mip_offsets,
+        tex_mip_sizes=tex_mip_sizes,
     )
