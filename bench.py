@@ -95,6 +95,49 @@ def _device_sanity(image) -> tuple:
     return float(s), int(mx)
 
 
+def _measure_burst(renderer, frames: int = 16):
+    """Device-side frame loop: `frames` full frames inside ONE program
+    (lax.scan over the GTAO noise index, reduced to a checksum so nothing
+    big crosses the tunnel). Separates true device throughput from the
+    per-dispatch RPC floor — the analogue of the reference's 3
+    frames-in-flight keeping the GPU fed (renderer.rs:300-318)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpurt.engine.frame import render_frame
+    from tpurt.passes.gtao import gtao_constants
+
+    c = renderer.config
+    cam = renderer._cached("camera", renderer.camera.uniform())
+    lights = renderer._cached("lights", renderer.lights.shader_arrays())
+    consts = gtao_constants(c.width, c.height, renderer.camera.znear,
+                            renderer.camera.zfar, renderer.camera.fovy,
+                            renderer.camera.aspect)
+    scene = renderer.scene_device
+    tables = renderer._pallas_tables()
+
+    @jax.jit
+    def burst(scene, cam, lights, consts, lpm):
+        def body(acc, i):
+            out = render_frame(scene, cam, lights, consts, lpm,
+                               i % 64, width=c.width, height=c.height,
+                               gtao_settings=c.gtao, pallas_tables=tables)
+            return acc + jnp.sum(out["image"], dtype=jnp.uint32), None
+
+        acc, _ = jax.lax.scan(body, jnp.uint32(0),
+                              jnp.arange(frames, dtype=jnp.int32))
+        return acc
+
+    burst(scene, cam, lights, consts, renderer._lpm_derived
+          ).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    chk = burst(scene, cam, lights, consts, renderer._lpm_derived)
+    chk.block_until_ready()
+    el = time.perf_counter() - t0
+    assert int(chk) > 0
+    return el * 1000.0 / frames
+
+
 def _measure(renderer, rays_per_frame):
     """Warmup + timed frames + device-side sanity. Raises on backend error;
     the caller retries with the (already compiled) program."""
@@ -240,7 +283,18 @@ def main():
     ms_per_frame = elapsed * 1000.0 / FRAMES
     mrays = rays_per_frame * FRAMES / elapsed / 1e6
 
+    try:
+        burst_ms = _measure_burst(renderer)
+        _log(f"bench: device-side burst {burst_ms:.3f} ms/frame "
+             f"({rays_per_frame / burst_ms / 1e3:.0f} Mrays/s)")
+    except Exception as e:  # noqa: BLE001 — secondary metric, best-effort
+        _log(f"bench: burst measurement failed ({e!r}); continuing")
+        burst_ms = None
+
     meta = dict(
+        burst_ms_per_frame=(round(burst_ms, 3) if burst_ms else None),
+        burst_mrays=(round(rays_per_frame / burst_ms / 1e3, 1)
+                     if burst_ms else None),
         ms_per_frame=round(ms_per_frame, 3),
         fps=round(1000.0 / ms_per_frame, 2),
         resolution=f"{WIDTH}x{HEIGHT}",

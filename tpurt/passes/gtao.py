@@ -68,6 +68,11 @@ class GtaoSettings:
     steps_per_slice: int = 3
     denoise: int = 1
     bent_normals: bool = False
+    # Route the denoise chain through the fused Pallas stencil kernel
+    # (kernels/gtao_pallas.py): all N passes in one HBM round-trip.
+    # Bit-identical to the XLA chain; ignored when bent_normals is set
+    # (the packed-u32 blur stays on the XLA path).
+    pallas_denoise: bool = False
 
     @property
     def denoise_blur_beta(self) -> float:
@@ -586,9 +591,7 @@ def compute_ao_band(view_depth, normal_enc, consts, settings: GtaoSettings,
     ao, edges = main_pass(mips, normal_enc, consts, settings, noise_index,
                           row_start=row_start - halo,
                           num_rows=band_rows + 2 * halo)
-    n_passes = settings.num_denoise_passes
-    for i in range(n_passes):
-        ao = denoise_pass(ao, edges, settings, final_apply=(i == n_passes - 1))
+    ao = _denoise_chain(ao, edges, settings)
     return ao[halo:halo + band_rows]
 
 
@@ -608,6 +611,18 @@ def ao_bent_normals(ao, settings: GtaoSettings):
     return bn / jnp.maximum(jnp.linalg.norm(bn, axis=-1, keepdims=True), 1e-20)
 
 
+def _denoise_chain(ao, edges, settings: GtaoSettings):
+    n_passes = settings.num_denoise_passes
+    if settings.pallas_denoise and not settings.bent_normals:
+        from ..kernels.gtao_pallas import denoise_chain_pallas
+
+        return denoise_chain_pallas(ao, edges, n_passes=n_passes,
+                                    blur_beta=settings.denoise_blur_beta)
+    for i in range(n_passes):
+        ao = denoise_pass(ao, edges, settings, final_apply=(i == n_passes - 1))
+    return ao
+
+
 def compute_ao(view_depth, normal_enc, consts, settings: GtaoSettings,
                noise_index):
     """Full GTAO chain (compute_ao, vk_xe_gtao.rs:416-642): prefilter ->
@@ -616,7 +631,4 @@ def compute_ao(view_depth, normal_enc, consts, settings: GtaoSettings,
     visibility+bent-normal uint32 when settings.bent_normals."""
     mips = prefilter_depths(view_depth, consts)
     ao, edges = main_pass(mips, normal_enc, consts, settings, noise_index)
-    n_passes = settings.num_denoise_passes
-    for i in range(n_passes):
-        ao = denoise_pass(ao, edges, settings, final_apply=(i == n_passes - 1))
-    return ao
+    return _denoise_chain(ao, edges, settings)
