@@ -115,26 +115,28 @@ def _measure_burst(renderer, frames: int = 16):
                             renderer.camera.aspect)
     scene = renderer.scene_device
     tables = renderer._pallas_tables()
+    gtao = renderer._effective_gtao()
 
     @jax.jit
     def burst(scene, cam, lights, consts, lpm):
         def body(acc, i):
             out = render_frame(scene, cam, lights, consts, lpm,
                                i % 64, width=c.width, height=c.height,
-                               gtao_settings=c.gtao, pallas_tables=tables)
+                               gtao_settings=gtao, pallas_tables=tables)
             return acc + jnp.sum(out["image"], dtype=jnp.uint32), None
 
         acc, _ = jax.lax.scan(body, jnp.uint32(0),
                               jnp.arange(frames, dtype=jnp.int32))
         return acc
 
-    burst(scene, cam, lights, consts, renderer._lpm_derived
-          ).block_until_ready()  # compile
+    # time to the actual scalar READBACK — block_until_ready does not
+    # synchronize on this backend
+    assert int(burst(scene, cam, lights, consts,
+                     renderer._lpm_derived)) > 0  # compile + sanity
     t0 = time.perf_counter()
-    chk = burst(scene, cam, lights, consts, renderer._lpm_derived)
-    chk.block_until_ready()
+    chk = int(burst(scene, cam, lights, consts, renderer._lpm_derived))
     el = time.perf_counter() - t0
-    assert int(chk) > 0
+    assert chk > 0
     return el * 1000.0 / frames
 
 
@@ -267,10 +269,20 @@ def main():
     # one retry on backend abort: the tunnel occasionally kills a long RPC;
     # the compiled program survives in the cache so attempt 2 is cheap
     attempts = 2
-    elapsed = None
+    elapsed = burst_ms = None
     for attempt in range(attempts):
         try:
             elapsed = _measure(renderer, rays_per_frame)
+            # HEADLINE measurement: device-side scan of whole frames.
+            # block_until_ready does NOT synchronize on the tunneled axon
+            # backend (measured: a "blocked" loop reported 1.6 ms/frame
+            # while draining the queue took 11.5 s/frame), so host-timed
+            # loops measure DISPATCH rate, not compute. The lax.scan of
+            # FRAMES full frames inside one program, timed to a device
+            # checksum readback, is the honest per-frame cost.
+            burst_ms = _measure_burst(renderer, frames=8)
+            _log(f"bench: device-side frame cost {burst_ms:.3f} ms "
+                 f"({rays_per_frame / burst_ms / 1e3:.0f} Mrays/s)")
             break
         except Exception as e:  # noqa: BLE001 — backend aborts surface as
             # JaxRuntimeError/RuntimeError; anything else fails on retry too
@@ -280,29 +292,21 @@ def main():
                  f"waiting 30s for the tunnel to settle, then retrying...")
             time.sleep(30)
 
-    ms_per_frame = elapsed * 1000.0 / FRAMES
-    mrays = rays_per_frame * FRAMES / elapsed / 1e6
-
-    try:
-        burst_ms = _measure_burst(renderer)
-        _log(f"bench: device-side burst {burst_ms:.3f} ms/frame "
-             f"({rays_per_frame / burst_ms / 1e3:.0f} Mrays/s)")
-    except Exception as e:  # noqa: BLE001 — secondary metric, best-effort
-        _log(f"bench: burst measurement failed ({e!r}); continuing")
-        burst_ms = None
+    dispatch_ms = elapsed * 1000.0 / FRAMES
+    mrays = rays_per_frame / burst_ms / 1e3
 
     meta = dict(
-        burst_ms_per_frame=(round(burst_ms, 3) if burst_ms else None),
-        burst_mrays=(round(rays_per_frame / burst_ms / 1e3, 1)
-                     if burst_ms else None),
-        ms_per_frame=round(ms_per_frame, 3),
-        fps=round(1000.0 / ms_per_frame, 2),
+        ms_per_frame=round(burst_ms, 3),
+        fps=round(1000.0 / burst_ms, 2),
+        dispatch_ms_per_frame=round(dispatch_ms, 3),
         resolution=f"{WIDTH}x{HEIGHT}",
         rays_per_frame=rays_per_frame,
         lights=n_lights,
         tris=int(renderer.scene.geom["v0"].shape[0]),
         device=str(jax.devices()[0]),
         pipeline="primary+shadow, GTAO ULTRA 9x3 + sharp denoise, LPM tonemap",
+        timing="device-side lax.scan of 8 frames (host-timed 'blocked' "
+               "loops only measure dispatch on this backend)",
     )
     print(json.dumps(dict(
         metric="Mrays/sec/chip (primary+shadow), full pipeline 800x800",

@@ -79,3 +79,60 @@ def test_renderer_frame_with_pallas_denoise():
     d = np.abs(got - base)
     assert d.max() <= 2
     assert (d > 0).mean() <= 3e-3
+
+
+def _gbuffer(h, w, seed=3):
+    rng = np.random.default_rng(seed)
+    depth = jnp.asarray(rng.uniform(0.5, 20.0, (h, w)), jnp.float32)
+    n = rng.normal(size=(h, w, 3))
+    n[..., 2] = -np.abs(n[..., 2])
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    return depth, jnp.asarray(n * 0.5 + 0.5, jnp.float32)
+
+
+@pytest.mark.parametrize("shape,quality", [((64, 128), (2, 2)),
+                                           ((96, 96), (9, 3)),
+                                           ((50, 70), (3, 3))])
+def test_main_pass_pallas_parity(shape, quality):
+    """The MXU one-hot-gather main pass vs the XLA gather main pass."""
+    from tpurt.kernels.gtao_main_pallas import consts_to_vec, main_pass_pallas
+    from tpurt.passes.gtao import (gtao_constants, main_pass, noise_maps_64,
+                                   prefilter_depths)
+
+    h, w = shape
+    depth, normal_enc = _gbuffer(h, w)
+    consts = gtao_constants(w, h, 0.1, 100.0, np.pi / 2, w / h)
+    settings = GtaoSettings(*quality, denoise=1)
+    mips = prefilter_depths(depth, consts)
+
+    ref_ao, ref_edges = main_pass(mips, normal_enc, consts, settings,
+                                  jnp.int32(5))
+    got_ao, got_edges = main_pass_pallas(
+        mips, normal_enc, consts_to_vec(consts), noise_maps_64(jnp.int32(5)),
+        width=w, height=h, slice_count=settings.slice_count,
+        steps_per_slice=settings.steps_per_slice, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(got_edges),
+                                  np.asarray(ref_edges))
+    d = np.abs(np.asarray(got_ao).astype(int) - np.asarray(ref_ao).astype(int))
+    # mip-boundary rounding (log vs log2 lowering) + FMA contraction can
+    # move single samples; the integrated AO must stay within 2 u8 steps
+    # on a tiny pixel fraction
+    assert d.max() <= 2, f"max u8 diff {d.max()}"
+    assert (d > 0).mean() <= 2e-2, f"diff fraction {(d > 0).mean():.5f}"
+
+
+def test_compute_ao_pallas_main_matches_xla():
+    from tpurt.passes.gtao import compute_ao, gtao_constants
+
+    h = w = 96
+    depth, normal_enc = _gbuffer(h, w, seed=9)
+    consts = gtao_constants(w, h, 0.1, 100.0, np.pi / 2, 1.0)
+    ref = compute_ao(depth, normal_enc, consts,
+                     GtaoSettings(2, 2, denoise=1), jnp.int32(7))
+    got = compute_ao(depth, normal_enc, consts,
+                     GtaoSettings(2, 2, denoise=1, pallas_main=True,
+                                  pallas_denoise=True), jnp.int32(7))
+    d = np.abs(np.asarray(got).astype(int) - np.asarray(ref).astype(int))
+    assert d.max() <= 2
+    assert (d > 0).mean() <= 2e-2

@@ -1,0 +1,101 @@
+"""TPU measurement: Pallas one-hot-gather GTAO main pass vs XLA gathers.
+
+Timing = device-side lax.scan of REPS invocations ending in a float()
+scalar readback (the ONLY reliable sync on this backend — block_until_ready
+does not synchronize over the tunnel). Writes GTAO_MAIN_BENCH.json.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import numpy as np
+
+REPS = 8
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tpurt.kernels.gtao_main_pallas import consts_to_vec, main_pass_pallas
+    from tpurt.passes.gtao import (GtaoSettings, gtao_constants, main_pass,
+                                   noise_maps_64, prefilter_depths)
+
+    report = dict(device=str(jax.devices()[0]), reps=REPS, cases=[])
+    for (h, w) in [(800, 800), (1080, 1920)]:
+        rng = np.random.default_rng(5)
+        depth = jnp.asarray(rng.uniform(0.5, 20.0, (h, w)), jnp.float32)
+        n = rng.normal(size=(h, w, 3))
+        n[..., 2] = -np.abs(n[..., 2])
+        n /= np.linalg.norm(n, axis=-1, keepdims=True)
+        normal_enc = jnp.asarray(n * 0.5 + 0.5, jnp.float32)
+        consts = gtao_constants(w, h, 0.1, 100.0, np.pi / 2, w / h)
+        cvec = consts_to_vec(consts)
+        for slices, steps in [(9, 3)]:
+            s = GtaoSettings(slices, steps, denoise=1)
+
+            def xla_fn(ni):
+                mips = prefilter_depths(depth, consts)
+                ao, e = main_pass(mips, normal_enc, consts, s, ni)
+                return (jnp.sum(ao.astype(jnp.float32))
+                        + jnp.sum(e.astype(jnp.float32)))
+
+            def pallas_fn(ni):
+                mips = prefilter_depths(depth, consts)
+                ao, e = main_pass_pallas(
+                    mips, normal_enc, cvec, noise_maps_64(ni),
+                    width=w, height=h, slice_count=slices,
+                    steps_per_slice=steps)
+                return (jnp.sum(ao.astype(jnp.float32))
+                        + jnp.sum(e.astype(jnp.float32)))
+
+            timings = {}
+            for name, fn in (("pallas", pallas_fn), ("xla", xla_fn)):
+                @jax.jit
+                def run():
+                    def body(acc, ni):
+                        return acc + fn(ni), None
+                    acc, _ = jax.lax.scan(
+                        body, jnp.float32(0),
+                        jnp.arange(REPS, dtype=jnp.int32))
+                    return acc
+
+                float(run())  # compile + settle
+                t0 = time.perf_counter()
+                float(run())
+                timings[name] = (time.perf_counter() - t0) * 1000 / REPS
+                print(f"{w}x{h} {name}: {timings[name]:.2f} ms",
+                      file=sys.stderr, flush=True)
+
+            # on-chip parity of one application
+            mips = prefilter_depths(depth, consts)
+            r_ao, r_e = main_pass(mips, normal_enc, consts, s, jnp.int32(3))
+            g_ao, g_e = main_pass_pallas(
+                mips, normal_enc, cvec, noise_maps_64(jnp.int32(3)),
+                width=w, height=h, slice_count=slices, steps_per_slice=steps)
+            d = np.abs(np.asarray(g_ao).astype(int)
+                       - np.asarray(r_ao).astype(int))
+            e_eq = bool((np.asarray(g_e) == np.asarray(r_e)).all())
+            case = dict(shape=f"{w}x{h}", quality=f"{slices}x{steps}",
+                        xla_ms=round(timings["xla"], 3),
+                        pallas_ms=round(timings["pallas"], 3),
+                        speedup=round(timings["xla"] / timings["pallas"], 2),
+                        max_u8_diff=int(d.max()),
+                        diff_frac=round(float((d > 0).mean()), 6),
+                        edges_exact=e_eq)
+            report["cases"].append(case)
+            print(json.dumps(case), file=sys.stderr, flush=True)
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "GTAO_MAIN_BENCH.json")
+    with open(path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

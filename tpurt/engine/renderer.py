@@ -141,13 +141,14 @@ class Renderer:
                                 self.camera.zfar, self.camera.fovy,
                                 self.camera.aspect)
         lights = self._cached("lights", self.lights.shader_arrays())
+        gtao = self._effective_gtao()
         if c.mesh is not None:
             from ..dist.sharding import render_frame_sharded
 
             out = render_frame_sharded(
                 self._scene_device, cam, lights, consts, self._lpm_derived,
                 np.int32(self._frame_idx % 64),
-                width=c.width, height=c.height, gtao_settings=c.gtao,
+                width=c.width, height=c.height, gtao_settings=gtao,
                 mesh=c.mesh, enable_gtao=c.enable_gtao,
                 enable_tonemap=c.enable_tonemap,
                 pallas_tables=self._pallas_tables(), spp=c.spp)
@@ -160,7 +161,7 @@ class Renderer:
             self._scene_device, cam, lights,
             consts, self._lpm_derived,
             np.int32(self._frame_idx % 64),
-            width=c.width, height=c.height, gtao_settings=c.gtao,
+            width=c.width, height=c.height, gtao_settings=gtao,
             enable_gtao=c.enable_gtao, enable_tonemap=c.enable_tonemap,
             pallas_tables=self._pallas_tables(), spp=c.spp)
         self._frame_idx += 1
@@ -184,6 +185,18 @@ class Renderer:
         dev = jax.tree.map(jnp.asarray, host_pytree)
         self._input_cache[key] = (host_pytree, dev)
         return dev
+
+    def _effective_gtao(self):
+        """Auto-enable the Pallas GTAO kernels alongside the Pallas packet
+        tracer (they carry the frame's dominant cost on TPU); explicit
+        GtaoSettings flags are respected either way. Bent normals keep the
+        XLA path (packed-u32 blur)."""
+        from dataclasses import replace
+
+        g = self.config.gtao
+        if self._pallas_tables() and not g.bent_normals:
+            return replace(g, pallas_main=True, pallas_denoise=True)
+        return g
 
     def _pallas_tables(self) -> str:
         """Pick the packet-tracer table tier: "smem" -> "vmem" -> "" (XLA)."""

@@ -1,0 +1,458 @@
+"""Pallas XeGTAO main pass — MXU one-hot gather over per-tile mip windows.
+
+The XLA main pass (passes/gtao.py:main_pass) costs ~460 ms of a 680 ms
+frame at 800x800 ULTRA on TPU v5e: its 54 per-pixel depth-pyramid samples
+lower to XLA gathers at ~8.5 ms each. Mosaic forbids per-lane vector
+gathers outright, so this kernel re-expresses each sample as dense MXU
+math (measured 0.167 ms per sample over the full image — ~50x):
+
+  * the image is processed in 32x32 tiles (8x128 packets, the same swizzle
+    as the traversal kernel); per-pixel inputs arrive pre-packeted,
+  * each tile DMAs one window per mip level into VMEM. Sample offsets
+    assigned to mip m are bounded by 2^(m+3.8) px (= <16 mip-m texels,
+    passes/gtao.py mip selection), so windows are small and static-shaped;
+    mip 4 (clamped top level) is resident in full,
+  * a depth fetch at per-pixel (y, x) becomes, per 128-lane row:
+      C = window @ onehot_cols   (wy x wx) @ (wx x 128) on the MXU
+      v = sum(C * onehot_rows)   VPU mask-reduce over wy sublanes
+    — an exact gather (one-hot f32 matmul copies bits), no gathers,
+  * per-lane mip selection = compute from each window, jnp.where-select.
+
+Slice/step loops run as lax.fori_loop (compile-size), directions and mip
+levels unroll. Bent normals stay on the XLA path (packed-u32 blur).
+Parity vs main_pass: identical math order; executor FMA contraction can
+flip the final u8 rounding on a tiny pixel fraction (same caveat as
+kernels/gtao_pallas.py).
+
+Reference: XeGTAO.hlsli:246-576 (XeGTAO_MainPass), main_pass.comp.hlsl.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..passes.encodings import quantize_r16f
+
+TILE = 32
+HALO = 16               # max |rounded sample offset| in mip-m texels (2^3.8)
+PI = 3.1415926535897932384626433832795
+PI_HALF = 1.5707963267948966192313216916398
+XE_GTAO_DEPTH_MIP_LEVELS = 5
+XE_GTAO_OCCLUSION_TERM_SCALE = 1.5
+
+# consts vector layout (SMEM scalar-prefetch operand)
+_CK = ("pixel_size_x", "pixel_size_y", "ndc_mul_x", "ndc_mul_y",
+       "ndc_add_x", "ndc_add_y", "effect_radius", "radius_multiplier",
+       "sample_distribution_power", "thin_occluder_compensation",
+       "falloff_range_k", "final_value_power", "depth_mip_sampling_offset",
+       "ndc_mul_x_pix")
+
+
+def _round_up(v, m):
+    return ((v + m - 1) // m) * m
+
+
+def _fast_sqrt(x):
+    """XeGTAO_FastSqrt (bit trick) — pltpu.bitcast keeps Mosaic happy."""
+    xi = pltpu.bitcast(x, jnp.int32)
+    return pltpu.bitcast(jnp.int32(0x1FBD1DF5) + (xi >> 1), jnp.float32)
+
+
+def _fast_acos(x):
+    ax = jnp.abs(x)
+    res = -0.156583 * ax + PI_HALF
+    res = res * _fast_sqrt(jnp.maximum(1.0 - ax, 0.0))
+    return jnp.where(x >= 0, res, PI - res)
+
+
+def _split_hi_lo(win):
+    """f32 window -> (hi, lo) bf16 pair with hi + lo == win exactly for
+    R16F-quantized depths (11 mantissa bits <= 8 + 8). The MXU truncates
+    f32 matmul inputs to bf16 (measured: gathered depths came back
+    bf16-rounded), so the exact gather runs as TWO default-precision
+    matmuls on the split instead of one 3-pass HIGHEST matmul (~2x
+    cheaper)."""
+    hi = win.astype(jnp.bfloat16)
+    lo = (win - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _gather_window(win_hi, win_lo, rely, relx, wy: int, wx: int):
+    """Exact per-pixel fetch win[rely, relx] for an (8, 128) packet via
+    two MXU matmuls (bf16 hi/lo split) + mask-reduce per sublane row; the
+    one-hot operand has a single nonzero per output, so each pass copies
+    its part exactly and the f32 sum reconstructs the value."""
+    rows = []
+    for s in range(8):
+        onehot_c = (jax.lax.broadcasted_iota(jnp.int32, (wx, 128), 0)
+                    == relx[s:s + 1]).astype(jnp.bfloat16)
+        dims = (((1,), (0,)), ((), ()))
+        c = (jax.lax.dot_general(win_hi[:wy, :wx], onehot_c, dims,
+                                 preferred_element_type=jnp.float32)
+             + jax.lax.dot_general(win_lo[:wy, :wx], onehot_c, dims,
+                                   preferred_element_type=jnp.float32))
+        mask_r = (jax.lax.broadcasted_iota(jnp.int32, (wy, 128), 0)
+                  == rely[s:s + 1]).astype(jnp.float32)
+        rows.append(jnp.sum(c * mask_r, axis=0, keepdims=True))
+    return jnp.concatenate(rows, axis=0)
+
+
+def _plan_windows(mip_shapes, width, height):
+    """Static per-mip window plan: (wy, wx, Hp, Wp) per level. Window rows
+    cover tile_extent + 2*HALO (+8 for the floor-to-8 DMA alignment);
+    columns cover +128 for the floor-to-128 alignment, clamped to the
+    padded mip size. Mip sizes where the whole level fits the window are
+    fully resident."""
+    plan = []
+    for m, (hm, wm) in enumerate(mip_shapes):
+        ext = max(TILE >> m, 1)
+        hp = _round_up(hm, 8)
+        wp = _round_up(wm, 128)
+        if m == len(mip_shapes) - 1:
+            # top level: sample offsets clamp INTO this mip with unbounded
+            # length — keep the whole level resident
+            wy, wx = hp, wp
+        else:
+            wy = min(_round_up(ext + 2 * HALO + 8, 8), hp)
+            wx = min(_round_up(ext + 2 * HALO + 128, 128), wp)
+        plan.append((wy, wx, hp, wp))
+    return plan
+
+
+def _kernel(consts_ref,                                   # scalar prefetch
+            m0, m1, m2, m3, m4,                           # HBM mips
+            spx_r, spy_r, vz_r, pl_r, pr_r, pt_r, pb_r,
+            nx_r, ny_r, nz_r, nsl_r, nsm_r,               # packeted inputs
+            ao_out, edges_out,                            # outputs
+            w0, w1, w2, w3, w4, sems,                     # scratch
+            *, plan, mip_shapes, width, height, tiles_x,
+            slice_count: int, steps_per_slice: int):
+    i = pl.program_id(0)
+    ty = (i // tiles_x) * TILE
+    tx = (i % tiles_x) * TILE
+
+    mips_hbm = (m0, m1, m2, m3, m4)
+    wins = (w0, w1, w2, w3, w4)
+    # kick off all window DMAs up front
+    copies = []
+    for m in range(5):
+        wy, wx, hp, wp = plan[m]
+        y_des = jnp.clip((ty >> m) - HALO, 0, hp - wy)
+        x_des = jnp.clip((tx >> m) - HALO, 0, wp - wx)
+        y0 = pl.multiple_of((y_des // 8) * 8, 8)
+        x0 = pl.multiple_of((x_des // 128) * 128, 128)
+        cp = pltpu.make_async_copy(
+            mips_hbm[m].at[pl.ds(y0, wy), pl.ds(x0, wx)], wins[m],
+            sems.at[m])
+        cp.start()
+        copies.append((cp, y0, x0))
+
+    # ---- dense per-pixel setup (identical math to passes/gtao.main_pass)
+    c = lambda k: consts_ref[_CK.index(k)]  # noqa: E731
+    pix_x = c("pixel_size_x")
+    pix_y = c("pixel_size_y")
+    ndc_mul_x = c("ndc_mul_x")
+    ndc_mul_y = c("ndc_mul_y")
+    ndc_add_x = c("ndc_add_x")
+    ndc_add_y = c("ndc_add_y")
+
+    sp_x = spx_r[:]
+    sp_y = spy_r[:]
+    viewspace_z = vz_r[:]
+    # edges (XeGTAO_CalculateEdges) -> packed u8
+    e_l = pl_r[:] - viewspace_z
+    e_r = pr_r[:] - viewspace_z
+    e_t = pt_r[:] - viewspace_z
+    e_b = pb_r[:] - viewspace_z
+    slope_lr = (e_r - e_l) * 0.5
+    slope_tb = (e_b - e_t) * 0.5
+    el2 = jnp.minimum(jnp.abs(e_l), jnp.abs(e_l + slope_lr))
+    er2 = jnp.minimum(jnp.abs(e_r), jnp.abs(e_r - slope_lr))
+    et2 = jnp.minimum(jnp.abs(e_t), jnp.abs(e_t + slope_tb))
+    eb2 = jnp.minimum(jnp.abs(e_b), jnp.abs(e_b - slope_tb))
+    denom = viewspace_z * 0.011
+
+    def eq(e):
+        return jnp.round(jnp.clip(1.25 - e / denom, 0.0, 1.0) * 2.9)
+
+    packed = (eq(el2) * 64 + eq(er2) * 16 + eq(et2) * 4 + eq(eb2))
+    edges_out[:] = packed.astype(jnp.int32).astype(jnp.uint8)
+
+    # decode normals
+    nx = nx_r[:] * 2.0 - 1.0
+    ny = ny_r[:] * 2.0 - 1.0
+    nz = nz_r[:] * 2.0 - 1.0
+    nlen = jnp.maximum(jnp.sqrt(nx * nx + ny * ny + nz * nz), 1e-20)
+    nx = nx / nlen
+    ny = ny / nlen
+    nz = nz / nlen
+
+    viewspace_z = viewspace_z * 0.99920
+
+    def view_pos(spx, spy, z):
+        return ((ndc_mul_x * spx + ndc_add_x) * z,
+                (ndc_mul_y * spy + ndc_add_y) * z, z)
+
+    px, py, pz = view_pos(sp_x, sp_y, viewspace_z)
+    plen = jnp.maximum(jnp.sqrt(px * px + py * py + pz * pz), 1e-20)
+    vx = -px / plen
+    vy = -py / plen
+    vz = -pz / plen
+
+    effect_radius = c("effect_radius") * c("radius_multiplier")
+    sdp = c("sample_distribution_power")
+    thin = c("thin_occluder_compensation")
+    falloff_k = c("falloff_range_k")      # effect_falloff_range
+    falloff_range = falloff_k * effect_radius
+    falloff_from = effect_radius * (1.0 - falloff_k)
+    falloff_mul = -1.0 / falloff_range
+    falloff_add = falloff_from / falloff_range + 1.0
+
+    noise_slice = nsl_r[:]
+    noise_sample = nsm_r[:]
+
+    pixel_dir_rb = viewspace_z * c("ndc_mul_x_pix")
+    screenspace_radius = effect_radius / pixel_dir_rb
+    visibility0 = jnp.clip((10.0 - screenspace_radius) / 100.0,
+                           0.0, 1.0) * 0.5
+    min_s = 1.3 / screenspace_radius
+
+    for cp, _, _ in copies:
+        cp.wait()
+    win_offs = [(y0, x0) for _, y0, x0 in copies]
+    win_hilo = [_split_hi_lo(w[:]) for w in wins]
+
+    mip_off = c("depth_mip_sampling_offset")
+
+    def sample_depth(sx, sy, mip):
+        """_sample_mip_point: per-lane mip select across the 5 windows."""
+        sz = jnp.zeros_like(sx)
+        ux = jnp.clip(sx, 0.0, 1.0)
+        uy = jnp.clip(sy, 0.0, 1.0)
+        for m in range(5):
+            hm, wm = mip_shapes[m]
+            wy, wx, _, _ = plan[m]
+            y0, x0 = win_offs[m]
+            tex_x = jnp.clip((ux * float(wm)).astype(jnp.int32), 0, wm - 1)
+            tex_y = jnp.clip((uy * float(hm)).astype(jnp.int32), 0, hm - 1)
+            relx = jnp.clip(tex_x - x0, 0, wx - 1)
+            rely = jnp.clip(tex_y - y0, 0, wy - 1)
+            hi, lo = win_hilo[m]
+            val = _gather_window(hi, lo, rely, relx, wy, wx)
+            sz = jnp.where(mip == m, val, sz)
+        return sz
+
+    def slice_body(slice_i, visibility):
+        sf = slice_i.astype(jnp.float32)
+        slice_k = (sf + noise_slice) / float(slice_count)
+        phi = slice_k * PI
+        cos_phi = jnp.cos(phi)
+        sin_phi = jnp.sin(phi)
+        omega_x0 = cos_phi * screenspace_radius
+        omega_y0 = -sin_phi * screenspace_radius
+
+        dvx = cos_phi
+        dvy = sin_phi
+        # ortho_direction_vec = direction - (direction . view) * view
+        dd = dvx * vx + dvy * vy
+        ox = dvx - dd * vx
+        oy = dvy - dd * vy
+        oz = -dd * vz
+        # axis = normalize(cross(ortho, view))
+        ax_ = oy * vz - oz * vy
+        ay_ = oz * vx - ox * vz
+        az_ = ox * vy - oy * vx
+        alen = jnp.maximum(jnp.sqrt(ax_ * ax_ + ay_ * ay_ + az_ * az_),
+                           1e-20)
+        ax_ = ax_ / alen
+        ay_ = ay_ / alen
+        az_ = az_ / alen
+
+        na = nx * ax_ + ny * ay_ + nz * az_
+        pnx = nx - na * ax_
+        pny = ny - na * ay_
+        pnz = nz - na * az_
+        sign_norm = jnp.sign(ox * pnx + oy * pny + oz * pnz)
+        projected_normal_len = jnp.sqrt(pnx * pnx + pny * pny + pnz * pnz)
+        cos_norm = jnp.clip(
+            (pnx * vx + pny * vy + pnz * vz)
+            / jnp.maximum(projected_normal_len, 1e-20), 0.0, 1.0)
+        n_angle = sign_norm * _fast_acos(cos_norm)
+
+        low0 = jnp.cos(n_angle + PI_HALF)
+        low1 = jnp.cos(n_angle - PI_HALF)
+
+        def step_body(step, carry):
+            h0, h1 = carry
+            stf = step.astype(jnp.float32)
+            step_base_noise = ((sf + stf * float(steps_per_slice))
+                               * 0.6180339887498948482)
+            step_noise = jnp.mod(noise_sample + step_base_noise, 1.0)
+            s = (stf + step_noise) / float(steps_per_slice)
+            s = jnp.power(s, sdp) + min_s
+
+            so_x0 = s * omega_x0
+            so_y0 = s * omega_y0
+            so_len = jnp.sqrt(so_x0 * so_x0 + so_y0 * so_y0)
+            mip_level = jnp.clip(
+                (jnp.log(jnp.maximum(so_len, 1e-20))
+                 * 1.4426950408889634) - mip_off,
+                0, XE_GTAO_DEPTH_MIP_LEVELS)
+            mip = jnp.clip(jnp.round(mip_level).astype(jnp.int32), 0,
+                           XE_GTAO_DEPTH_MIP_LEVELS - 1)
+
+            so_x = jnp.round(so_x0) * pix_x
+            so_y = jnp.round(so_y0) * pix_y
+
+            def horizon(sx, sy, low, h):
+                sz = sample_depth(sx, sy, mip)
+                qx, qy, qz = view_pos(sx, sy, sz)
+                dx_ = qx - px
+                dy_ = qy - py
+                dz_ = qz - pz
+                dist = jnp.sqrt(dx_ * dx_ + dy_ * dy_ + dz_ * dz_)
+                inv = 1.0 / jnp.maximum(dist, 1e-20)
+                falloff_base = jnp.sqrt(
+                    dx_ * dx_ + dy_ * dy_
+                    + (dz_ * (1.0 + thin)) ** 2)
+                weight = jnp.clip(falloff_base * falloff_mul + falloff_add,
+                                  0.0, 1.0)
+                shc = (dx_ * vx + dy_ * vy + dz_ * vz) * inv
+                shc = low + (shc - low) * weight
+                return jnp.maximum(h, shc)
+
+            h0 = horizon(sp_x + so_x, sp_y + so_y, low0, h0)
+            h1 = horizon(sp_x - so_x, sp_y - so_y, low1, h1)
+            return h0, h1
+
+        h0, h1 = jax.lax.fori_loop(0, steps_per_slice, step_body,
+                                   (low0, low1))
+
+        pnl = projected_normal_len + (1.0 - projected_normal_len) * 0.05
+        hh0 = -_fast_acos(jnp.clip(h1, -1.0, 1.0))
+        hh1 = _fast_acos(jnp.clip(h0, -1.0, 1.0))
+        sin_n = jnp.sin(n_angle)
+        iarc0 = (cos_norm + 2.0 * hh0 * sin_n
+                 - jnp.cos(2.0 * hh0 - n_angle)) / 4.0
+        iarc1 = (cos_norm + 2.0 * hh1 * sin_n
+                 - jnp.cos(2.0 * hh1 - n_angle)) / 4.0
+        return visibility + pnl * (iarc0 + iarc1)
+
+    visibility = jax.lax.fori_loop(0, slice_count, slice_body, visibility0)
+
+    visibility = visibility / float(slice_count)
+    visibility = jnp.power(jnp.maximum(visibility, 0.0),
+                           c("final_value_power"))
+    visibility = jnp.maximum(0.03, visibility)
+    vis_packed = jnp.clip(visibility / XE_GTAO_OCCLUSION_TERM_SCALE,
+                          0.0, 1.0)
+    ao_out[:] = (vis_packed * 255.0 + 0.5).astype(jnp.int32
+                                                  ).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "slice_count",
+                                   "steps_per_slice", "interpret"))
+def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
+                     width: int, height: int, slice_count: int,
+                     steps_per_slice: int, interpret: bool | None = None):
+    """Pallas main pass over pre-packeted inputs. depth_mips: list of 5
+    (H_m, W_m) f32 mips (R16F-quantized values); normal_enc: (H, W, 3);
+    consts_vec: (len(_CK),) f32; noise_maps: (nx, ny) each (64, 64) f32.
+    Returns (ao_u8 (H, W), edges_u8 (H, W))."""
+    from .traverse_pallas import _from_packets, _to_packets
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+
+    d0 = depth_mips[0]
+    mip_shapes = tuple((int(m.shape[0]), int(m.shape[1]))
+                      for m in depth_mips)
+    plan = tuple(_plan_windows(mip_shapes, width, height))
+
+    # pad mips for aligned DMA windows (padding never selected: one-hots
+    # are built from coords clipped to the REAL extents)
+    mips_p = []
+    for m, (wy, wx, hp, wp) in enumerate(plan):
+        arr = depth_mips[m]
+        mips_p.append(jnp.pad(arr, ((0, hp - arr.shape[0]),
+                                    (0, wp - arr.shape[1]))))
+
+    pk = partial(_to_packets, height=height, width=width)
+
+    def shift_clamp(img, dy, dx):
+        h, w = img.shape
+        ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
+        xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
+        return img[ys][:, xs]
+
+    xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
+    ys = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
+    sp_x, sp_y = jnp.meshgrid(xs, ys)
+
+    # tile the 64x64 noise maps across the frame (dense, no gathers)
+    reps_y = -(-height // 64)
+    reps_x = -(-width // 64)
+    nsl = jnp.tile(noise_maps[0], (reps_y, reps_x))[:height, :width]
+    nsm = jnp.tile(noise_maps[1], (reps_y, reps_x))[:height, :width]
+
+    packeted = [pk(a.reshape(-1)) for a in (
+        sp_x, sp_y, d0,
+        shift_clamp(d0, 0, -1), shift_clamp(d0, 0, 1),
+        shift_clamp(d0, -1, 0), shift_clamp(d0, 1, 0),
+        normal_enc[..., 0], normal_enc[..., 1], normal_enc[..., 2],
+        nsl, nsm)]
+
+    n_sub = packeted[0].shape[0]
+    grid = (n_sub // 8,)
+    tiles_x = -(-width // TILE)
+
+    # index_map receives the scalar-prefetch refs as trailing args
+    ray_spec = pl.BlockSpec((8, 128), lambda i, *refs: (i, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = partial(_kernel, plan=plan, mip_shapes=mip_shapes, width=width,
+                     height=height, tiles_x=tiles_x, slice_count=slice_count,
+                     steps_per_slice=steps_per_slice)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5
+        + [ray_spec] * 12,
+        out_specs=[
+            pl.BlockSpec((8, 128), lambda i, *refs: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i, *refs: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((p[0], p[1]), jnp.float32) for p in plan]
+        + [pltpu.SemaphoreType.DMA((5,))],
+    )
+    ao_pk, edges_pk = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_sub, 128), jnp.uint8),
+                   jax.ShapeDtypeStruct((n_sub, 128), jnp.uint8)],
+        interpret=interpret,
+    )(consts_vec, *mips_p, *packeted)
+
+    unpk = partial(_from_packets, height=height, width=width)
+    return (unpk(ao_pk).reshape(height, width),
+            unpk(edges_pk).reshape(height, width))
+
+
+def consts_to_vec(consts: dict) -> jnp.ndarray:
+    """Pack the gtao_constants dict into the kernel's consts vector."""
+    vals = [consts["viewport_pixel_size"][0], consts["viewport_pixel_size"][1],
+            consts["ndc_to_view_mul"][0], consts["ndc_to_view_mul"][1],
+            consts["ndc_to_view_add"][0], consts["ndc_to_view_add"][1],
+            consts["effect_radius"], consts["radius_multiplier"],
+            consts["sample_distribution_power"],
+            consts["thin_occluder_compensation"],
+            consts["effect_falloff_range"], consts["final_value_power"],
+            consts["depth_mip_sampling_offset"],
+            consts["ndc_to_view_mul_x_pixel_size"][0]]
+    return jnp.asarray(vals, jnp.float32)

@@ -73,6 +73,10 @@ class GtaoSettings:
     # Bit-identical to the XLA chain; ignored when bent_normals is set
     # (the packed-u32 blur stays on the XLA path).
     pallas_denoise: bool = False
+    # Route the main pass through the MXU one-hot-gather Pallas kernel
+    # (kernels/gtao_main_pallas.py) — ~50x faster sampling than the XLA
+    # gather chain on TPU. Ignored when bent_normals is set.
+    pallas_main: bool = False
 
     @property
     def denoise_blur_beta(self) -> float:
@@ -611,6 +615,36 @@ def ao_bent_normals(ao, settings: GtaoSettings):
     return bn / jnp.maximum(jnp.linalg.norm(bn, axis=-1, keepdims=True), 1e-20)
 
 
+def noise_maps_64(noise_index):
+    """The spatio-temporal noise restricted to its 64x64 period — the
+    Pallas main pass tiles these maps across the frame (no gathers)."""
+    lut = jnp.asarray(_HILBERT_LUT)
+    idx = lut + jnp.uint32(288) * (jnp.uint32(noise_index) % 64)
+    fidx = idx.astype(jnp.float32)
+    nx = jnp.mod(0.5 + fidx * 0.75487766624669276005, 1.0)
+    ny = jnp.mod(0.5 + fidx * 0.5698402909980532659114, 1.0)
+    return nx, ny
+
+
+def _main_pass_any(depth_mips, normal_enc, consts, settings: GtaoSettings,
+                   noise_index, row_start=0, num_rows=None):
+    """Dispatch the main pass: Pallas kernel when enabled and applicable
+    (full-frame, no bent normals), else the XLA implementation."""
+    h, w = depth_mips[0].shape
+    full = (isinstance(row_start, int) and row_start == 0
+            and (num_rows is None or num_rows == h))
+    if settings.pallas_main and not settings.bent_normals and full:
+        from ..kernels.gtao_main_pallas import consts_to_vec, main_pass_pallas
+
+        return main_pass_pallas(
+            depth_mips, normal_enc, consts_to_vec(consts),
+            noise_maps_64(noise_index), width=w, height=h,
+            slice_count=settings.slice_count,
+            steps_per_slice=settings.steps_per_slice)
+    return main_pass(depth_mips, normal_enc, consts, settings, noise_index,
+                     row_start=row_start, num_rows=num_rows)
+
+
 def _denoise_chain(ao, edges, settings: GtaoSettings):
     n_passes = settings.num_denoise_passes
     if settings.pallas_denoise and not settings.bent_normals:
@@ -630,5 +664,6 @@ def compute_ao(view_depth, normal_enc, consts, settings: GtaoSettings,
     (255 = fully visible * occlusion-term scale), or the packed
     visibility+bent-normal uint32 when settings.bent_normals."""
     mips = prefilter_depths(view_depth, consts)
-    ao, edges = main_pass(mips, normal_enc, consts, settings, noise_index)
+    ao, edges = _main_pass_any(mips, normal_enc, consts, settings,
+                               noise_index)
     return _denoise_chain(ao, edges, settings)
