@@ -37,14 +37,16 @@ def _normalize(v, eps=1e-20):
     return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
 
 
-def sample_bilinear(tex_stack, tex_size, prim, layer: int, uv):
+def sample_bilinear(tex_stack, tex_size, prim, layer: int, uv,
+                    images_per_prim: int = 3):
     """Bilinear texture fetch with REPEAT addressing from the stacked
     per-primitive texture array. The reference's sampler is trilinear
     anisotropic, but every texture has one mip level
     (gltf copy info image_mip_levels=1), so it reduces to bilinear.
 
-    tex_stack: (P*3, H, W, 4) u8; tex_size: (P, 2) i32; prim: (N,) i32;
-    uv: (N, 2). Returns (N, 4) float in [0, 1].
+    tex_stack: (P*images_per_prim, H, W, C) u8; tex_size: (P, 2) i32;
+    prim: (N,) i32; uv: (N, 2). Returns (N, C) float in [0, 1].
+    images_per_prim=1 addresses the packed 12-channel stack directly.
     """
     size = tex_size[prim].astype(jnp.float32)  # (N, 2) = (h, w)
     h = size[:, 0]
@@ -63,7 +65,7 @@ def sample_bilinear(tex_stack, tex_size, prim, layer: int, uv):
     x1i = jnp.mod(x0i + 1, wi)
     y1i = jnp.mod(y0i + 1, hi)
 
-    img = prim * 3 + layer
+    img = prim * images_per_prim + layer
     t00 = tex_stack[img, y0i, x0i].astype(jnp.float32)
     t10 = tex_stack[img, y0i, x1i].astype(jnp.float32)
     t01 = tex_stack[img, y1i, x0i].astype(jnp.float32)
@@ -159,31 +161,39 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
     valid = tri >= 0
     tidx = jnp.maximum(tri, 0)
 
-    vids = scene["tri_vertex"][tidx]          # (N, 3)
     prim = scene["tri_prim"][tidx]            # (N,)
 
     u = hits["u"][:, None]
     v = hits["v"][:, None]
     w = 1.0 - u - v
 
-    p0 = scene["vtx_pos"][vids[:, 0]]
-    p1 = scene["vtx_pos"][vids[:, 1]]
-    p2 = scene["vtx_pos"][vids[:, 2]]
+    if "tri_attr" in scene:
+        # gather-optimized path: ONE wide gather fetches all three
+        # corners' attributes (TPU gather cost scales with rows, not row
+        # width) — the values are byte-identical to the per-table path
+        attr = scene["tri_attr"][tidx]        # (N, 36)
+        p0, p1, p2 = attr[:, 0:3], attr[:, 12:15], attr[:, 24:27]
+        uv0, uv1, uv2 = attr[:, 3:5], attr[:, 15:17], attr[:, 27:29]
+        n0, n1, n2 = attr[:, 5:8], attr[:, 17:20], attr[:, 29:32]
+        t0, t1, t2 = attr[:, 8:12], attr[:, 20:24], attr[:, 32:36]
+    else:
+        vids = scene["tri_vertex"][tidx]      # (N, 3)
+        p0 = scene["vtx_pos"][vids[:, 0]]
+        p1 = scene["vtx_pos"][vids[:, 1]]
+        p2 = scene["vtx_pos"][vids[:, 2]]
+        uv0 = scene["vtx_uv"][vids[:, 0]]
+        uv1 = scene["vtx_uv"][vids[:, 1]]
+        uv2 = scene["vtx_uv"][vids[:, 2]]
+        n0 = scene["vtx_normal"][vids[:, 0]]
+        n1 = scene["vtx_normal"][vids[:, 1]]
+        n2 = scene["vtx_normal"][vids[:, 2]]
+        t0 = scene["vtx_tangent"][vids[:, 0]]
+        t1 = scene["vtx_tangent"][vids[:, 1]]
+        t2 = scene["vtx_tangent"][vids[:, 2]]
+
     world_pos = p0 * w + p1 * u + p2 * v
-
-    uv0 = scene["vtx_uv"][vids[:, 0]]
-    uv1 = scene["vtx_uv"][vids[:, 1]]
-    uv2 = scene["vtx_uv"][vids[:, 2]]
     tex_coord = uv0 * w + uv1 * u + uv2 * v
-
-    n0 = scene["vtx_normal"][vids[:, 0]]
-    n1 = scene["vtx_normal"][vids[:, 1]]
-    n2 = scene["vtx_normal"][vids[:, 2]]
     world_normal = _normalize(n0 * w + n1 * u + n2 * v)
-
-    t0 = scene["vtx_tangent"][vids[:, 0]]
-    t1 = scene["vtx_tangent"][vids[:, 1]]
-    t2 = scene["vtx_tangent"][vids[:, 2]]
     world_tangent = _normalize(t0[:, :3] * w + t1[:, :3] * u + t2[:, :3] * v)
     # Gram-Schmidt re-orthogonalization; handedness from v0's tangent.w
     world_tangent = _normalize(
@@ -206,6 +216,13 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
                                     scene["tex_mip_offsets"],
                                     scene["tex_mip_sizes"], prim, layer,
                                     tex_coord, lod)
+    elif "tex_stack12" in scene:
+        # packed layers: 4 bilinear taps fetch albedo+ORM+normal together
+        packed = sample_bilinear(scene["tex_stack12"], scene["tex_size"],
+                                 prim, 0, tex_coord, images_per_prim=1)
+
+        def fetch(layer):
+            return packed[:, layer * 4:layer * 4 + 4]
     else:
         def fetch(layer):
             return sample_bilinear(scene["tex_stack"], scene["tex_size"],

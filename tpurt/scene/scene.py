@@ -61,6 +61,9 @@ class FlatScene:
     tex_atlas: Any = None        # (N, 4) u8 — all images, all mip levels
     tex_mip_offsets: Any = None  # (P*3, L) i32 texel offset into the atlas
     tex_mip_sizes: Any = None    # (P, L, 2) i32 per-level (h, w)
+    # gather-optimized tables (see flatten_scene): one wide row per hit
+    tri_attr: Any = None         # (T, 36) f32 3x[pos, uv, normal, tangent]
+    tex_stack12: Any = None      # (P, H, W, 12) u8 packed layers
     # object-space tables for the dynamic (per-frame-rebuild) mode
     vtx_instance: Any = None   # (V,) i32 instance id per vertex
     obj_vtx_pos: Any = None    # (V, 3) f32 object space
@@ -79,6 +82,9 @@ class FlatScene:
             out.update(tex_atlas=self.tex_atlas,
                        tex_mip_offsets=self.tex_mip_offsets,
                        tex_mip_sizes=self.tex_mip_sizes)
+        if self.tri_attr is not None:
+            out.update(tri_attr=self.tri_attr,
+                       tex_stack12=self.tex_stack12)
         return out
 
     def as_object_pytree(self) -> dict:
@@ -258,6 +264,20 @@ def flatten_scene(models: List[Model], mipmaps: bool = False) -> FlatScene:
         tex_atlas, tex_mip_offsets, tex_mip_sizes = build_mip_atlas(
             tex_stack, tex_size)
 
+    # Gather-optimized tables (TPU gathers cost ~per row; pack wide rows):
+    # tri_attr (T, 36): all three corners' [pos, uv, normal, tangent]
+    # per triangle -> ONE gather per hit instead of 12;
+    # tex_stack12 (P, H, W, 12): the three layers side by side -> one
+    # bilinear tap fetches albedo+ORM+normal together (4 taps, not 12).
+    corners = [np.concatenate([vtx_pos[tri_vertex[:, k]],
+                               vtx_uv[tri_vertex[:, k]],
+                               vtx_normal[tri_vertex[:, k]],
+                               vtx_tangent[tri_vertex[:, k]]], axis=1)
+               for k in range(3)]
+    tri_attr = np.concatenate(corners, axis=1).astype(np.float32)
+    tex_stack12 = np.concatenate(
+        [tex_stack[0::3], tex_stack[1::3], tex_stack[2::3]], axis=3)
+
     return FlatScene(
         bvh=bvh.as_pytree(), geom=geom, tri_vertex=tri_vertex,
         tri_prim=tri_prim, vtx_pos=vtx_pos, vtx_uv=vtx_uv,
@@ -268,4 +288,5 @@ def flatten_scene(models: List[Model], mipmaps: bool = False) -> FlatScene:
         transforms=transforms,
         tex_atlas=tex_atlas, tex_mip_offsets=tex_mip_offsets,
         tex_mip_sizes=tex_mip_sizes,
+        tri_attr=tri_attr, tex_stack12=tex_stack12,
     )
