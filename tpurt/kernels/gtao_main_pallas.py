@@ -230,7 +230,10 @@ def _kernel(consts_ref,                                   # scalar prefetch
     mip_off = c("depth_mip_sampling_offset")
 
     def sample_depth(sx, sy, mip):
-        """_sample_mip_point: per-lane mip select across the 5 windows."""
+        """_sample_mip_point: per-lane mip select across the 5 windows.
+        Each window's gather is predicated on any lane actually using that
+        level (typical tiles touch 1-2 levels per step) — lax.cond skips
+        the matmuls for the rest at run time."""
         sz = jnp.zeros_like(sx)
         ux = jnp.clip(sx, 0.0, 1.0)
         uy = jnp.clip(sy, 0.0, 1.0)
@@ -243,8 +246,14 @@ def _kernel(consts_ref,                                   # scalar prefetch
             relx = jnp.clip(tex_x - x0, 0, wx - 1)
             rely = jnp.clip(tex_y - y0, 0, wy - 1)
             hi, lo = win_hilo[m]
-            val = _gather_window(hi, lo, rely, relx, wy, wx)
-            sz = jnp.where(mip == m, val, sz)
+            use = mip == m
+
+            def fetch(sz, hi=hi, lo=lo, relx=relx, rely=rely, wy=wy, wx=wx,
+                      use=use):
+                val = _gather_window(hi, lo, rely, relx, wy, wx)
+                return jnp.where(use, val, sz)
+
+            sz = jax.lax.cond(jnp.any(use), fetch, lambda s: s, sz)
         return sz
 
     def slice_body(slice_i, visibility):
