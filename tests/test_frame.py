@@ -146,3 +146,26 @@ def test_spp_scan_matches_unrolled():
                                       width=SIZE, height=SIZE)
     ref = np.asarray(quantize_r11g11b10f(acc / spp))
     np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_quad48_matches_stack12_bilinear():
+    """The one-gather quad-row fetch must be bit-identical to 4x bilinear
+    taps on the 12-channel stack (same weights, same expression order)."""
+    import jax.numpy as jnp
+
+    from tpurt.passes.shade import sample_bilinear, sample_bilinear_quad
+    from tpurt.scene.scene import flatten_scene
+
+    r = make_renderer()
+    fs = flatten_scene(r.models)
+    rng = np.random.default_rng(11)
+    n = 512
+    uv = jnp.asarray(rng.uniform(-1.5, 2.5, (n, 2)), jnp.float32)
+    prim = jnp.asarray(rng.integers(0, fs.num_prims, n), jnp.int32)
+    hw = jnp.asarray(fs.tex_size, jnp.float32)[prim]
+
+    ref = sample_bilinear(jnp.asarray(fs.tex_stack12),
+                          jnp.asarray(fs.tex_size), prim, 0, uv,
+                          images_per_prim=1)
+    got = sample_bilinear_quad(jnp.asarray(fs.tex_quad48), hw, prim, uv)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

@@ -77,6 +77,32 @@ def sample_bilinear(tex_stack, tex_size, prim, layer: int, uv,
     return out / 255.0
 
 
+def sample_bilinear_quad(quad, hw, prim, uv):
+    """Bilinear REPEAT fetch in ONE gather: quad (P, H, W, 48) u8 rows carry
+    the full 2x2 footprint of their texel across the 3 packed layers
+    (REPEAT wrap baked in at scene-flatten time, scene.py), so the fetch is
+    a single flat row gather + the standard lerp. hw: (N, 2) f32 valid
+    (h, w) extents. Bit-identical to 4x sample_bilinear on the 12-stack."""
+    h = hw[:, 0]
+    w = hw[:, 1]
+    px = uv[:, 0] * w - 0.5
+    py = uv[:, 1] * h - 0.5
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    fx = (px - x0)[:, None]
+    fy = (py - y0)[:, None]
+    x0i = jnp.mod(x0.astype(jnp.int32), w.astype(jnp.int32))
+    y0i = jnp.mod(y0.astype(jnp.int32), h.astype(jnp.int32))
+    P, H, W, C = quad.shape
+    flat = (prim * H + y0i) * W + x0i
+    row = quad.reshape(P * H * W, C)[flat].astype(jnp.float32)
+    t00, t10, t01, t11 = (row[:, 0:12], row[:, 12:24],
+                          row[:, 24:36], row[:, 36:48])
+    out = ((t00 * (1 - fx) + t10 * fx) * (1 - fy)
+           + (t01 * (1 - fx) + t11 * fx) * fy)
+    return out / 255.0
+
+
 def _sample_mip_bilinear(atlas, offsets, sizes, prim, layer: int, uv, level):
     """Bilinear REPEAT fetch at an integer mip `level` (per-pixel) from the
     flat mip atlas. atlas (N,4) u8; offsets (P*3,L) i32; sizes (P,L,2)."""
@@ -161,22 +187,25 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
     valid = tri >= 0
     tidx = jnp.maximum(tri, 0)
 
-    prim = scene["tri_prim"][tidx]            # (N,)
-
     u = hits["u"][:, None]
     v = hits["v"][:, None]
     w = 1.0 - u - v
 
+    tex_hw = None
     if "tri_attr" in scene:
         # gather-optimized path: ONE wide gather fetches all three
-        # corners' attributes (TPU gather cost scales with rows, not row
-        # width) — the values are byte-identical to the per-table path
-        attr = scene["tri_attr"][tidx]        # (N, 36)
+        # corners' attributes plus [prim, tex_h, tex_w] (TPU gather cost
+        # scales with rows, not row width) — the values are byte-identical
+        # to the per-table path
+        attr = scene["tri_attr"][tidx]        # (N, 39)
         p0, p1, p2 = attr[:, 0:3], attr[:, 12:15], attr[:, 24:27]
         uv0, uv1, uv2 = attr[:, 3:5], attr[:, 15:17], attr[:, 27:29]
         n0, n1, n2 = attr[:, 5:8], attr[:, 17:20], attr[:, 29:32]
         t0, t1, t2 = attr[:, 8:12], attr[:, 20:24], attr[:, 32:36]
+        prim = attr[:, 36].astype(jnp.int32)  # exact small floats
+        tex_hw = attr[:, 37:39]               # (N, 2) f32 (h, w)
     else:
+        prim = scene["tri_prim"][tidx]        # (N,)
         vids = scene["tri_vertex"][tidx]      # (N, 3)
         p0 = scene["vtx_pos"][vids[:, 0]]
         p1 = scene["vtx_pos"][vids[:, 1]]
@@ -216,6 +245,14 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
                                     scene["tex_mip_offsets"],
                                     scene["tex_mip_sizes"], prim, layer,
                                     tex_coord, lod)
+    elif "tex_quad48" in scene and tex_hw is not None:
+        # quad rows: ONE gather fetches the whole 2x2 bilinear footprint of
+        # albedo+ORM+normal at once
+        packed = sample_bilinear_quad(scene["tex_quad48"], tex_hw, prim,
+                                      tex_coord)
+
+        def fetch(layer):
+            return packed[:, layer * 4:layer * 4 + 4]
     elif "tex_stack12" in scene:
         # packed layers: 4 bilinear taps fetch albedo+ORM+normal together
         packed = sample_bilinear(scene["tex_stack12"], scene["tex_size"],

@@ -62,8 +62,10 @@ class FlatScene:
     tex_mip_offsets: Any = None  # (P*3, L) i32 texel offset into the atlas
     tex_mip_sizes: Any = None    # (P, L, 2) i32 per-level (h, w)
     # gather-optimized tables (see flatten_scene): one wide row per hit
-    tri_attr: Any = None         # (T, 36) f32 3x[pos, uv, normal, tangent]
+    tri_attr: Any = None         # (T, 39) f32 3x[pos, uv, normal, tangent]
+    #                              + [prim, tex_h, tex_w]
     tex_stack12: Any = None      # (P, H, W, 12) u8 packed layers
+    tex_quad48: Any = None       # (P, H, W, 48) u8 2x2-footprint quad rows
     # object-space tables for the dynamic (per-frame-rebuild) mode
     vtx_instance: Any = None   # (V,) i32 instance id per vertex
     obj_vtx_pos: Any = None    # (V, 3) f32 object space
@@ -84,7 +86,7 @@ class FlatScene:
                        tex_mip_sizes=self.tex_mip_sizes)
         if self.tri_attr is not None:
             out.update(tri_attr=self.tri_attr,
-                       tex_stack12=self.tex_stack12)
+                       tex_quad48=self.tex_quad48)
         return out
 
     def as_object_pytree(self) -> dict:
@@ -264,19 +266,37 @@ def flatten_scene(models: List[Model], mipmaps: bool = False) -> FlatScene:
         tex_atlas, tex_mip_offsets, tex_mip_sizes = build_mip_atlas(
             tex_stack, tex_size)
 
-    # Gather-optimized tables (TPU gathers cost ~per row; pack wide rows):
-    # tri_attr (T, 36): all three corners' [pos, uv, normal, tangent]
-    # per triangle -> ONE gather per hit instead of 12;
-    # tex_stack12 (P, H, W, 12): the three layers side by side -> one
-    # bilinear tap fetches albedo+ORM+normal together (4 taps, not 12).
+    # Gather-optimized tables. TPU gather cost scales with the number of
+    # gathered ROWS, not row width, so the shading pass is designed around
+    # exactly TWO wide gathers per hit:
+    # * tri_attr (T, 39): all three corners' [pos, uv, normal, tangent]
+    #   plus [prim id, tex_h, tex_w] (exact small floats) -> one gather
+    #   replaces 12 attribute + 1 prim + 1 extent gather;
+    # * tex_quad48 (P, H, W, 48): each texel row carries its full 2x2
+    #   bilinear footprint (REPEAT wrap baked in at build time) across the
+    #   three layers -> ONE tap per pixel instead of 4 (and instead of the
+    #   reference's 12 sampled fetches, vk_rt_descriptor_set.rs:42-97).
     corners = [np.concatenate([vtx_pos[tri_vertex[:, k]],
                                vtx_uv[tri_vertex[:, k]],
                                vtx_normal[tri_vertex[:, k]],
                                vtx_tangent[tri_vertex[:, k]]], axis=1)
                for k in range(3)]
-    tri_attr = np.concatenate(corners, axis=1).astype(np.float32)
+    tri_attr = np.concatenate(
+        corners + [tri_prim[:, None].astype(np.float32),
+                   tex_size[tri_prim].astype(np.float32)],
+        axis=1).astype(np.float32)
     tex_stack12 = np.concatenate(
         [tex_stack[0::3], tex_stack[1::3], tex_stack[2::3]], axis=3)
+    tex_quad48 = np.zeros((prim_idx, hmax, wmax, 48), np.uint8)
+    for p in range(prim_idx):
+        h, w = int(tex_size[p, 0]), int(tex_size[p, 1])
+        reg = tex_stack12[p, :h, :w]
+        tex_quad48[p, :h, :w] = np.concatenate(
+            [reg,
+             np.roll(reg, -1, axis=1),            # (y,   x+1 mod w)
+             np.roll(reg, -1, axis=0),            # (y+1 mod h, x)
+             np.roll(np.roll(reg, -1, 0), -1, 1)  # (y+1, x+1)
+             ], axis=2)
 
     return FlatScene(
         bvh=bvh.as_pytree(), geom=geom, tri_vertex=tri_vertex,
@@ -288,5 +308,5 @@ def flatten_scene(models: List[Model], mipmaps: bool = False) -> FlatScene:
         transforms=transforms,
         tex_atlas=tex_atlas, tex_mip_offsets=tex_mip_offsets,
         tex_mip_sizes=tex_mip_sizes,
-        tri_attr=tri_attr, tex_stack12=tex_stack12,
+        tri_attr=tri_attr, tex_stack12=tex_stack12, tex_quad48=tex_quad48,
     )
