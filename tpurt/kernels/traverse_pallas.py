@@ -443,11 +443,17 @@ def _packet_kernel_hbm(nodes_ref, tris_ref,
             sp = push_children_and_prefetch(sp, push, entry, right,
                                             jnp.bool_(True))
 
-            for k in range(max_leaf):
-                h, _, _, _ = rays.mt(tri_row_maker(k), tfar)
-                in_range = (k >= k_off) & (k < k_off + count)
-                upd = h & hit_box & in_range & do_leaf
-                occ = jnp.where(upd, 1.0, occ)
+            def leaf_work(occ):
+                for k in range(max_leaf):
+                    h, _, _, _ = rays.mt(tri_row_maker(k), tfar)
+                    in_range = (k >= k_off) & (k < k_off + count)
+                    occ = jnp.where(h & hit_box & in_range, 1.0, occ)
+                return occ
+
+            # gate the MT tests on actually standing at a hit leaf —
+            # internal visits skip ~160 vector ops (the tests were
+            # previously run every step with a do_leaf mask)
+            occ = jax.lax.cond(do_leaf, leaf_work, lambda o: o, occ)
             return sp, occ
 
         _, occluded = jax.lax.while_loop(cond, body, init)
@@ -470,14 +476,22 @@ def _packet_kernel_hbm(nodes_ref, tris_ref,
             push = any_lane & jnp.logical_not(is_leaf)
             sp = push_children_and_prefetch(sp, push, entry, right, left_near)
 
-            for k in range(max_leaf):
-                h, tk, uk, vk = rays.mt(tri_row_maker(k), t)
-                in_range = (k >= k_off) & (k < k_off + count)
-                upd = h & hit_box & in_range & do_leaf
-                t = jnp.where(upd, tk, t)
-                tri = jnp.where(upd, tri_buf[k, 9].astype(jnp.int32), tri)
-                u = jnp.where(upd, uk, u)
-                v = jnp.where(upd, vk, v)
+            def leaf_work(carry):
+                t, tri, u, v = carry
+                for k in range(max_leaf):
+                    h, tk, uk, vk = rays.mt(tri_row_maker(k), t)
+                    in_range = (k >= k_off) & (k < k_off + count)
+                    upd = h & hit_box & in_range
+                    t = jnp.where(upd, tk, t)
+                    tri = jnp.where(upd, tri_buf[k, 9].astype(jnp.int32), tri)
+                    u = jnp.where(upd, uk, u)
+                    v = jnp.where(upd, vk, v)
+                return t, tri, u, v
+
+            # gate the MT tests on actually standing at a hit leaf (see
+            # any-hit variant above)
+            t, tri, u, v = jax.lax.cond(do_leaf, leaf_work, lambda c: c,
+                                        (t, tri, u, v))
             return sp, t, tri, u, v
 
         _, t, tri, u, v = jax.lax.while_loop(cond, body, init)
