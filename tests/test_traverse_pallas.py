@@ -144,3 +144,75 @@ def test_deep_bvh_raises_at_build_time():
     assert bvh_max_depth(entry, skip, count) == depth
     with pytest.raises(ValueError, match="stack budget"):
         check_traversal_depth(bvh)
+
+
+@pytest.fixture(scope="module")
+def setup8(setup):
+    """BVH8 collapse of the shared random scene."""
+    from tpurt.bvh.wide import collapse8
+
+    tree, geom, o, d = setup
+    nodes8, depth = collapse8(jax.tree.map(np.asarray, tree))
+    assert depth >= 2
+    tree8 = dict(tree, nodes8=jnp.asarray(nodes8))
+    return tree8, geom, o, d
+
+
+def test_bvh8_closest_matches_xla(setup8):
+    tree8, geom, o, d = setup8
+    ref = trace_closest(tree8, geom, o, d, 1e-3, 1e4, max_leaf=4)
+    got = trace_closest_packets(tree8, geom, o, d, 1e-3, 1e4,
+                                height=H, width=W, interpret=True,
+                                tables="bvh8")
+    np.testing.assert_array_equal(np.asarray(got["tri"]),
+                                  np.asarray(ref["tri"]))
+    hit = np.asarray(ref["tri"]) >= 0
+    assert hit.sum() > 100
+    np.testing.assert_allclose(np.asarray(got["t"])[hit],
+                               np.asarray(ref["t"])[hit], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["u"])[hit],
+                               np.asarray(ref["u"])[hit], atol=1e-5)
+
+
+def test_bvh8_any_matches_xla(setup8):
+    tree8, geom, o, d = setup8
+    ref = trace_any(tree8, geom, o, d, 1e-3, 1e4, max_leaf=4)
+    got = trace_any_packets(tree8, geom, o, d, 1e-3, 1e4,
+                            height=H, width=W, interpret=True,
+                            tables="bvh8")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_bvh8_inactive_lanes(setup8):
+    tree8, geom, o, d = setup8
+    n = o.shape[0]
+    t_max = np.full(n, 1e4, np.float32)
+    t_max[::2] = 0.0
+    got = trace_any_packets(tree8, geom, o, d, 1e-2, jnp.asarray(t_max),
+                            height=H, width=W, interpret=True,
+                            tables="bvh8")
+    assert not np.asarray(got)[::2].any()
+
+
+def test_bvh8_tiny_scene():
+    """Root-is-leaf and fewer-than-max_leaf triangle scenes."""
+    from tpurt.bvh.wide import collapse8
+
+    v0, v1, v2 = random_tris(2, seed=11, spread=1.0, size=2.0)
+    amin, amax = tri_aabbs(v0, v1, v2)
+    bvh = build_bvh_sah(amin, amax)
+    geom = make_traversal_geom(v0, v1, v2, bvh.tri_order)
+    nodes8, _ = collapse8(bvh.as_pytree())
+    tree8 = dict(jax.tree.map(jnp.asarray, bvh.as_pytree()),
+                 nodes8=jnp.asarray(nodes8))
+
+    cam = Camera(aspect=1.0)
+    cam.set_pos([0.0, 0.0, -10.0])
+    cam.set_dir([0.0, 0.0, 1.0])
+    o, d = camera_rays(cam.uniform(), 32, 32)
+    ref = trace_closest(tree8, geom, o, d, 1e-3, 1e4, max_leaf=4)
+    got = trace_closest_packets(tree8, geom, o, d, 1e-3, 1e4,
+                                height=32, width=32, interpret=True,
+                                tables="bvh8")
+    np.testing.assert_array_equal(np.asarray(got["tri"]),
+                                  np.asarray(ref["tri"]))

@@ -35,7 +35,8 @@ def main():
     report = dict(device=str(jax.devices()[0]), cases=[])
     ok_all = True
 
-    for tables, n_tris in [("smem", 300), ("vmem", 3000), ("hbm", 20000)]:
+    for tables, n_tris in [("smem", 300), ("vmem", 3000), ("hbm", 20000),
+                           ("bvh8", 20000)]:
         # random triangle soup in front of the camera
         c = rng.uniform(-4, 4, (n_tris, 3)).astype(np.float32)
         c[:, 2] = rng.uniform(1.0, 12.0, n_tris)
@@ -46,6 +47,11 @@ def main():
         bvh = build_bvh_sah(amin, amax)
         geom = make_traversal_geom(v0, v1, v2, bvh.tri_order)
         tree = jax.tree.map(jnp.asarray, bvh.as_pytree())
+        if tables == "bvh8":
+            from tpurt.bvh.wide import collapse8
+
+            nodes8, _ = collapse8(bvh.as_pytree())
+            tree = dict(tree, nodes8=jnp.asarray(nodes8))
         geom = jax.tree.map(jnp.asarray, geom)
 
         cam = Camera(aspect=1.0)

@@ -199,7 +199,7 @@ class Renderer:
         return g
 
     def _pallas_tables(self) -> str:
-        """Pick the packet-tracer table tier: "smem" -> "vmem" -> "" (XLA)."""
+        """Pick the packet-tracer table tier: "smem" -> "bvh8" -> "" (XLA)."""
         c = self.config
         if c.tracer == "xla":
             return ""
@@ -207,13 +207,18 @@ class Renderer:
 
         from ..kernels.traverse_pallas import table_mode
 
-        if c.tracer in ("smem", "vmem", "hbm"):
+        if c.tracer in ("smem", "vmem", "hbm", "bvh8"):
             return c.tracer
         if (c.tracer == "pallas"
                 or (jax.default_backend() in ("tpu", "axon")
                     and self._scene is not None)):
-            return table_mode(self._scene.bvh["aabb_min"].shape[0],
+            mode = table_mode(self._scene.bvh["aabb_min"].shape[0],
                               self._scene.geom["v0"].shape[0])
+            # prefer the wide-node kernel whenever the collapse exists
+            # (static scenes; the in-jit LBVH of dynamic mode has none)
+            if mode == "hbm" and "nodes8" in self._scene.bvh:
+                return "bvh8"
+            return mode
         return ""
 
     def render_image(self) -> np.ndarray:

@@ -8,14 +8,20 @@ math (measured 0.167 ms per sample over the full image — ~50x):
 
   * the image is processed in 32x32 tiles (8x128 packets, the same swizzle
     as the traversal kernel); per-pixel inputs arrive pre-packeted,
-  * each tile DMAs one window per mip level into VMEM. Sample offsets
-    assigned to mip m are bounded by 2^(m+3.8) px (= <16 mip-m texels,
-    passes/gtao.py mip selection), so windows are small and static-shaped;
-    mip 4 (clamped top level) is resident in full,
+  * per-tile mip windows are cut OUTSIDE the kernel with static indices
+    (XLA row gathers) and ride in as pipelined BlockSpec operands — Pallas
+    double-buffers the next tile's windows behind this tile's math, and no
+    DMA-alignment tax applies (the old in-kernel HBM DMA forced 128-column
+    alignment: 72x192/56x256 windows for 64x48-texel footprints; now they
+    are exactly (wy, 128)). Sample offsets assigned to mip m are bounded by
+    2^(m+3.8) px (= <16 mip-m texels, passes/gtao.py mip selection); mip 4
+    (the clamped top level) is resident in full,
+  * windows ride as f32 and split into exact (hi, lo) bf16 pairs in-kernel
+    (bf16 *operands* mis-lower under Mosaic — see sample_depth),
   * a depth fetch at per-pixel (y, x) becomes, per 128-lane row:
-      C = window @ onehot_cols   (wy x wx) @ (wx x 128) on the MXU
+      C = window @ onehot_cols   (wy x 128) @ (128 x 128) on the MXU
       v = sum(C * onehot_rows)   VPU mask-reduce over wy sublanes
-    — an exact gather (one-hot f32 matmul copies bits), no gathers,
+    — an exact gather (one-hot matmul copies bits), no gathers,
   * per-lane mip selection = compute from each window, jnp.where-select.
 
 Slice/step loops run as lax.fori_loop (compile-size), directions and mip
@@ -84,7 +90,7 @@ def _split_hi_lo(win):
 
 def _gather_window(win_hi, win_lo, rely, relx, wy: int, wx: int):
     """Exact per-pixel fetch win[rely, relx] for an (8, 128) packet via
-    two MXU matmuls (bf16 hi/lo split) + mask-reduce per sublane row; the
+    two MXU matmuls (bf16 hi/lo pair) + mask-reduce per sublane row; the
     one-hot operand has a single nonzero per output, so each pass copies
     its part exactly and the f32 sum reconstructs the value."""
     rows = []
@@ -92,9 +98,9 @@ def _gather_window(win_hi, win_lo, rely, relx, wy: int, wx: int):
         onehot_c = (jax.lax.broadcasted_iota(jnp.int32, (wx, 128), 0)
                     == relx[s:s + 1]).astype(jnp.bfloat16)
         dims = (((1,), (0,)), ((), ()))
-        c = (jax.lax.dot_general(win_hi[:wy, :wx], onehot_c, dims,
+        c = (jax.lax.dot_general(win_hi, onehot_c, dims,
                                  preferred_element_type=jnp.float32)
-             + jax.lax.dot_general(win_lo[:wy, :wx], onehot_c, dims,
+             + jax.lax.dot_general(win_lo, onehot_c, dims,
                                    preferred_element_type=jnp.float32))
         mask_r = (jax.lax.broadcasted_iota(jnp.int32, (wy, 128), 0)
                   == rely[s:s + 1]).astype(jnp.float32)
@@ -103,54 +109,81 @@ def _gather_window(win_hi, win_lo, rely, relx, wy: int, wx: int):
 
 
 def _plan_windows(mip_shapes, width, height):
-    """Static per-mip window plan: (wy, wx, Hp, Wp) per level. Window rows
-    cover tile_extent + 2*HALO (+8 for the floor-to-8 DMA alignment);
-    columns cover +128 for the floor-to-128 alignment, clamped to the
-    padded mip size. Mip sizes where the whole level fits the window are
-    fully resident."""
+    """Static per-mip window plan: (wy, wx, full) per level. Window rows
+    cover tile_extent + 2*HALO rounded to the bf16 sublane tile (16);
+    columns are one 128-lane row (the footprint is <= 64 texels and the
+    windows are cut by gathers, so no DMA alignment slop applies). The top
+    level is resident in full — sample offsets clamp INTO it with
+    unbounded length (requires mip-4 width <= 128, i.e. frames <= 2048 px
+    wide; wider frames take the XLA main pass)."""
     plan = []
     for m, (hm, wm) in enumerate(mip_shapes):
         ext = max(TILE >> m, 1)
-        hp = _round_up(hm, 8)
-        wp = _round_up(wm, 128)
         if m == len(mip_shapes) - 1:
-            # top level: sample offsets clamp INTO this mip with unbounded
-            # length — keep the whole level resident
-            wy, wx = hp, wp
+            wy, wx, full = _round_up(hm, 16), _round_up(wm, 128), True
         else:
-            wy = min(_round_up(ext + 2 * HALO + 8, 8), hp)
-            wx = min(_round_up(ext + 2 * HALO + 128, 128), wp)
-        plan.append((wy, wx, hp, wp))
+            wy = min(_round_up(ext + 2 * HALO, 16), _round_up(hm, 16))
+            wx = 128
+            full = False
+        plan.append((wy, wx, full))
     return plan
 
 
+def _window_starts(plan, mip_shapes, tiles_y: int, tiles_x: int):
+    """Static per-tile window origins (y0s (Ty,), x0s (Tx,)) per mip."""
+    starts = []
+    for m, ((wy, wx, full), (hm, wm)) in enumerate(zip(plan, mip_shapes)):
+        if full:
+            y0s = np.zeros(tiles_y, np.int32)
+            x0s = np.zeros(tiles_x, np.int32)
+        else:
+            ty = np.arange(tiles_y, dtype=np.int64) * TILE
+            tx = np.arange(tiles_x, dtype=np.int64) * TILE
+            y0s = np.clip((ty >> m) - HALO, 0, max(hm - wy, 0)).astype(np.int32)
+            x0s = np.clip((tx >> m) - HALO, 0, max(wm - wx, 0)).astype(np.int32)
+        starts.append((y0s, x0s))
+    return starts
+
+
+def _cut_windows(mip, y0s, x0s, wy: int, wx: int):
+    """Cut per-tile (wy, wx) windows from one mip with STATIC separable
+    indices: rows by tile row, columns by tile column (edge-clamped; the
+    clamped duplicates are never selected by the in-kernel one-hots).
+    Returns (Ty*Tx, wy, wx) f32 in row-major tile order."""
+    hm, wm = mip.shape
+    rows = np.clip(y0s[:, None] + np.arange(wy)[None, :], 0, hm - 1)
+    cols = np.clip(x0s[:, None] + np.arange(wx)[None, :], 0, wm - 1)
+    r = mip[jnp.asarray(rows.reshape(-1))]          # (Ty*wy, wm)
+    r = r.reshape(y0s.shape[0], wy, wm)
+    w = r[:, :, jnp.asarray(cols.reshape(-1))]      # (Ty, wy, Tx*wx)
+    w = w.reshape(y0s.shape[0], wy, x0s.shape[0], wx)
+    return w.transpose(0, 2, 1, 3).reshape(-1, wy, wx)
+
+
 def _kernel(consts_ref,                                   # scalar prefetch
-            m0, m1, m2, m3, m4,                           # HBM mips
             spx_r, spy_r, vz_r, pl_r, pr_r, pt_r, pb_r,
             nx_r, ny_r, nz_r, nsl_r, nsm_r,               # packeted inputs
+            w0, w1, w2, w3, w4,                           # mip windows (f32)
             ao_out, edges_out,                            # outputs
-            w0, w1, w2, w3, w4, sems,                     # scratch
             *, plan, mip_shapes, width, height, tiles_x,
             slice_count: int, steps_per_slice: int):
     i = pl.program_id(0)
     ty = (i // tiles_x) * TILE
     tx = (i % tiles_x) * TILE
 
-    mips_hbm = (m0, m1, m2, m3, m4)
     wins = (w0, w1, w2, w3, w4)
-    # kick off all window DMAs up front
-    copies = []
+    # per-tile window origins — the same static formula _window_starts
+    # used when cutting the windows outside
+    win_offs = []
     for m in range(5):
-        wy, wx, hp, wp = plan[m]
-        y_des = jnp.clip((ty >> m) - HALO, 0, hp - wy)
-        x_des = jnp.clip((tx >> m) - HALO, 0, wp - wx)
-        y0 = pl.multiple_of((y_des // 8) * 8, 8)
-        x0 = pl.multiple_of((x_des // 128) * 128, 128)
-        cp = pltpu.make_async_copy(
-            mips_hbm[m].at[pl.ds(y0, wy), pl.ds(x0, wx)], wins[m],
-            sems.at[m])
-        cp.start()
-        copies.append((cp, y0, x0))
+        wy, wx, full = plan[m]
+        hm, wm = mip_shapes[m]
+        if full:
+            win_offs.append((jnp.int32(0), jnp.int32(0)))
+        else:
+            win_offs.append((
+                jnp.clip((ty >> m) - HALO, 0, max(hm - wy, 0)),
+                jnp.clip((tx >> m) - HALO, 0, max(wm - wx, 0))))
 
     # ---- dense per-pixel setup (identical math to passes/gtao.main_pass)
     c = lambda k: consts_ref[_CK.index(k)]  # noqa: E731
@@ -222,11 +255,6 @@ def _kernel(consts_ref,                                   # scalar prefetch
                            0.0, 1.0) * 0.5
     min_s = 1.3 / screenspace_radius
 
-    for cp, _, _ in copies:
-        cp.wait()
-    win_offs = [(y0, x0) for _, y0, x0 in copies]
-    win_hilo = [_split_hi_lo(w[:]) for w in wins]
-
     mip_off = c("depth_mip_sampling_offset")
 
     def sample_depth(sx, sy, mip):
@@ -239,17 +267,22 @@ def _kernel(consts_ref,                                   # scalar prefetch
         uy = jnp.clip(sy, 0.0, 1.0)
         for m in range(5):
             hm, wm = mip_shapes[m]
-            wy, wx, _, _ = plan[m]
+            wy, wx, _ = plan[m]
             y0, x0 = win_offs[m]
             tex_x = jnp.clip((ux * float(wm)).astype(jnp.int32), 0, wm - 1)
             tex_y = jnp.clip((uy * float(hm)).astype(jnp.int32), 0, hm - 1)
             relx = jnp.clip(tex_x - x0, 0, wx - 1)
             rely = jnp.clip(tex_y - y0, 0, wy - 1)
-            hi, lo = win_hilo[m]
+            win_ref = wins[m]
             use = mip == m
 
-            def fetch(sz, hi=hi, lo=lo, relx=relx, rely=rely, wy=wy, wx=wx,
-                      use=use):
+            def fetch(sz, win_ref=win_ref, relx=relx,
+                      rely=rely, wy=wy, wx=wx, use=use):
+                # hi/lo split in-kernel: bf16 *operands* mis-lower under
+                # Mosaic (measured: ~12-20% of pixels wrong at any size
+                # while the interpreter was exact) — f32 windows + a
+                # 3-op split per fetch are bit-safe
+                hi, lo = _split_hi_lo(win_ref[0])
                 val = _gather_window(hi, lo, rely, relx, wy, wx)
                 return jnp.where(use, val, sz)
 
@@ -383,13 +416,24 @@ def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
                       for m in depth_mips)
     plan = tuple(_plan_windows(mip_shapes, width, height))
 
-    # pad mips for aligned DMA windows (padding never selected: one-hots
-    # are built from coords clipped to the REAL extents)
-    mips_p = []
-    for m, (wy, wx, hp, wp) in enumerate(plan):
-        arr = depth_mips[m]
-        mips_p.append(jnp.pad(arr, ((0, hp - arr.shape[0]),
-                                    (0, wp - arr.shape[1]))))
+    tiles_x = -(-width // TILE)
+    tiles_y = -(-height // TILE)
+    starts = _window_starts(plan, mip_shapes, tiles_y, tiles_x)
+
+    # per-tile windows, cut with static indices and pre-split hi/lo bf16
+    # (full top level: one shared window, constant block index)
+    win_ops = []
+    win_specs = []
+    for m, ((wy, wx, full), (y0s, x0s)) in enumerate(zip(plan, starts)):
+        if full:
+            w = _cut_windows(depth_mips[m], y0s[:1], x0s[:1], wy, wx)
+            idx = lambda i, *refs: (0, 0, 0)
+        else:
+            w = _cut_windows(depth_mips[m], y0s, x0s, wy, wx)
+            idx = lambda i, *refs: (i, 0, 0)
+        win_ops.append(w)
+        win_specs.append(pl.BlockSpec((1, wy, wx), idx,
+                                      memory_space=pltpu.VMEM))
 
     pk = partial(_to_packets, height=height, width=width)
 
@@ -418,7 +462,6 @@ def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
 
     n_sub = packeted[0].shape[0]
     grid = (n_sub // 8,)
-    tiles_x = -(-width // TILE)
 
     # index_map receives the scalar-prefetch refs as trailing args
     ray_spec = pl.BlockSpec((8, 128), lambda i, *refs: (i, 0),
@@ -429,16 +472,13 @@ def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5
-        + [ray_spec] * 12,
+        in_specs=[ray_spec] * 12 + win_specs,
         out_specs=[
             pl.BlockSpec((8, 128), lambda i, *refs: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda i, *refs: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((p[0], p[1]), jnp.float32) for p in plan]
-        + [pltpu.SemaphoreType.DMA((5,))],
     )
     ao_pk, edges_pk = pl.pallas_call(
         kernel,
@@ -446,7 +486,7 @@ def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
         out_shape=[jax.ShapeDtypeStruct((n_sub, 128), jnp.uint8),
                    jax.ShapeDtypeStruct((n_sub, 128), jnp.uint8)],
         interpret=interpret,
-    )(consts_vec, *mips_p, *packeted)
+    )(consts_vec, *packeted, *win_ops)
 
     unpk = partial(_from_packets, height=height, width=width)
     return (unpk(ao_pk).reshape(height, width),

@@ -1,0 +1,329 @@
+"""BVH8 Pallas packet traversal — wide nodes for the TPU's wide VPU.
+
+The binary HBM-tier kernel (traverse_pallas._packet_kernel_hbm) pays one
+512 B row DMA + one slab test + loop overhead per binary node visit. The
+BVH8 kernel amortizes all three: one row DMA brings EIGHT child AABBs
+(bvh/wide.py packing), tested as eight dense (8, 128) slab evaluations —
+~3x fewer traversal steps for the same leaf work.
+
+Step design:
+  * the SMEM stack holds MIXED entries: wide-node ids (>= 0) and encoded
+    leaf ranges (-(first * 8 + count) - 1) — a popped leaf runs ONLY its
+    Moller-Trumbore tests, a popped node ONLY its slab tests + pushes,
+    each under lax.cond (no masked-dead work like the binary kernel's
+    always-on MT block),
+  * both possible next-step fetches are speculatively in flight at all
+    times: the node row for stack-top-as-node, the triangle block for
+    stack-top-as-leaf (one of the two is wasted per step; 2.5 KB/step is
+    noise next to the latency it hides),
+  * closest-hit pushes are ordered far-to-near by the packet mean
+    direction (keys from child AABB centroids, already in the row) through
+    a 19-comparator Batcher sorting network on scalars — the near child
+    pops first and the shrinking t bound culls the far ones,
+  * leaf MT updates need no per-lane box mask: a lane whose ray misses the
+    child AABB cannot intersect triangles inside it, so the exact MT test
+    alone is sufficient (the parent's any-lane test gates the push).
+
+Parity contract matches trace_closest/trace_any (kernels/traverse.py).
+Replaces `traceRayEXT` (raytrace.rgen.glsl:86-182) like the binary tiers.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .traverse_pallas import (PACKET_LANES, STACK_DEPTH, _Rays,
+                              _from_packets, _rays_to_packets,
+                              _resolve_interpret, pack_tris_hbm)
+
+_NEG = -3.0e38
+# Batcher odd-even mergesort network for 8 elements (19 comparators)
+_BATCHER8 = [(0, 1), (2, 3), (4, 5), (6, 7),
+             (0, 2), (1, 3), (4, 6), (5, 7),
+             (1, 2), (5, 6),
+             (0, 4), (1, 5), (2, 6), (3, 7),
+             (2, 4), (3, 5),
+             (1, 2), (3, 4), (5, 6)]
+
+
+def _kernel_bvh8(nodes_ref, tris_ref,
+                 ox, oy, oz, dx, dy, dz, tmn, tmx,
+                 t_out, tri_out, u_out, v_out,
+                 stack, node_buf, tri_buf, sems,
+                 *, max_leaf: int, any_hit: bool):
+    rays = _Rays(ox, oy, oz, dx, dy, dz, tmn, tmx)
+    t_min = rays.t_min
+    t_max0 = rays.t_max0
+    num_tris = tris_ref.shape[0]
+    num_nodes = nodes_ref.shape[0]
+    first_cap = max(num_tris - max_leaf, 0)
+
+    stack[0] = jnp.int32(0)
+
+    def start_node_fetch(node):
+        pltpu.make_async_copy(
+            nodes_ref.at[pl.ds(jnp.clip(node, 0, num_nodes - 1), 1)],
+            node_buf, sems.at[0]).start()
+
+    def wait_node_fetch():
+        pltpu.make_async_copy(nodes_ref.at[pl.ds(0, 1)], node_buf,
+                              sems.at[0]).wait()
+
+    def leaf_first(top):
+        """Decode the clamped DMA window start of a (possibly-)leaf entry."""
+        dec = jnp.maximum(-(top + 1), 0)
+        return jnp.clip(dec // 8, 0, first_cap)
+
+    def start_tri_fetch(first_c):
+        pltpu.make_async_copy(tris_ref.at[pl.ds(first_c, max_leaf)],
+                              tri_buf, sems.at[1]).start()
+
+    def wait_tri_fetch():
+        pltpu.make_async_copy(tris_ref.at[pl.ds(0, max_leaf)], tri_buf,
+                              sems.at[1]).wait()
+
+    start_node_fetch(jnp.int32(0))
+    start_tri_fetch(jnp.int32(0))
+
+    # packet mean direction for near-child-first ordering
+    md_x = jnp.sum(rays.d_x)
+    md_y = jnp.sum(rays.d_y)
+    md_z = jnp.sum(rays.d_z)
+
+    def node_children(tfar):
+        """8 slab tests + metas -> per-slot (key, code); key = _NEG when the
+        slot should not be pushed. Reads node_buf only."""
+        keys = []
+        codes = []
+        for k in range(8):
+            b = k * 6
+            hit_k = rays.slab(node_buf[0, b], node_buf[0, b + 1],
+                              node_buf[0, b + 2], node_buf[0, b + 3],
+                              node_buf[0, b + 4], node_buf[0, b + 5], tfar)
+            any_k = jnp.any(hit_k)
+            child = node_buf[0, 48 + k]
+            firstf = node_buf[0, 56 + k]
+            countf = node_buf[0, 64 + k]
+            is_int = child >= 0.0
+            is_lf = countf > 0.0
+            code = jnp.where(
+                is_int, child.astype(jnp.int32),
+                -(firstf.astype(jnp.int32) * 8
+                  + countf.astype(jnp.int32)) - 1)
+            key = ((node_buf[0, b] + node_buf[0, b + 3]) * md_x
+                   + (node_buf[0, b + 1] + node_buf[0, b + 4]) * md_y
+                   + (node_buf[0, b + 2] + node_buf[0, b + 5]) * md_z)
+            keys.append(jnp.where(any_k & (is_int | is_lf), key,
+                                  jnp.float32(_NEG)))
+            codes.append(code)
+        return tuple(keys) + tuple(codes)
+
+    def no_children(tfar):
+        del tfar
+        return (tuple(jnp.float32(_NEG) for _ in range(8))
+                + tuple(jnp.int32(0) for _ in range(8)))
+
+    def push_sorted(sp, keys, codes):
+        """Far-to-near pushes: sort descending by key (Batcher-8), then
+        write sequentially, advancing sp only for valid entries (_NEG keys
+        sort last and write harmlessly above the final top)."""
+        keys = list(keys)
+        codes = list(codes)
+        for a, b in _BATCHER8:
+            swap = keys[a] < keys[b]
+            ka = jnp.where(swap, keys[b], keys[a])
+            kb = jnp.where(swap, keys[a], keys[b])
+            ca = jnp.where(swap, codes[b], codes[a])
+            cb = jnp.where(swap, codes[a], codes[b])
+            keys[a], keys[b] = ka, kb
+            codes[a], codes[b] = ca, cb
+        for k in range(8):
+            stack[jnp.minimum(sp, STACK_DEPTH - 1)] = codes[k]
+            sp = jnp.where(keys[k] > jnp.float32(_NEG / 2),
+                           jnp.minimum(sp + 1, STACK_DEPTH), sp)
+        return sp
+
+    def push_unsorted(sp, keys, codes):
+        """Any-hit: order does not matter; invalid slots write at the
+        current top without advancing and are overwritten by later valid
+        ones."""
+        for k in range(8):
+            stack[jnp.minimum(sp, STACK_DEPTH - 1)] = codes[k]
+            sp = jnp.where(keys[k] > jnp.float32(_NEG / 2),
+                           jnp.minimum(sp + 1, STACK_DEPTH), sp)
+        return sp
+
+
+    if any_hit:
+        init = (jnp.int32(1), jnp.zeros_like(t_min))
+
+        def cond(c):
+            sp, occ = c
+            return (sp > 0) & jnp.logical_not(
+                jnp.all((occ > 0.0) | (t_max0 <= t_min)))
+
+        def body(c):
+            sp, occ = c
+            top = stack[sp - 1]
+            sp = sp - 1
+            is_node = top >= 0
+            wait_node_fetch()
+            wait_tri_fetch()
+            tfar = jnp.where(occ > 0.0, t_min, t_max0)
+
+            keys_codes = jax.lax.cond(is_node, node_children, no_children,
+                                      tfar)
+            sp = push_unsorted(sp, keys_codes[:8], keys_codes[8:])
+            # node_buf fully consumed -> speculate the next node row now
+            # (overlaps the leaf math); the TRI fetch must wait until
+            # leaf_work has read this step's tri_buf
+            nxt = stack[jnp.maximum(sp - 1, 0)]
+            start_node_fetch(nxt)
+
+            dec = jnp.maximum(-(top + 1), 0)
+            count = dec - (dec // 8) * 8
+            k_off = (dec // 8) - leaf_first(top)
+
+            def leaf_work(occ):
+                for k in range(max_leaf):
+                    h, _, _, _ = rays.mt(lambda c_, k=k: tri_buf[k, c_],
+                                         tfar)
+                    in_range = (k >= k_off) & (k < k_off + count)
+                    occ = jnp.where(h & in_range, 1.0, occ)
+                return occ
+
+            occ = jax.lax.cond(jnp.logical_not(is_node), leaf_work,
+                               lambda o: o, occ)
+            start_tri_fetch(leaf_first(nxt))
+            return sp, occ
+
+        _, occluded = jax.lax.while_loop(cond, body, init)
+        wait_node_fetch()
+        wait_tri_fetch()
+        t_out[:] = occluded
+    else:
+        init = (jnp.int32(1), t_max0,
+                jnp.full(t_min.shape, -1, jnp.int32),
+                jnp.zeros_like(t_min), jnp.zeros_like(t_min))
+
+        def cond(c):
+            return c[0] > 0
+
+        def body(c):
+            sp, t, tri, u, v = c
+            top = stack[sp - 1]
+            sp = sp - 1
+            is_node = top >= 0
+            wait_node_fetch()
+            wait_tri_fetch()
+
+            keys_codes = jax.lax.cond(is_node, node_children, no_children, t)
+            sp = push_sorted(sp, keys_codes[:8], keys_codes[8:])
+            nxt = stack[jnp.maximum(sp - 1, 0)]
+            start_node_fetch(nxt)
+
+            dec = jnp.maximum(-(top + 1), 0)
+            count = dec - (dec // 8) * 8
+            k_off = (dec // 8) - leaf_first(top)
+
+            def leaf_work(carry):
+                t, tri, u, v = carry
+                for k in range(max_leaf):
+                    h, tk, uk, vk = rays.mt(lambda c_, k=k: tri_buf[k, c_],
+                                            t)
+                    in_range = (k >= k_off) & (k < k_off + count)
+                    upd = h & in_range
+                    t = jnp.where(upd, tk, t)
+                    tri = jnp.where(upd, tri_buf[k, 9].astype(jnp.int32),
+                                    tri)
+                    u = jnp.where(upd, uk, u)
+                    v = jnp.where(upd, vk, v)
+                return t, tri, u, v
+
+            t, tri, u, v = jax.lax.cond(jnp.logical_not(is_node), leaf_work,
+                                        lambda cr: cr, (t, tri, u, v))
+            start_tri_fetch(leaf_first(nxt))
+            return sp, t, tri, u, v
+
+        _, t, tri, u, v = jax.lax.while_loop(cond, body, init)
+        wait_node_fetch()
+        wait_tri_fetch()
+        t_out[:] = t
+        tri_out[:] = tri
+        u_out[:] = u
+        v_out[:] = v
+
+
+def _trace_packets_bvh8(nodes8, tris128, rays, max_leaf: int, any_hit: bool,
+                        interpret: bool):
+    n_sub = rays["ox"].shape[0]
+    grid = (n_sub // 8,)
+
+    ray_spec = pl.BlockSpec((8, PACKET_LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shapes = [
+        jax.ShapeDtypeStruct((n_sub, PACKET_LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_sub, PACKET_LANES), jnp.int32),
+        jax.ShapeDtypeStruct((n_sub, PACKET_LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_sub, PACKET_LANES), jnp.float32),
+    ]
+    table_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=grid,
+        in_specs=[table_spec] * 2 + [ray_spec] * 8,
+        out_specs=[ray_spec] * 4,
+        scratch_shapes=[
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.VMEM((1, 128), jnp.float32),         # node row
+            pltpu.VMEM((max_leaf, 128), jnp.float32),  # leaf tri rows
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = partial(_kernel_bvh8, max_leaf=max_leaf, any_hit=any_hit)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(nodes8, tris128,
+      rays["ox"], rays["oy"], rays["oz"],
+      rays["dx"], rays["dy"], rays["dz"],
+      rays["tmin"], rays["tmax"])
+
+
+@partial(jax.jit, static_argnames=("height", "width", "max_leaf",
+                                   "interpret"))
+def trace_closest_bvh8(bvh: dict, geom: dict, origin, direction,
+                       t_min, t_max, *, height: int, width: int,
+                       max_leaf: int = 4, interpret: bool | None = None):
+    """Closest-hit BVH8 packet trace. bvh must carry 'nodes8'
+    (bvh/wide.collapse8). Contract matches trace_closest."""
+    interpret = _resolve_interpret(interpret)
+    tris128 = pack_tris_hbm(geom)
+    rays = _rays_to_packets(origin, direction, t_min, t_max, height, width)
+    t, tri, u, v = _trace_packets_bvh8(bvh["nodes8"], tris128, rays,
+                                       max_leaf, any_hit=False,
+                                       interpret=interpret)
+    g = partial(_from_packets, height=height, width=width)
+    return dict(t=g(t), tri=g(tri), u=g(u), v=g(v))
+
+
+@partial(jax.jit, static_argnames=("height", "width", "max_leaf",
+                                   "interpret"))
+def trace_any_bvh8(bvh: dict, geom: dict, origin, direction,
+                   t_min, t_max, *, height: int, width: int,
+                   max_leaf: int = 4, interpret: bool | None = None):
+    """Any-hit BVH8 packet trace; returns boolean occlusion mask (H*W,)."""
+    interpret = _resolve_interpret(interpret)
+    tris128 = pack_tris_hbm(geom)
+    rays = _rays_to_packets(origin, direction, t_min, t_max, height, width)
+    occ, _, _, _ = _trace_packets_bvh8(bvh["nodes8"], tris128, rays,
+                                       max_leaf, any_hit=True,
+                                       interpret=interpret)
+    return _from_packets(occ, height, width) > 0.5

@@ -324,18 +324,23 @@ def pack_tables_hbm(bvh: dict, geom: dict):
     nodes = nodes.at[:, 11:14].set(centroid[left_c])
     nodes = nodes.at[:, 14:17].set(centroid[right_c])
 
+    return nodes, pack_tris_hbm(geom)
+
+
+def pack_tris_hbm(geom: dict):
+    """Triangle rows for the HBM/BVH8 tiers: [v0, e1, e2, tri_id] per
+    128-lane f32 row. Padded to >= 8 rows so the leaf block DMA (max_leaf
+    rows at a clamped offset) can never read past the table for tiny
+    scenes (< max_leaf tris); padding rows are degenerate (e1 = e2 = 0 ->
+    det 0, no hit) and excluded by the kernel's in_range mask anyway."""
     t = geom["v0"].shape[0]
-    # Pad to >= 8 rows so the leaf block DMA (max_leaf rows at a clamped
-    # offset) can never read past the table for tiny scenes (< max_leaf
-    # tris). Padding rows are degenerate (e1 = e2 = 0 -> det 0, no hit) and
-    # excluded by the kernel's in_range mask anyway.
     tp = max(t, 8)
     tris = jnp.zeros((tp, 128), jnp.float32)
     tris = tris.at[:t, 0:3].set(jnp.asarray(geom["v0"], jnp.float32))
     tris = tris.at[:t, 3:6].set(jnp.asarray(geom["e1"], jnp.float32))
     tris = tris.at[:t, 6:9].set(jnp.asarray(geom["e2"], jnp.float32))
     tris = tris.at[:t, 9].set(jnp.asarray(geom["tri_id"], jnp.float32))
-    return nodes, tris
+    return tris
 
 
 def _packet_kernel_hbm(nodes_ref, tris_ref,
@@ -643,6 +648,12 @@ def trace_closest_packets(bvh: dict, geom: dict, origin, direction,
     Same contract as kernels.traverse.trace_closest (t=t_max & tri=-1 on miss).
     interpret=None auto-selects Mosaic on TPU / interpreter elsewhere."""
     interpret = _resolve_interpret(interpret)
+    if tables == "bvh8":
+        from .traverse_bvh8 import trace_closest_bvh8
+
+        return trace_closest_bvh8(bvh, geom, origin, direction, t_min,
+                                  t_max, height=height, width=width,
+                                  max_leaf=max_leaf, interpret=interpret)
     if tables == "hbm":
         nodes128, tris128 = pack_tables_hbm(bvh, geom)
         aabb, meta, tri, tri_id = nodes128, tris128, None, None
@@ -664,6 +675,12 @@ def trace_any_packets(bvh: dict, geom: dict, origin, direction,
                       tables: str = "smem"):
     """Any-hit packet trace; returns boolean occlusion mask (H*W,)."""
     interpret = _resolve_interpret(interpret)
+    if tables == "bvh8":
+        from .traverse_bvh8 import trace_any_bvh8
+
+        return trace_any_bvh8(bvh, geom, origin, direction, t_min, t_max,
+                              height=height, width=width, max_leaf=max_leaf,
+                              interpret=interpret)
     if tables == "hbm":
         nodes128, tris128 = pack_tables_hbm(bvh, geom)
         aabb, meta, tri, tri_id = nodes128, tris128, None, None

@@ -255,6 +255,15 @@ def flatten_scene(models: List[Model], mipmaps: bool = False) -> FlatScene:
     v2 = vtx_pos[tri_vertex[:, 2]]
     amin, amax = tri_aabbs(v0, v1, v2)
     bvh = build_bvh_sah(amin, amax, max_leaf_size=MAX_LEAF)
+    bvh_pt = bvh.as_pytree()
+    # BVH8 collapse for the wide packet tracer (bvh/wide.py); depth guard:
+    # a wide-node step pushes at most 7 net entries, STACK_DEPTH = 192
+    from ..bvh.wide import collapse8
+
+    nodes8, depth8 = collapse8(bvh_pt)
+    if 7 * depth8 + 1 > 192:
+        raise ValueError(f"BVH8 depth {depth8} exceeds the packet stack")
+    bvh_pt["nodes8"] = nodes8
 
     order = np.asarray(bvh.tri_order)
     v0o = v0[order]
@@ -299,7 +308,7 @@ def flatten_scene(models: List[Model], mipmaps: bool = False) -> FlatScene:
              ], axis=2)
 
     return FlatScene(
-        bvh=bvh.as_pytree(), geom=geom, tri_vertex=tri_vertex,
+        bvh=bvh_pt, geom=geom, tri_vertex=tri_vertex,
         tri_prim=tri_prim, vtx_pos=vtx_pos, vtx_uv=vtx_uv,
         vtx_normal=vtx_normal, vtx_tangent=vtx_tangent,
         tex_stack=tex_stack, tex_size=tex_size, num_prims=prim_idx,
