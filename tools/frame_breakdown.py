@@ -56,7 +56,7 @@ def main():
         jits = jnp.linspace(-0.25, 0.25, REPS).reshape(REPS, 1) \
             * jnp.ones((1, 2), jnp.float32)
 
-        def stage_trace(jit, ni):
+        def stage_trace(scene, cam, lights, consts, lpm, jit, ni):
             from tpurt.kernels.traverse_pallas import trace_closest_packets
 
             o, d = camera_rays(cam, w, h, jitter=jit)
@@ -65,7 +65,7 @@ def main():
                                          max_leaf=MAX_LEAF, tables=tables)
             return jnp.sum(jnp.where(jnp.isfinite(hits["t"]), hits["t"], 0.0))
 
-        def _gbuf(jit):
+        def _gbuf(scene, cam, lights, jit):
             from tpurt.kernels.traverse_pallas import trace_closest_packets
 
             o, d = camera_rays(cam, w, h, jitter=jit)
@@ -76,22 +76,22 @@ def main():
                          pallas_tables=tables, height=h, width=w,
                          max_leaf=MAX_LEAF)
 
-        def stage_shade(jit, ni):
-            return jnp.sum(_gbuf(jit)["color"])
+        def stage_shade(scene, cam, lights, consts, lpm, jit, ni):
+            return jnp.sum(_gbuf(scene, cam, lights, jit)["color"])
 
-        def _ao(jit, ni):
-            g = _gbuf(jit)
+        def _ao(scene, cam, lights, consts, jit, ni):
+            g = _gbuf(scene, cam, lights, jit)
             depth = quantize_r16f(g["depth"]).reshape(h, w)
             normal = quantize_r11g11b10f(g["normal_enc"]).reshape(h, w, 3)
             ao_term = compute_ao(depth, normal, consts, gtao, ni)
             return g, ao_visibility_u8(ao_term, gtao)
 
-        def stage_gtao(jit, ni):
-            g, ao = _ao(jit, ni)
+        def stage_gtao(scene, cam, lights, consts, lpm, jit, ni):
+            g, ao = _ao(scene, cam, lights, consts, jit, ni)
             return jnp.sum(g["color"]) + jnp.sum(ao.astype(jnp.float32))
 
-        def stage_tonemap(jit, ni):
-            g, ao = _ao(jit, ni)
+        def stage_tonemap(scene, cam, lights, consts, lpm, jit, ni):
+            g, ao = _ao(scene, cam, lights, consts, jit, ni)
             color = quantize_r11g11b10f(g["color"]).reshape(h, w, 3)
             image = pack_unorm8(tonemap_frame(color, ao, lpm))
             return jnp.sum(image.astype(jnp.float32))
@@ -100,20 +100,26 @@ def main():
                   ("gtao", stage_gtao), ("tonemap", stage_tonemap)]
         cum = {}
         for name, fn in stages:
+            # Device arrays ride as jit ARGUMENTS (HLO parameters), not
+            # closure constants — constant-baked scene tables push the
+            # serialized program past the remote-compile size limit
+            # (HTTP 413 on the tunnel).
             @jax.jit
-            def run(fn=fn):
+            def run(scene, cam, lights, consts, lpm, fn=fn):
                 def body(acc, xs):
                     jit, ni = xs
-                    return acc + fn(jit, ni), None
+                    return acc + fn(scene, cam, lights, consts, lpm,
+                                    jit, ni), None
 
                 acc, _ = jax.lax.scan(
                     body, jnp.float32(0),
                     (jits, jnp.arange(REPS, dtype=jnp.int32) % 64))
                 return acc
 
-            float(run())  # compile + settle
+            arrs = (scene, cam, lights, consts, lpm)
+            float(run(*arrs))  # compile + settle
             t0 = time.perf_counter()
-            float(run())
+            float(run(*arrs))
             cum[name] = (time.perf_counter() - t0) * 1000 / REPS
             print(f"{w}x{h} cum through {name}: {cum[name]:.2f} ms",
                   file=sys.stderr, flush=True)

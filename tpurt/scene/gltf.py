@@ -167,9 +167,11 @@ class GltfModelReader:
         primitives of every mesh (a capability extension).
         """
         if str(file_path).lower().endswith(".gltf"):
-            doc, buffer_data, image_blobs = cls._parse_gltf_json(file_path)
+            doc, buffer_data, image_blobs, buffer_base = \
+                cls._parse_gltf_json(file_path)
         else:
-            doc, buffer_data, image_blobs = cls._parse_glb(file_path)
+            doc, buffer_data, image_blobs, buffer_base = \
+                cls._parse_glb(file_path)
 
         meshes = doc.get("meshes", [])
         buffers = doc.get("buffers", [])
@@ -185,14 +187,17 @@ class GltfModelReader:
         def attr_from_accessor(acc_idx: int) -> _Attribute:
             acc = accessors[acc_idx]
             view = buffer_views[acc["bufferView"]]
-            # only buffers[0] is loaded into buffer_data; a view into any
-            # other buffer would silently read the wrong bytes
-            assert view.get("buffer", 0) == 0, \
-                "accessors must reference buffer 0 (only buffer 0 is loaded)"
+            # every buffer is loaded into one concatenated blob;
+            # buffer_base[i] is buffer i's start within it
+            buf_idx = view.get("buffer", 0)
+            assert buf_idx < len(buffer_base), \
+                f"accessor references unloaded buffer {buf_idx}"
             size = _COMPONENT_SIZE[acc["componentType"]] * _TYPE_COUNT[acc["type"]]
             stride = view.get("byteStride", size)
             return _Attribute(
-                buffer_data_start=acc.get("byteOffset", 0) + view.get("byteOffset", 0),
+                buffer_data_start=(buffer_base[buf_idx]
+                                   + acc.get("byteOffset", 0)
+                                   + view.get("byteOffset", 0)),
                 buffer_data_len=acc["count"] * stride,
                 element_size=size,
                 element_stride=stride,
@@ -264,22 +269,30 @@ class GltfModelReader:
             with open(path, "rb") as fh:
                 return fh.read()
 
-        buffers = doc.get("buffers", [])
-        blob = load_uri(buffers[0]["uri"]) if buffers else b""
-        buffer_data = np.frombuffer(blob, np.uint8).copy()
+        # load EVERY buffer; concatenate with per-buffer base offsets so
+        # accessors/bufferViews can reference any of them (capability
+        # extension over the reference's 1-buffer assert)
+        blobs = [load_uri(b["uri"]) for b in doc.get("buffers", [])]
+        buffer_base = []
+        off = 0
+        for b in blobs:
+            buffer_base.append(off)
+            off += len(b)
+        joined = b"".join(blobs)
+        buffer_data = np.frombuffer(joined, np.uint8).copy()
 
         image_blobs = []
         views = doc.get("bufferViews", [])
         for img in doc.get("images", []):
             if "bufferView" in img:
                 v = views[img["bufferView"]]
-                start = v.get("byteOffset", 0)
-                image_blobs.append(bytes(blob[start:start + v["byteLength"]]))
+                start = buffer_base[v.get("buffer", 0)] + v.get("byteOffset", 0)
+                image_blobs.append(joined[start:start + v["byteLength"]])
             elif "uri" in img:
                 image_blobs.append(load_uri(img["uri"]))
             else:
                 image_blobs.append(None)
-        return doc, buffer_data, image_blobs
+        return doc, buffer_data, image_blobs, buffer_base or [0]
 
     @staticmethod
     def _parse_glb(file_path):
@@ -313,7 +326,7 @@ class GltfModelReader:
                 image_blobs.append(bytes(bin_chunk[start:start + v["byteLength"]]))
             else:
                 image_blobs.append(None)
-        return doc, buffer_data, image_blobs
+        return doc, buffer_data, image_blobs, [0]
 
     # -- strided attribute access -----------------------------------------
 
