@@ -1,11 +1,15 @@
-"""Sub-attribution of the shade pass: shadow-ray traces vs shading math.
+"""Decompose the shade pass cost on the TPU (device-scan timing).
 
-Same device-side lax.scan timing discipline as tools/frame_breakdown.py.
-Measures, at the bench workload:
-  A) trace + shade with shadow tracing stubbed out (shadow_trace_fn
-     returning all-unoccluded — XLA DCEs the traversal entirely)
-  B) trace + full shade (3 packet any-hit traces)
-shadow cost = B - A; math cost = A - trace.
+Stages (cumulative, each includes the closest-hit trace):
+  trace      closest-hit packet trace only
+  gbuf0      + shade with ZERO lights (attr gather, TBN, texture fetch)
+  noshadow   + 3 lights with casts_shadows=0 (BRDF/radiance math; the 3
+               shadow kernels still launch but every lane parks at tmax=0)
+  full       + real shadow traversal (casts_shadows as configured)
+
+Diffs attribute the ~30 ms of non-shadow shade cost at 800x800 between
+XLA gathers/texturing, per-light math, and actual occlusion traversal.
+Writes SHADE_BREAKDOWN.json. Reference hot loop: raytrace.rgen.glsl:106-186.
 """
 import json
 import os
@@ -17,11 +21,13 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 REPS = 8
+W = H = 800
 
 
 def main():
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from bench import build_scene
     from tpurt.engine.frame import MAX_LEAF
@@ -29,101 +35,81 @@ def main():
     from tpurt.passes.rays import T_MAX, T_MIN, camera_rays
     from tpurt.passes.shade import shade
 
-    w = h = 800
-    r = build_scene(w, h)
+    r = build_scene(W, H)
     cam = r._cached("camera", r.camera.uniform())
     lights = r._cached("lights", r.lights.shader_arrays())
     scene = r.scene_device
     tables = r._pallas_tables()
 
+    empty_lights = {k: v[:0] for k, v in lights.items()}
+    noshadow_lights = dict(lights)
+    noshadow_lights["casts_shadows"] = jnp.zeros_like(
+        lights["casts_shadows"])
+
     jits = jnp.linspace(-0.25, 0.25, REPS).reshape(REPS, 1) \
         * jnp.ones((1, 2), jnp.float32)
 
-    def run_case(stub_shadows):
-        def one(sc, jit):
-            o, d = camera_rays(cam, w, h, jitter=jit)
-            hits = trace_closest_packets(sc["bvh"], sc["geom"], o, d,
-                                         T_MIN, T_MAX, height=h, width=w,
-                                         max_leaf=MAX_LEAF, tables=tables)
-            kw = {}
-            if stub_shadows:
-                kw["shadow_trace_fn"] = \
-                    lambda o_, d_, tn, tx: jnp.zeros(o_.shape[0], jnp.bool_)
-            g = shade(sc, cam, lights, hits, o, d, pallas_tables=tables,
-                      height=h, width=w, max_leaf=MAX_LEAF, **kw)
-            return jnp.sum(g["color"])
+    def _trace(scene, cam, jit):
+        o, d = camera_rays(cam, W, H, jitter=jit)
+        hits = trace_closest_packets(scene["bvh"], scene["geom"], o, d,
+                                     T_MIN, T_MAX, height=H, width=W,
+                                     max_leaf=MAX_LEAF, tables=tables)
+        return o, d, hits
 
+    def stage_trace(scene, cam, lights, jit):
+        _, _, hits = _trace(scene, cam, jit)
+        return jnp.sum(jnp.where(jnp.isfinite(hits["t"]), hits["t"], 0.0))
+
+    def _shaded(scene, cam, lights, jit):
+        o, d, hits = _trace(scene, cam, jit)
+        g = shade(scene, cam, lights, hits, o, d, pallas_tables=tables,
+                  height=H, width=W, max_leaf=MAX_LEAF)
+        return jnp.sum(g["color"]) + jnp.sum(g["depth"]) \
+            + jnp.sum(g["normal_enc"])
+
+    stages = [
+        ("trace", stage_trace, lights),
+        ("gbuf0", _shaded, empty_lights),
+        ("noshadow", _shaded, noshadow_lights),
+        ("full", _shaded, lights),
+    ]
+    cum = {}
+    for name, fn, lt in stages:
         @jax.jit
-        def scan(sc):
+        def run(scene, cam, lt, fn=fn):
             def body(acc, jit):
-                return acc + one(sc, jit), None
+                return acc + fn(scene, cam, lt, jit), None
+
             acc, _ = jax.lax.scan(body, jnp.float32(0), jits)
             return acc
 
-        float(scan(scene))
+        float(run(scene, cam, lt))
         t0 = time.perf_counter()
-        float(scan(scene))
-        return (time.perf_counter() - t0) * 1000 / REPS
+        float(run(scene, cam, lt))
+        cum[name] = (time.perf_counter() - t0) * 1000 / REPS
+        print(f"cum through {name}: {cum[name]:.2f} ms", file=sys.stderr,
+              flush=True)
 
-    from tpurt.passes.shade import sample_bilinear_quad
-
-    def run_fn(make_checksum, label):
-        # scene rides in as a jit ARGUMENT — closure-captured device arrays
-        # are inlined into the HLO as literals and blow the remote-compile
-        # request size limit
-        def one(sc, jit):
-            o, d = camera_rays(cam, w, h, jitter=jit)
-            hits = trace_closest_packets(sc["bvh"], sc["geom"], o, d,
-                                         T_MIN, T_MAX, height=h, width=w,
-                                         max_leaf=MAX_LEAF, tables=tables)
-            return make_checksum(sc, o, d, hits)
-
-        @jax.jit
-        def scan(sc):
-            def body(acc, jit):
-                return acc + one(sc, jit), None
-            acc, _ = jax.lax.scan(body, jnp.float32(0), jits)
-            return acc
-
-        float(scan(scene))
-        t0 = time.perf_counter()
-        float(scan(scene))
-        ms = (time.perf_counter() - t0) * 1000 / REPS
-        print(f"{label}: {ms:.2f} ms", file=sys.stderr, flush=True)
-        return ms
-
-    def cs_attr(sc, o, d, hits):
-        tidx = jnp.maximum(hits["tri"], 0)
-        attr = sc["tri_attr"][tidx]
-        return jnp.sum(attr)
-
-    def cs_tex(sc, o, d, hits):
-        tidx = jnp.maximum(hits["tri"], 0)
-        attr = sc["tri_attr"][tidx]
-        prim = attr[:, 36].astype(jnp.int32)
-        u = hits["u"][:, None]
-        v = hits["v"][:, None]
-        wb = 1.0 - u - v
-        uv0, uv1, uv2 = attr[:, 3:5], attr[:, 15:17], attr[:, 27:29]
-        tc = uv0 * wb + uv1 * u + uv2 * v
-        packed = sample_bilinear_quad(sc["tex_quad48"], attr[:, 37:39],
-                                      prim, tc)
-        return jnp.sum(attr) + jnp.sum(packed)
-
-    t_attr = run_fn(cs_attr, "trace+attr-gather")
-    t_tex = run_fn(cs_tex, "trace+attr+texture-taps")
-    no_shadow = run_case(True)
-    print(f"trace+shade (shadows stubbed): {no_shadow:.2f} ms",
-          file=sys.stderr, flush=True)
-    full = run_case(False)
-    print(f"trace+shade (full): {full:.2f} ms", file=sys.stderr, flush=True)
-    out = dict(device=str(jax.devices()[0]),
-               trace_plus_attr_ms=round(t_attr, 2),
-               trace_plus_attr_tex_ms=round(t_tex, 2),
-               trace_plus_math_ms=round(no_shadow, 2),
-               trace_plus_full_shade_ms=round(full, 2),
-               shadow_traces_ms=round(full - no_shadow, 2))
-    print(json.dumps(out))
+    names = [n for n, _, _ in stages]
+    diff = {names[0]: cum[names[0]]}
+    for a, b in zip(names, names[1:]):
+        diff[b] = cum[b] - cum[a]
+    report = dict(device=str(jax.devices()[0]), reps=REPS,
+                  resolution=f"{W}x{H}", tracer_tier=tables,
+                  tris=int(scene["geom"]["v0"].shape[0]),
+                  cumulative_ms={k: round(v, 2) for k, v in cum.items()},
+                  attributed_ms={
+                      "closest_trace": round(diff["trace"], 2),
+                      "gather_tbn_texture": round(diff["gbuf0"], 2),
+                      "per_light_math+parked_launches":
+                          round(diff["noshadow"], 2),
+                      "shadow_traversal": round(diff["full"], 2),
+                  })
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SHADE_BREAKDOWN.json")
+    with open(path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
 
 
 if __name__ == "__main__":

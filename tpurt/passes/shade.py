@@ -78,9 +78,10 @@ def sample_bilinear(tex_stack, tex_size, prim, layer: int, uv,
 
 
 def sample_bilinear_quad(quad, hw, prim, uv):
-    """Bilinear REPEAT fetch in ONE gather: quad (P, H, W, 48) u8 rows carry
-    the full 2x2 footprint of their texel across the 3 packed layers
-    (REPEAT wrap baked in at scene-flatten time, scene.py), so the fetch is
+    """Bilinear REPEAT fetch in ONE gather: quad (P, H, W, 64) u8 rows carry
+    the full 2x2 footprint of their texel across the 3 packed layers in
+    bytes 0..47 (REPEAT wrap baked in at scene-flatten time, scene.py; rows
+    padded to 64 for the fast power-of-two gather path), so the fetch is
     a single flat row gather + the standard lerp. hw: (N, 2) f32 valid
     (h, w) extents. Bit-identical to 4x sample_bilinear on the 12-stack."""
     h = hw[:, 0]
