@@ -110,7 +110,8 @@ def test_main_pass_pallas_parity(shape, quality):
     got_ao, got_edges = main_pass_pallas(
         mips, normal_enc, consts_to_vec(consts), noise_maps_64(jnp.int32(5)),
         width=w, height=h, slice_count=settings.slice_count,
-        steps_per_slice=settings.steps_per_slice, interpret=True)
+        steps_per_slice=settings.steps_per_slice, interpret=True,
+        precision="exact")
 
     np.testing.assert_array_equal(np.asarray(got_edges),
                                   np.asarray(ref_edges))
@@ -120,6 +121,21 @@ def test_main_pass_pallas_parity(shape, quality):
     # on a tiny pixel fraction
     assert d.max() <= 2, f"max u8 diff {d.max()}"
     assert (d > 0).mean() <= 2e-2, f"diff fraction {(d > 0).mean():.5f}"
+
+    # opt-in half precision: single bf16 matmul per fetch. bf16's 8
+    # mantissa bits (vs R16F's 11) perturb the horizon integral — bound
+    # the error loosely; this documents the trade-off, default is "exact"
+    half_ao, half_edges = main_pass_pallas(
+        mips, normal_enc, consts_to_vec(consts), noise_maps_64(jnp.int32(5)),
+        width=w, height=h, slice_count=settings.slice_count,
+        steps_per_slice=settings.steps_per_slice, interpret=True,
+        precision="half")
+    np.testing.assert_array_equal(np.asarray(half_edges),
+                                  np.asarray(ref_edges))
+    dh = np.abs(np.asarray(half_ao).astype(int)
+                - np.asarray(ref_ao).astype(int))
+    assert dh.max() <= 64, f"half-mode max u8 diff {dh.max()}"
+    assert dh.mean() <= 8.0, f"half-mode mean u8 diff {dh.mean():.4f}"
 
 
 def test_compute_ao_pallas_main_matches_xla():
@@ -132,7 +148,8 @@ def test_compute_ao_pallas_main_matches_xla():
                      GtaoSettings(2, 2, denoise=1), jnp.int32(7))
     got = compute_ao(depth, normal_enc, consts,
                      GtaoSettings(2, 2, denoise=1, pallas_main=True,
-                                  pallas_denoise=True), jnp.int32(7))
+                                  pallas_denoise=True, precision="exact"),
+                     jnp.int32(7))
     d = np.abs(np.asarray(got).astype(int) - np.asarray(ref).astype(int))
     assert d.max() <= 2
     assert (d > 0).mean() <= 2e-2

@@ -44,17 +44,23 @@ def main():
                 return (jnp.sum(ao.astype(jnp.float32))
                         + jnp.sum(e.astype(jnp.float32)))
 
-            def pallas_fn(ni):
+            def pallas_fn(ni, precision="half"):
                 mips = prefilter_depths(depth, consts)
                 ao, e = main_pass_pallas(
                     mips, normal_enc, cvec, noise_maps_64(ni),
                     width=w, height=h, slice_count=slices,
-                    steps_per_slice=steps)
+                    steps_per_slice=steps, precision=precision)
                 return (jnp.sum(ao.astype(jnp.float32))
                         + jnp.sum(e.astype(jnp.float32)))
 
+            import functools
+            pallas_exact_fn = functools.partial(pallas_fn,
+                                                precision="exact")
+
             timings = {}
-            for name, fn in (("pallas", pallas_fn), ("xla", xla_fn)):
+            for name, fn in (("pallas", pallas_fn),
+                             ("pallas_exact", pallas_exact_fn),
+                             ("xla", xla_fn)):
                 @jax.jit
                 def run():
                     def body(acc, ni):
@@ -76,16 +82,26 @@ def main():
             r_ao, r_e = main_pass(mips, normal_enc, consts, s, jnp.int32(3))
             g_ao, g_e = main_pass_pallas(
                 mips, normal_enc, cvec, noise_maps_64(jnp.int32(3)),
-                width=w, height=h, slice_count=slices, steps_per_slice=steps)
+                width=w, height=h, slice_count=slices, steps_per_slice=steps,
+                precision="exact")
             d = np.abs(np.asarray(g_ao).astype(int)
                        - np.asarray(r_ao).astype(int))
+            h_ao, _ = main_pass_pallas(
+                mips, normal_enc, cvec, noise_maps_64(jnp.int32(3)),
+                width=w, height=h, slice_count=slices, steps_per_slice=steps,
+                precision="half")
+            dh = np.abs(np.asarray(h_ao).astype(int)
+                        - np.asarray(r_ao).astype(int))
             e_eq = bool((np.asarray(g_e) == np.asarray(r_e)).all())
             case = dict(shape=f"{w}x{h}", quality=f"{slices}x{steps}",
                         xla_ms=round(timings["xla"], 3),
-                        pallas_ms=round(timings["pallas"], 3),
+                        pallas_half_ms=round(timings["pallas"], 3),
+                        pallas_exact_ms=round(timings["pallas_exact"], 3),
                         speedup=round(timings["xla"] / timings["pallas"], 2),
                         max_u8_diff=int(d.max()),
                         diff_frac=round(float((d > 0).mean()), 6),
+                        half_max_u8_diff=int(dh.max()),
+                        half_mean_u8_diff=round(float(dh.mean()), 4),
                         edges_exact=e_eq)
             report["cases"].append(case)
             print(json.dumps(case), file=sys.stderr, flush=True)

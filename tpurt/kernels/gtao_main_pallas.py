@@ -88,23 +88,29 @@ def _split_hi_lo(win):
     return hi, lo
 
 
-def _gather_window(win_hi, win_lo, rely, relx, wy: int, wx: int):
-    """Exact per-pixel fetch win[rely, relx] for an (8, 128) packet via
-    two MXU matmuls (bf16 hi/lo pair) + mask-reduce per sublane row; the
-    one-hot operand has a single nonzero per output, so each pass copies
-    its part exactly and the f32 sum reconstructs the value."""
+def _gather_window(parts, rely, relx, wy: int, wx: int):
+    """Per-pixel fetch win[rely, relx] for an (8, 128) packet via one-hot
+    MXU matmuls + mask-reduce per sublane row. `parts` is a tuple of bf16
+    row-planes that SUM to the fetched value: the exact mode passes the
+    (hi, lo) split pair (two stacked planes, reconstructing R16F depths
+    bit-exactly — each one-hot output is a single product, so the matmul
+    copies bf16 parts exactly and the f32 sum is lossless); the half mode
+    passes a single bf16 plane. Planes stack along rows so each sublane
+    costs ONE (len(parts)*wy, wx) @ (wx, 128) matmul."""
+    stacked = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    dims = (((1,), (0,)), ((), ()))
     rows = []
     for s in range(8):
         onehot_c = (jax.lax.broadcasted_iota(jnp.int32, (wx, 128), 0)
                     == relx[s:s + 1]).astype(jnp.bfloat16)
-        dims = (((1,), (0,)), ((), ()))
-        c = (jax.lax.dot_general(win_hi, onehot_c, dims,
+        cs = jax.lax.dot_general(stacked, onehot_c, dims,
                                  preferred_element_type=jnp.float32)
-             + jax.lax.dot_general(win_lo, onehot_c, dims,
-                                   preferred_element_type=jnp.float32))
+        val = cs[:wy]
+        for k in range(1, len(parts)):
+            val = val + cs[k * wy:(k + 1) * wy]
         mask_r = (jax.lax.broadcasted_iota(jnp.int32, (wy, 128), 0)
                   == rely[s:s + 1]).astype(jnp.float32)
-        rows.append(jnp.sum(c * mask_r, axis=0, keepdims=True))
+        rows.append(jnp.sum(val * mask_r, axis=0, keepdims=True))
     return jnp.concatenate(rows, axis=0)
 
 
@@ -166,7 +172,7 @@ def _kernel(consts_ref,                                   # scalar prefetch
             w0, w1, w2, w3, w4,                           # mip windows (f32)
             ao_out, edges_out,                            # outputs
             *, plan, mip_shapes, width, height, tiles_x,
-            slice_count: int, steps_per_slice: int):
+            slice_count: int, steps_per_slice: int, precision: str):
     i = pl.program_id(0)
     ty = (i // tiles_x) * TILE
     tx = (i % tiles_x) * TILE
@@ -278,12 +284,15 @@ def _kernel(consts_ref,                                   # scalar prefetch
 
             def fetch(sz, win_ref=win_ref, relx=relx,
                       rely=rely, wy=wy, wx=wx, use=use):
-                # hi/lo split in-kernel: bf16 *operands* mis-lower under
-                # Mosaic (measured: ~12-20% of pixels wrong at any size
-                # while the interpreter was exact) — f32 windows + a
-                # 3-op split per fetch are bit-safe
-                hi, lo = _split_hi_lo(win_ref[0])
-                val = _gather_window(hi, lo, rely, relx, wy, wx)
+                # splits/casts happen in-kernel: bf16 *operands* mis-lower
+                # under Mosaic (measured: ~12-20% of pixels wrong at any
+                # size while the interpreter was exact) — f32 windows +
+                # a cast (half) or 3-op split (exact) per fetch are safe
+                if precision == "half":
+                    parts = (win_ref[0].astype(jnp.bfloat16),)
+                else:
+                    parts = _split_hi_lo(win_ref[0])
+                val = _gather_window(parts, rely, relx, wy, wx)
                 return jnp.where(use, val, sz)
 
             sz = jax.lax.cond(jnp.any(use), fetch, lambda s: s, sz)
@@ -398,10 +407,12 @@ def _kernel(consts_ref,                                   # scalar prefetch
 
 
 @partial(jax.jit, static_argnames=("width", "height", "slice_count",
-                                   "steps_per_slice", "interpret"))
+                                   "steps_per_slice", "interpret",
+                                   "precision"))
 def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
                      width: int, height: int, slice_count: int,
-                     steps_per_slice: int, interpret: bool | None = None):
+                     steps_per_slice: int, interpret: bool | None = None,
+                     precision: str = "exact"):
     """Pallas main pass over pre-packeted inputs. depth_mips: list of 5
     (H_m, W_m) f32 mips (R16F-quantized values); normal_enc: (H, W, 3);
     consts_vec: (len(_CK),) f32; noise_maps: (nx, ny) each (64, 64) f32.
@@ -468,7 +479,7 @@ def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
                             memory_space=pltpu.VMEM)
     kernel = partial(_kernel, plan=plan, mip_shapes=mip_shapes, width=width,
                      height=height, tiles_x=tiles_x, slice_count=slice_count,
-                     steps_per_slice=steps_per_slice)
+                     steps_per_slice=steps_per_slice, precision=precision)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,

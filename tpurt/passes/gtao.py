@@ -77,6 +77,16 @@ class GtaoSettings:
     # (kernels/gtao_main_pallas.py) — ~50x faster sampling than the XLA
     # gather chain on TPU. Ignored when bent_normals is set.
     pallas_main: bool = False
+    # Depth-fetch precision of the Pallas main pass:
+    #  * "exact" (default) — hi/lo split pair of bf16 matmuls
+    #    reconstructing the R16F-quantized depth bit-exactly vs the XLA
+    #    main pass.
+    #  * "half" — single bf16 matmul per fetch; ~2x less MXU work but
+    #    bf16's 8 mantissa bits (vs R16F's 11; the reference's fp16
+    #    pipeline keeps 10) visibly perturb the horizon integral —
+    #    measured mean |dAO| ~5 u8 steps on smooth scenes. Opt-in only.
+    # The XLA path ignores this flag (always f32).
+    precision: str = "exact"
 
     @property
     def denoise_blur_beta(self) -> float:
@@ -640,7 +650,8 @@ def _main_pass_any(depth_mips, normal_enc, consts, settings: GtaoSettings,
             depth_mips, normal_enc, consts_to_vec(consts),
             noise_maps_64(noise_index), width=w, height=h,
             slice_count=settings.slice_count,
-            steps_per_slice=settings.steps_per_slice)
+            steps_per_slice=settings.steps_per_slice,
+            precision=settings.precision)
     return main_pass(depth_mips, normal_enc, consts, settings, noise_index,
                      row_start=row_start, num_rows=num_rows)
 
