@@ -140,6 +140,43 @@ def _measure_burst(renderer, frames: int = 16):
     return el * 1000.0 / frames
 
 
+def _measure_primary_trace(renderer, frames: int = 8):
+    """Secondary metric: closest-hit packet trace alone (device-scan),
+    isolating raw traversal throughput from shading/AO."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpurt.engine.frame import MAX_LEAF
+    from tpurt.kernels.traverse_pallas import trace_closest_packets
+    from tpurt.passes.rays import T_MAX, T_MIN, camera_rays
+
+    c = renderer.config
+    cam = renderer._cached("camera", renderer.camera.uniform())
+    scene = renderer.scene_device
+    tables = renderer._pallas_tables()
+    jits = jnp.linspace(-0.25, 0.25, frames).reshape(frames, 1) \
+        * jnp.ones((1, 2), jnp.float32)
+
+    @jax.jit
+    def burst(scene, cam):
+        def body(acc, jit):
+            o, d = camera_rays(cam, c.width, c.height, jitter=jit)
+            hits = trace_closest_packets(
+                scene["bvh"], scene["geom"], o, d, T_MIN, T_MAX,
+                height=c.height, width=c.width, max_leaf=MAX_LEAF,
+                tables=tables)
+            return acc + jnp.sum(jnp.where(jnp.isfinite(hits["t"]),
+                                           hits["t"], 0.0)), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0), jits)
+        return acc
+
+    assert float(burst(scene, cam)) != 0.0  # compile + sanity
+    t0 = time.perf_counter()
+    float(burst(scene, cam))
+    return (time.perf_counter() - t0) * 1000.0 / frames
+
+
 def _measure(renderer, rays_per_frame):
     """Warmup + timed frames + device-side sanity. Raises on backend error;
     the caller retries with the (already compiled) program."""
@@ -269,7 +306,7 @@ def main():
     # one retry on backend abort: the tunnel occasionally kills a long RPC;
     # the compiled program survives in the cache so attempt 2 is cheap
     attempts = 2
-    elapsed = burst_ms = None
+    elapsed = burst_ms = trace_ms = None
     for attempt in range(attempts):
         try:
             elapsed = _measure(renderer, rays_per_frame)
@@ -283,6 +320,9 @@ def main():
             burst_ms = _measure_burst(renderer, frames=8)
             _log(f"bench: device-side frame cost {burst_ms:.3f} ms "
                  f"({rays_per_frame / burst_ms / 1e3:.0f} Mrays/s)")
+            trace_ms = _measure_primary_trace(renderer, frames=8)
+            _log(f"bench: primary trace alone {trace_ms:.3f} ms "
+                 f"({WIDTH * HEIGHT / trace_ms / 1e3:.0f} Mrays/s)")
             break
         except Exception as e:  # noqa: BLE001 — backend aborts surface as
             # JaxRuntimeError/RuntimeError; anything else fails on retry too
@@ -299,6 +339,8 @@ def main():
         ms_per_frame=round(burst_ms, 3),
         fps=round(1000.0 / burst_ms, 2),
         dispatch_ms_per_frame=round(dispatch_ms, 3),
+        primary_trace_ms=round(trace_ms, 3),
+        primary_trace_mrays_per_s=round(WIDTH * HEIGHT / trace_ms / 1e3, 1),
         resolution=f"{WIDTH}x{HEIGHT}",
         rays_per_frame=rays_per_frame,
         lights=n_lights,
