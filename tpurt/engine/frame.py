@@ -46,7 +46,8 @@ SPP_UNROLL = 4
 
 def render_gbuffer(scene: dict, camera: dict, lights: dict, *, width: int,
                    height: int, row_start=0, num_rows: int | None = None,
-                   pallas_tables: str = "", spp: int = 1):
+                   pallas_tables: str = "", spp: int = 1,
+                   aniso_taps: int = 1):
     """Trace + shade the (optionally banded) pixel grid; returns the
     unquantized G-buffer dict (color spp-averaged, depth/normals from the
     center sample). Shared by the single-chip frame, the multi-chip
@@ -66,7 +67,7 @@ def render_gbuffer(scene: dict, camera: dict, lights: dict, *, width: int,
                                  direction, T_MIN, T_MAX, max_leaf=MAX_LEAF)
         return shade(scene, camera, lights, hits, origin, direction,
                      pallas_tables=pallas_tables, height=band, width=width,
-                     max_leaf=MAX_LEAF)
+                     max_leaf=MAX_LEAF, aniso_taps=aniso_taps)
 
     origin, direction = camera_rays(camera, width, height,
                                     row_start=row_start, num_rows=num_rows)
@@ -94,12 +95,13 @@ def render_gbuffer(scene: dict, camera: dict, lights: dict, *, width: int,
 
 @partial(jax.jit, static_argnames=("width", "height", "gtao_settings",
                                    "enable_gtao", "enable_tonemap",
-                                   "pallas_tables", "spp"))
+                                   "pallas_tables", "spp", "aniso_taps"))
 def render_frame(scene: dict, camera: dict, lights: dict, gtao_consts: dict,
                  lpm_derived: dict, noise_index, *, width: int, height: int,
                  gtao_settings: GtaoSettings = GtaoSettings(),
                  enable_gtao: bool = True, enable_tonemap: bool = True,
-                 pallas_tables: str = "", spp: int = 1):
+                 pallas_tables: str = "", spp: int = 1,
+                 aniso_taps: int = 1):
     """Render one frame. Returns dict with:
     image (H,W,3) u8 sRGB, color/depth/normal G-buffer, ao (H,W) u8.
     pallas_tables ("smem"/"vmem"/"hbm") routes primary + shadow rays through
@@ -108,7 +110,8 @@ def render_frame(scene: dict, camera: dict, lights: dict, gtao_consts: dict,
     for GTAO comes from the center sample.
     """
     g = render_gbuffer(scene, camera, lights, width=width, height=height,
-                       pallas_tables=pallas_tables, spp=spp)
+                       pallas_tables=pallas_tables, spp=spp,
+                       aniso_taps=aniso_taps)
 
     # G-buffer storage-format quantization (B10G11R11F color+normal, R16F depth)
     color = quantize_r11g11b10f(g["color"]).reshape(height, width, 3)

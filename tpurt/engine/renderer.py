@@ -53,6 +53,10 @@ class RendererConfig:
     # trilinear aniso-16 but all its textures allocate a single mip
     # (vk_rt_descriptor_set.rs:76-97); off = reference behavior.
     mipmaps: bool = False
+    # Anisotropic filtering: taps along the ray-cone footprint's major
+    # axis (requires mipmaps; 1 = isotropic trilinear). The capability
+    # analogue of the reference sampler's max_anisotropy=16.
+    aniso_taps: int = 1
 
 
 class Renderer:
@@ -163,7 +167,8 @@ class Renderer:
             np.int32(self._frame_idx % 64),
             width=c.width, height=c.height, gtao_settings=gtao,
             enable_gtao=c.enable_gtao, enable_tonemap=c.enable_tonemap,
-            pallas_tables=self._pallas_tables(), spp=c.spp)
+            pallas_tables=self._pallas_tables(), spp=c.spp,
+            aniso_taps=c.aniso_taps)
         self._frame_idx += 1
         self.rendered_frames += 1
         if block:

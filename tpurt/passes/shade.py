@@ -168,10 +168,69 @@ def ray_cone_lod(t, direction, N, p0, p1, p2, uv0, uv1, uv2, tex_w, tex_h,
     return jnp.log2(jnp.maximum(footprint * texel_per_world, 1e-6))
 
 
+def ray_cone_aniso(t, direction, N, p0, p1, p2, uv0, uv1, uv2, tex_w, tex_h,
+                   spread, max_aniso: int = 16):
+    """Elliptical ray-cone footprint for anisotropic filtering (the
+    reference's immutable sampler has max_anisotropy=16,
+    vk_rt_descriptor_set.rs:76-97). The cone's circular cross-section
+    elongates by 1/|N.D| along the view direction projected into the
+    surface plane; the minor axis stays the cone diameter. Returns
+    (lod_minor, duv_major): the minor-axis mip level and the FULL
+    major-axis extent in UV space (to distribute taps along)."""
+    cone_diam = t * spread
+    d_dot_n = jnp.sum(N * direction, axis=-1)
+    cos_in = jnp.abs(d_dot_n)
+
+    # minor-axis footprint in texels -> base LOD (no 1/cos elongation)
+    e1 = p1 - p0
+    e2 = p2 - p0
+    world_area = 0.5 * jnp.linalg.norm(jnp.cross(e1, e2), axis=-1)
+    duv1 = uv1 - uv0
+    duv2 = uv2 - uv0
+    uv_area = 0.5 * jnp.abs(duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0])
+    texel_per_world = jnp.sqrt(
+        uv_area * tex_w * tex_h / jnp.maximum(world_area, 1e-12))
+    lod_minor = jnp.log2(jnp.maximum(cone_diam * texel_per_world, 1e-6))
+
+    # major-axis direction: D projected into the surface plane
+    proj = direction - d_dot_n[:, None] * N
+    plen = jnp.linalg.norm(proj, axis=-1)
+    pdir = proj / jnp.maximum(plen, 1e-20)[:, None]
+    aniso = jnp.clip(1.0 / jnp.maximum(cos_in, 1e-4), 1.0, float(max_aniso))
+    major_len = cone_diam * aniso
+
+    # world direction -> UV direction: solve pdir = a*e1 + b*e2 in the
+    # triangle plane (2x2 Gram system), then duv = a*duv1 + b*duv2
+    g11 = jnp.sum(e1 * e1, axis=-1)
+    g12 = jnp.sum(e1 * e2, axis=-1)
+    g22 = jnp.sum(e2 * e2, axis=-1)
+    r1 = jnp.sum(pdir * e1, axis=-1)
+    r2 = jnp.sum(pdir * e2, axis=-1)
+    det = jnp.maximum(g11 * g22 - g12 * g12, 1e-20)
+    a = (r1 * g22 - r2 * g12) / det
+    b = (g11 * r2 - g12 * r1) / det
+    duv_per_world = a[:, None] * duv1 + b[:, None] * duv2
+    return lod_minor, duv_per_world * major_len[:, None]
+
+
+def sample_anisotropic(atlas, offsets, sizes, prim, layer: int, uv,
+                       lod_minor, duv_major, taps: int):
+    """Anisotropic filtering as `taps` trilinear taps spread along the
+    footprint's major axis (each at the minor-axis LOD), averaged — the
+    software analogue of the reference sampler's anisotropy=16."""
+    acc = None
+    for i in range(taps):
+        f = (i + 0.5) / taps - 0.5
+        s = sample_trilinear(atlas, offsets, sizes, prim, layer,
+                             uv + duv_major * f, lod_minor)
+        acc = s if acc is None else acc + s
+    return acc / taps
+
+
 def shade(scene: dict, camera: dict, lights: dict, hits: dict,
           origin, direction, *, pallas_tables: str = "",
           height: int = 0, width: int = 0, max_leaf: int = 4,
-          shadow_trace_fn=None):
+          shadow_trace_fn=None, aniso_taps: int = 1):
     """Shade one batch of primary hits.
 
     Returns dict(color (N,3), depth (N,), normal_enc (N,3)) — the unquantized
@@ -238,14 +297,27 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
             np.sqrt(hits["t"].shape[0]))))
         spread = 2.0 / (camera["proj"][1, 1] * rows)
         tex_hw = scene["tex_mip_sizes"][prim, 0].astype(jnp.float32)
-        lod = ray_cone_lod(hits["t"], direction, world_normal, p0, p1, p2,
-                           uv0, uv1, uv2, tex_hw[:, 1], tex_hw[:, 0], spread)
+        if aniso_taps > 1:
+            lod_minor, duv_major = ray_cone_aniso(
+                hits["t"], direction, world_normal, p0, p1, p2,
+                uv0, uv1, uv2, tex_hw[:, 1], tex_hw[:, 0], spread,
+                max_aniso=16)
 
-        def fetch(layer):
-            return sample_trilinear(scene["tex_atlas"],
-                                    scene["tex_mip_offsets"],
-                                    scene["tex_mip_sizes"], prim, layer,
-                                    tex_coord, lod)
+            def fetch(layer):
+                return sample_anisotropic(
+                    scene["tex_atlas"], scene["tex_mip_offsets"],
+                    scene["tex_mip_sizes"], prim, layer, tex_coord,
+                    lod_minor, duv_major, aniso_taps)
+        else:
+            lod = ray_cone_lod(hits["t"], direction, world_normal, p0, p1,
+                               p2, uv0, uv1, uv2, tex_hw[:, 1], tex_hw[:, 0],
+                               spread)
+
+            def fetch(layer):
+                return sample_trilinear(scene["tex_atlas"],
+                                        scene["tex_mip_offsets"],
+                                        scene["tex_mip_sizes"], prim, layer,
+                                        tex_coord, lod)
     elif "tex_quad48" in scene and tex_hw is not None:
         # quad rows: ONE gather fetches the whole 2x2 bilinear footprint of
         # albedo+ORM+normal at once
