@@ -8,9 +8,19 @@ AABBs, which the packet kernel tests as dense (8, 128) VPU ops — ~3x fewer
 traversal steps (pops/DMAs/loop iterations) than the binary tree for the
 same leaf work.
 
-Collapse rule (Ylitie et al.-style greedy): a wide node starts from a
-binary node's two children and repeatedly expands the largest-surface-area
-internal child until it has 8 children or only leaves remain.
+Collapse rules:
+  * Ylitie et al.-style greedy widening: a wide node starts from a binary
+    node's two children and repeatedly expands the largest-surface-area
+    internal child until it has 8 children or only leaves remain.
+  * **Subtree flattening**: an internal child whose whole subtree holds
+    <= LEAF8_MAX contiguous triangles becomes a LEAF slot (first, total)
+    instead of a child wide node — the packet kernel's serial step cost
+    dominates, so one chunky Moller-Trumbore step beats descending a tiny
+    subtree (measured: the naive collapse left 36% of wide nodes with
+    only 2 children, avg fill 4.4/8).
+  * **Leaf-slot merging**: sibling leaf slots with adjacent triangle
+    ranges merge (box = union) while the total stays <= LEAF8_MAX —
+    fewer stack pops for identical intersection work.
 
 Row layout (f32 lanes; indices stored as exact small floats < 2^24):
   [k*6 .. k*6+5]  child k aabb_min.xyz, aabb_max.xyz   (k = 0..7)
@@ -18,17 +28,42 @@ Row layout (f32 lanes; indices stored as exact small floats < 2^24):
   [56 + k]        leaf first-triangle index (0 if not leaf)
   [64 + k]        leaf triangle count (0 if internal/empty)
 Empty slots carry an inverted box (always misses the slab test).
+Leaf counts go up to LEAF8_MAX (the kernel packs stack codes base-32).
 """
 from __future__ import annotations
 
 import numpy as np
 
 BRANCHING = 8
+# max triangles in one BVH8 leaf slot (kernel unrolls this many MT tests
+# per leaf pop; stack codes pack count base-32, so must stay < 32)
+LEAF8_MAX = 8
 _EMPTY_MIN = 3.0e37
 _EMPTY_MAX = -3.0e37
 
 
-def collapse8(bvh: dict):
+def _subtree_ranges(entry, skip, first, count, is_leaf):
+    """Per-node (first, count, contiguous?) of the whole subtree's
+    triangles. Children of b sit at higher indices in the depth-first
+    flat layout, so one reverse pass suffices."""
+    n = len(entry)
+    sub_first = np.where(is_leaf, first, 0).astype(np.int64)
+    sub_count = np.where(is_leaf, count, 0).astype(np.int64)
+    flat_ok = is_leaf.copy()
+    for b in range(n - 1, -1, -1):
+        if not is_leaf[b]:
+            l = int(entry[b])
+            r = int(skip[l])
+            sub_first[b] = min(sub_first[l], sub_first[r])
+            sub_count[b] = sub_count[l] + sub_count[r]
+            ends_meet = (
+                sub_first[l] + sub_count[l] == sub_first[r]
+                or sub_first[r] + sub_count[r] == sub_first[l])
+            flat_ok[b] = bool(flat_ok[l] and flat_ok[r] and ends_meet)
+    return sub_first, sub_count, flat_ok
+
+
+def collapse8(bvh: dict, leaf_max: int = LEAF8_MAX):
     """Collapse a threaded binary FlatBVH pytree (host numpy arrays) into
     packed BVH8 rows. Returns (nodes8 (M8, 128) f32, max_depth int)."""
     amin = np.asarray(bvh["aabb_min"], np.float32)
@@ -39,12 +74,24 @@ def collapse8(bvh: dict):
     count = np.asarray(bvh["tri_count"], np.int64)
     is_leaf = count > 0
 
+    sub_first, sub_count, flat_ok = _subtree_ranges(entry, skip, first,
+                                                    count, is_leaf)
+
     d = amax - amin
     area = d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 0] * d[:, 2]
 
     def binary_children(b: int):
         l = int(entry[b])
         return l, int(skip[l])
+
+    def slot_is_leaf(b: int) -> bool:
+        return bool(is_leaf[b]
+                    or (flat_ok[b] and sub_count[b] <= leaf_max))
+
+    def slot_range(b: int):
+        if is_leaf[b]:
+            return int(first[b]), int(count[b])
+        return int(sub_first[b]), int(sub_count[b])
 
     def kids_of(b: int):
         kids = list(binary_children(b))
@@ -56,29 +103,56 @@ def collapse8(bvh: dict):
             _, j = max(cand)
             k = kids.pop(j)
             kids.extend(binary_children(k))
-        return kids
+        # slots: (is_leaf, payload); leaf payload = (first, count, box),
+        # internal payload = binary node id
+        slots = []
+        for k in kids:
+            if slot_is_leaf(k):
+                f, c = slot_range(k)
+                slots.append((True, (f, c, amin[k].copy(), amax[k].copy())))
+            else:
+                slots.append((False, k))
+        # merge adjacent-range leaf slots (box = union) up to leaf_max
+        leaves = sorted((s[1] for s in slots if s[0]), key=lambda p: p[0])
+        merged = []
+        for f, c, mn, mx in leaves:
+            if merged and merged[-1][0] + merged[-1][1] == f \
+                    and merged[-1][1] + c <= leaf_max:
+                pf, pc, pmn, pmx = merged[-1]
+                merged[-1] = (pf, pc + c, np.minimum(pmn, mn),
+                              np.maximum(pmx, mx))
+            else:
+                merged.append((f, c, mn, mx))
+        return ([(False, s[1]) for s in slots if not s[0]]
+                + [(True, m) for m in merged])
 
     # BFS over wide nodes. Each wide node wraps one binary internal node.
     if is_leaf[0]:
-        wide_kid_lists = [[0]]          # degenerate: root itself is a leaf
+        slot_lists = [[(True, (int(first[0]), int(count[0]),
+                               amin[0], amax[0]))]]
+        wide_of = {}
+        depth = 1
+    elif flat_ok[0] and sub_count[0] <= leaf_max:
+        slot_lists = [[(True, (int(sub_first[0]), int(sub_count[0]),
+                               amin[0], amax[0]))]]
         wide_of = {}
         depth = 1
     else:
         wide_of = {0: 0}
         queue = [(0, 1)]
-        wide_kid_lists = []
+        slot_lists = []
         depth = 1
         while queue:
             b, dep = queue.pop(0)
             depth = max(depth, dep)
-            kids = kids_of(b)
-            wide_kid_lists.append(kids)
-            for k in kids:
-                if not is_leaf[k]:
-                    wide_of[k] = len(wide_of)
-                    queue.append((k, dep + 1))
+            slots = kids_of(b)
+            slot_lists.append(slots)
+            for lf, payload in slots:
+                if not lf:
+                    wide_of[payload] = len(wide_of)
+                    queue.append((payload, dep + 1))
 
-    m8 = len(wide_kid_lists)
+    m8 = len(slot_lists)
     nodes8 = np.zeros((m8, 128), np.float32)
     nodes8[:, 0:48:6] = _EMPTY_MIN
     nodes8[:, 1:48:6] = _EMPTY_MIN
@@ -87,14 +161,19 @@ def collapse8(bvh: dict):
     nodes8[:, 4:48:6] = _EMPTY_MAX
     nodes8[:, 5:48:6] = _EMPTY_MAX
     nodes8[:, 48:56] = -1.0
-    for w, kids in enumerate(wide_kid_lists):
-        for k_slot, b in enumerate(kids):
+    for w, slots in enumerate(slot_lists):
+        assert len(slots) <= BRANCHING
+        for k_slot, (lf, payload) in enumerate(slots):
             base = k_slot * 6
-            nodes8[w, base:base + 3] = amin[b]
-            nodes8[w, base + 3:base + 6] = amax[b]
-            if is_leaf[b]:
-                nodes8[w, 56 + k_slot] = float(first[b])
-                nodes8[w, 64 + k_slot] = float(count[b])
+            if lf:
+                f, c, mn, mx = payload
+                assert 0 < c <= leaf_max
+                nodes8[w, base:base + 3] = mn
+                nodes8[w, base + 3:base + 6] = mx
+                nodes8[w, 56 + k_slot] = float(f)
+                nodes8[w, 64 + k_slot] = float(c)
             else:
-                nodes8[w, 48 + k_slot] = float(wide_of[b])
+                nodes8[w, base:base + 3] = amin[payload]
+                nodes8[w, base + 3:base + 6] = amax[payload]
+                nodes8[w, 48 + k_slot] = float(wide_of[payload])
     return nodes8, depth

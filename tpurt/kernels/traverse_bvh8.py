@@ -76,7 +76,7 @@ def _kernel_bvh8(nodes_ref, tris_ref,
     def leaf_first(top):
         """Decode the clamped DMA window start of a (possibly-)leaf entry."""
         dec = jnp.maximum(-(top + 1), 0)
-        return jnp.clip(dec // 8, 0, first_cap)
+        return jnp.clip(dec // 32, 0, first_cap)
 
     def start_tri_fetch(first_c):
         pltpu.make_async_copy(tris_ref.at[pl.ds(first_c, max_leaf)],
@@ -112,7 +112,7 @@ def _kernel_bvh8(nodes_ref, tris_ref,
             is_lf = countf > 0.0
             code = jnp.where(
                 is_int, child.astype(jnp.int32),
-                -(firstf.astype(jnp.int32) * 8
+                -(firstf.astype(jnp.int32) * 32
                   + countf.astype(jnp.int32)) - 1)
             key = ((node_buf[0, b] + node_buf[0, b + 3]) * md_x
                    + (node_buf[0, b + 1] + node_buf[0, b + 4]) * md_y
@@ -185,8 +185,8 @@ def _kernel_bvh8(nodes_ref, tris_ref,
             start_node_fetch(nxt)
 
             dec = jnp.maximum(-(top + 1), 0)
-            count = dec - (dec // 8) * 8
-            k_off = (dec // 8) - leaf_first(top)
+            count = dec - (dec // 32) * 32
+            k_off = (dec // 32) - leaf_first(top)
 
             def leaf_work(occ):
                 for k in range(max_leaf):
@@ -227,8 +227,8 @@ def _kernel_bvh8(nodes_ref, tris_ref,
             start_node_fetch(nxt)
 
             dec = jnp.maximum(-(top + 1), 0)
-            count = dec - (dec // 8) * 8
-            k_off = (dec // 8) - leaf_first(top)
+            count = dec - (dec // 32) * 32
+            k_off = (dec // 32) - leaf_first(top)
 
             def leaf_work(carry):
                 t, tri, u, v = carry

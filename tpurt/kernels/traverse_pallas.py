@@ -333,8 +333,10 @@ def pack_tris_hbm(geom: dict):
     rows at a clamped offset) can never read past the table for tiny
     scenes (< max_leaf tris); padding rows are degenerate (e1 = e2 = 0 ->
     det 0, no hit) and excluded by the kernel's in_range mask anyway."""
+    from ..bvh.wide import LEAF8_MAX
+
     t = geom["v0"].shape[0]
-    tp = max(t, 8)
+    tp = max(t, 8, LEAF8_MAX)
     tris = jnp.zeros((tp, 128), jnp.float32)
     tris = tris.at[:t, 0:3].set(jnp.asarray(geom["v0"], jnp.float32))
     tris = tris.at[:t, 3:6].set(jnp.asarray(geom["e1"], jnp.float32))
@@ -649,11 +651,14 @@ def trace_closest_packets(bvh: dict, geom: dict, origin, direction,
     interpret=None auto-selects Mosaic on TPU / interpreter elsewhere."""
     interpret = _resolve_interpret(interpret)
     if tables == "bvh8":
+        from ..bvh.wide import LEAF8_MAX
         from .traverse_bvh8 import trace_closest_bvh8
 
+        # BVH8 leaf slots hold up to LEAF8_MAX tris (subtree flattening /
+        # slot merging in bvh/wide.py) regardless of the SAH leaf size
         return trace_closest_bvh8(bvh, geom, origin, direction, t_min,
                                   t_max, height=height, width=width,
-                                  max_leaf=max_leaf, interpret=interpret)
+                                  max_leaf=LEAF8_MAX, interpret=interpret)
     if tables == "hbm":
         nodes128, tris128 = pack_tables_hbm(bvh, geom)
         aabb, meta, tri, tri_id = nodes128, tris128, None, None
@@ -676,11 +681,12 @@ def trace_any_packets(bvh: dict, geom: dict, origin, direction,
     """Any-hit packet trace; returns boolean occlusion mask (H*W,)."""
     interpret = _resolve_interpret(interpret)
     if tables == "bvh8":
+        from ..bvh.wide import LEAF8_MAX
         from .traverse_bvh8 import trace_any_bvh8
 
         return trace_any_bvh8(bvh, geom, origin, direction, t_min, t_max,
-                              height=height, width=width, max_leaf=max_leaf,
-                              interpret=interpret)
+                              height=height, width=width,
+                              max_leaf=LEAF8_MAX, interpret=interpret)
     if tables == "hbm":
         nodes128, tris128 = pack_tables_hbm(bvh, geom)
         aabb, meta, tri, tri_id = nodes128, tris128, None, None
