@@ -37,7 +37,7 @@ import numpy as np
 BRANCHING = 8
 # max triangles in one BVH8 leaf slot (kernel unrolls this many MT tests
 # per leaf pop; stack codes pack count base-32, so must stay < 32)
-LEAF8_MAX = 8
+LEAF8_MAX = 16
 _EMPTY_MIN = 3.0e37
 _EMPTY_MAX = -3.0e37
 
