@@ -56,3 +56,57 @@ def test_dynamic_transform_moves_object():
     assert np.asarray(out1["depth"])[c, c] == 10000.0  # moved away: miss
     # no recompile needed between transform changes (same shapes) — both
     # calls above share one jit cache entry by construction
+
+
+def test_refit_matches_static_at_rest():
+    """BVH8 refit at the rest transforms reproduces the static frame: the
+    topology is identical and refit boxes equal the packed ones."""
+    from tpurt.engine.dynamic import (make_refit_data,
+                                      render_frame_dynamic_refit)
+
+    r = make_renderer(tracer="smem")
+    static = {k: np.asarray(v) for k, v in r.render().items()}
+
+    r2 = make_renderer()
+    cam, lights, consts, lpm = _args(r2)
+    out = render_frame_dynamic_refit(
+        r2.scene.as_object_pytree(), make_refit_data(r2.scene),
+        r2.scene.transforms, cam, lights, consts, lpm, np.int32(0),
+        width=SIZE, height=SIZE, gtao_settings=r2.config.gtao)
+    dyn = {k: np.asarray(v) for k, v in out.items()}
+
+    diff = np.abs(dyn["depth"] - static["depth"])
+    assert (diff < 1e-3).mean() > 0.999
+    img_diff = np.abs(dyn["image"].astype(int) - static["image"].astype(int))
+    assert (img_diff <= 1).mean() > 0.995
+
+
+def test_refit_matches_rebuild_under_rotation():
+    """Refit vs full LBVH rebuild under a rotated instance: different
+    trees, same hits (up to shared-edge tie-breaks)."""
+    from tpurt.engine.dynamic import (make_refit_data, render_frame_dynamic,
+                                      render_frame_dynamic_refit)
+
+    r = make_renderer()
+    cam, lights, consts, lpm = _args(r)
+    obj = r.scene.as_object_pytree()
+    ang = 0.6
+    c, s = np.cos(ang), np.sin(ang)
+    rot = np.asarray(r.scene.transforms).copy()
+    m = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+    rot[:, :, :3] = np.einsum("ij,njk->nik", m, rot[:, :, :3])
+
+    rebuilt = render_frame_dynamic(
+        obj, jnp.asarray(rot), cam, lights, consts, lpm, np.int32(0),
+        width=SIZE, height=SIZE, gtao_settings=r.config.gtao)
+    refit = render_frame_dynamic_refit(
+        obj, make_refit_data(r.scene), jnp.asarray(rot), cam, lights,
+        consts, lpm, np.int32(0), width=SIZE, height=SIZE,
+        gtao_settings=r.config.gtao)
+
+    d_depth = np.abs(np.asarray(refit["depth"])
+                     - np.asarray(rebuilt["depth"]))
+    assert (d_depth < 1e-3).mean() > 0.999
+    d_img = np.abs(np.asarray(refit["image"]).astype(int)
+                   - np.asarray(rebuilt["image"]).astype(int))
+    assert (d_img <= 1).mean() > 0.99

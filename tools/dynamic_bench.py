@@ -51,19 +51,33 @@ def main():
         rots.append(t)
     transforms = jnp.asarray(np.stack(rots))        # (REPS, I, 3, 4)
 
+    from tpurt.engine.dynamic import (make_refit_data,
+                                      render_frame_dynamic_refit)
+
+    refit = jax.device_put(make_refit_data(r.scene))
+
+    def frame_rebuild(obj, t, cam, lights, consts, lpm, ni):
+        return render_frame_dynamic(obj, t, cam, lights, consts, lpm, ni,
+                                    width=W, height=H, gtao_settings=gtao,
+                                    use_pallas=True)
+
+    def frame_refit(obj, t, cam, lights, consts, lpm, ni):
+        return render_frame_dynamic_refit(obj, refit, t, cam, lights,
+                                          consts, lpm, ni, width=W,
+                                          height=H, gtao_settings=gtao)
+
     # the XLA-tracer variant is omitted at this scale: 43k tris through
     # the gather-based tracer at 800x800 faults the TPU worker (the same
     # depth collapse round 1 documented) — the packet tracer is the
     # production dynamic path
-    for use_pallas in (True,):
+    out_ms = {}
+    for label, frame in (("refit", frame_refit),
+                         ("rebuild", frame_rebuild)):
         @jax.jit
-        def burst(obj, transforms, cam, lights, consts, lpm):
+        def burst(obj, transforms, cam, lights, consts, lpm, frame=frame):
             def body(acc, xs):
                 t, ni = xs
-                out = render_frame_dynamic(
-                    obj, t, cam, lights, consts, lpm, ni,
-                    width=W, height=H, gtao_settings=gtao,
-                    use_pallas=use_pallas)
+                out = frame(obj, t, cam, lights, consts, lpm, ni)
                 return acc + jnp.sum(out["image"], dtype=jnp.uint32), None
 
             acc, _ = jax.lax.scan(
@@ -77,17 +91,20 @@ def main():
         chk = int(burst(*args))
         ms = (time.perf_counter() - t0) * 1000 / REPS
         assert chk > 0
-        label = "pallas" if use_pallas else "xla"
+        out_ms[label] = ms
         print(f"dynamic {label}: {ms:.2f} ms/frame", file=sys.stderr,
               flush=True)
-        pallas_ms = ms
+    pallas_ms = out_ms["rebuild"]
+    refit_ms = out_ms["refit"]
 
     report = dict(device=str(jax.devices()[0]), reps=REPS,
                   resolution=f"{W}x{H}",
                   tris=int(np.asarray(obj["tri_vertex"]).shape[0]),
-                  ms_per_frame_pallas=round(pallas_ms, 2),
-                  pipeline="in-jit LBVH rebuild + primary+shadow + GTAO "
-                           "ULTRA + LPM",
+                  ms_per_frame_refit=round(refit_ms, 2),
+                  ms_per_frame_rebuild=round(pallas_ms, 2),
+                  pipeline="refit: in-jit BVH8 box refit; rebuild: in-jit "
+                           "LBVH rebuild; + primary+shadow + GTAO ULTRA "
+                           "+ LPM",
                   timing="device-side lax.scan of 8 frames, checksum "
                          "readback")
     with open(os.path.join(os.path.dirname(os.path.dirname(

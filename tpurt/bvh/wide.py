@@ -177,3 +177,77 @@ def collapse8(bvh: dict, leaf_max: int = LEAF8_MAX):
                 nodes8[w, base + 3:base + 6] = amax[payload]
                 nodes8[w, 48 + k_slot] = float(wide_of[payload])
     return nodes8, depth
+
+
+# ------------------------------------------------------------------ refit --
+
+def refit_plan(nodes8: np.ndarray):
+    """Static refit metadata from packed BVH8 rows: BFS level partition
+    (list of wide-node index arrays, root level first). Children always
+    sit at deeper levels, so a reverse-level sweep refits bottom-up."""
+    nodes8 = np.asarray(nodes8)
+    child = nodes8[:, 48:56].astype(np.int64)
+    levels = []
+    cur = np.array([0], np.int64)
+    seen = 1
+    while cur.size:
+        levels.append(cur.astype(np.int32))
+        nxt = child[cur].reshape(-1)
+        cur = np.unique(nxt[nxt >= 0])
+        seen += cur.size
+    assert seen - 1 + levels[0].size >= 0  # sanity; every node reached once
+    return [np.asarray(l, np.int32) for l in levels]
+
+
+def refit_bvh8(nodes8, levels, tri_min_sah, tri_max_sah, leaf_max: int):
+    """In-jit BVH8 refit: recompute every slot AABB from the new
+    (SAH-ordered) per-triangle AABBs, keeping the topology lanes
+    untouched. The TPU analogue of VK acceleration-structure UPDATE
+    (the reference prefers destroy-and-rebuild for its TLAS,
+    vk_tlas_builder.rs:43-46, because driver BVHs degrade under refit;
+    here the refit tree's topology is the full static SAH tree over the
+    rest pose, so quality degrades only as instances move far from it).
+
+    nodes8: (M, 128) f32; levels: refit_plan output; tri_min_sah /
+    tri_max_sah: (T, 3) world AABBs in SAH triangle order."""
+    import jax.numpy as jnp
+
+    m = nodes8.shape[0]
+    t = tri_min_sah.shape[0]
+    firsts = nodes8[:, 56:64].astype(jnp.int32)          # (M, 8)
+    counts = nodes8[:, 64:72].astype(jnp.int32)
+    childs = nodes8[:, 48:56].astype(jnp.int32)
+
+    # leaf slot boxes: unrolled masked reduction over <= leaf_max tris
+    slot_min = jnp.full((m, 8, 3), _EMPTY_MIN, jnp.float32)
+    slot_max = jnp.full((m, 8, 3), _EMPTY_MAX, jnp.float32)
+    for k in range(leaf_max):
+        idx = jnp.clip(firsts + k, 0, t - 1)
+        valid = (k < counts)[..., None]
+        slot_min = jnp.where(valid,
+                             jnp.minimum(slot_min, tri_min_sah[idx]),
+                             slot_min)
+        slot_max = jnp.where(valid,
+                             jnp.maximum(slot_max, tri_max_sah[idx]),
+                             slot_max)
+
+    # internal slots, deepest level first: child totals are ready before
+    # any parent reads them
+    total_min = jnp.zeros((m, 3), jnp.float32)
+    total_max = jnp.zeros((m, 3), jnp.float32)
+    for ids in reversed(levels):
+        ids = jnp.asarray(ids)
+        ch = childs[ids]                                  # (L, 8)
+        is_int = (ch >= 0)[..., None]
+        cmin = total_min[jnp.maximum(ch, 0)]              # (L, 8, 3)
+        cmax = total_max[jnp.maximum(ch, 0)]
+        smin = jnp.where(is_int, cmin, slot_min[ids])
+        smax = jnp.where(is_int, cmax, slot_max[ids])
+        slot_min = slot_min.at[ids].set(smin)
+        slot_max = slot_max.at[ids].set(smax)
+        total_min = total_min.at[ids].set(smin.min(axis=1))
+        total_max = total_max.at[ids].set(smax.max(axis=1))
+
+    # write box lanes 0..47: [k*6 +0..2] = min, [+3..5] = max
+    boxes = jnp.concatenate([slot_min, slot_max], axis=2)  # (M, 8, 6)
+    return nodes8.at[:, :48].set(boxes.reshape(m, 48))

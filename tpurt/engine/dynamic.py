@@ -37,6 +37,23 @@ def _normalize(v):
     return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
 
 
+def _tri_attr(tv, tri_prim, vtx_pos, vtx_uv, vtx_normal, vtx_tangent,
+              tex_size):
+    """In-jit rebuild of the gather-packed (T, 39) shading table
+    (scene.py tri_attr layout) from the transformed vertex tables —
+    43k-row gathers, cheap next to per-pixel work; restores the
+    2-wide-gather shade path for the dynamic modes."""
+    cs = []
+    for k in range(3):
+        vid = tv[:, k]
+        cs.append(jnp.concatenate(
+            [vtx_pos[vid], vtx_uv[vid], vtx_normal[vid], vtx_tangent[vid]],
+            axis=1))
+    return jnp.concatenate(
+        cs + [tri_prim[:, None].astype(jnp.float32),
+              tex_size[tri_prim].astype(jnp.float32)], axis=1)
+
+
 def build_world_tables(obj_scene: dict, transforms):
     """Object-space tables + (I,3,4) transforms -> world tables + fresh BVH.
     Fully jittable (the per-frame 'TLAS rebuild')."""
@@ -63,13 +80,19 @@ def build_world_tables(obj_scene: dict, transforms):
     geom = dict(v0=v0o, e1=v1[order] - v0o, e2=v2[order] - v0o,
                 tri_id=order.astype(jnp.int32))
 
-    return dict(
+    out = dict(
         bvh=bvh.as_pytree(), geom=geom,
         tri_vertex=tv, tri_prim=obj_scene["tri_prim"],
         vtx_pos=vtx_pos, vtx_uv=obj_scene["vtx_uv"],
         vtx_normal=vtx_normal, vtx_tangent=vtx_tangent,
         tex_stack=obj_scene["tex_stack"], tex_size=obj_scene["tex_size"],
     )
+    if "tex_quad48" in obj_scene:
+        out["tri_attr"] = _tri_attr(
+            tv, obj_scene["tri_prim"], vtx_pos, obj_scene["vtx_uv"],
+            vtx_normal, vtx_tangent, obj_scene["tex_size"])
+        out["tex_quad48"] = obj_scene["tex_quad48"]
+    return out
 
 
 @partial(jax.jit, static_argnames=("width", "height", "gtao_settings",
@@ -100,6 +123,102 @@ def render_frame_dynamic(obj_scene: dict, transforms, camera: dict,
     g = shade(scene, camera, lights, hits, origin, direction,
               pallas_tables="hbm" if use_pallas else "",
               height=height, width=width, max_leaf=1)
+
+    color = quantize_r11g11b10f(g["color"]).reshape(height, width, 3)
+    depth = quantize_r16f(g["depth"]).reshape(height, width)
+    normal = quantize_r11g11b10f(g["normal_enc"]).reshape(height, width, 3)
+
+    if enable_gtao:
+        ao = compute_ao(depth, normal, gtao_consts, gtao_settings, noise_index)
+    else:
+        ao = jnp.full((height, width), 255, jnp.uint8)
+
+    if enable_tonemap:
+        image = pack_unorm8(tonemap_frame(color, ao, lpm_derived))
+    else:
+        image = pack_unorm8(jnp.clip(color, 0.0, 1.0))
+    return dict(image=image, color=color, depth=depth, normal=normal, ao=ao)
+
+
+def make_refit_data(scene) -> dict:
+    """Host-side static refit metadata from a flattened scene (FlatScene):
+    the rest-pose BVH8 rows, their BFS level partition, and the SAH
+    triangle order. Compute once; feed to render_frame_dynamic_refit."""
+    import numpy as np
+
+    from ..bvh.wide import refit_plan
+
+    nodes8 = np.asarray(scene.bvh["nodes8"])
+    return dict(nodes8=jnp.asarray(nodes8),
+                levels=tuple(jnp.asarray(l)
+                             for l in refit_plan(nodes8)),
+                order=jnp.asarray(np.asarray(scene.geom["tri_id"]),
+                                  jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("width", "height", "gtao_settings",
+                                   "enable_gtao", "enable_tonemap"))
+def render_frame_dynamic_refit(obj_scene: dict, refit: dict, transforms,
+                               camera: dict, lights: dict, gtao_consts: dict,
+                               lpm_derived: dict, noise_index, *,
+                               width: int, height: int,
+                               gtao_settings: GtaoSettings = GtaoSettings(),
+                               enable_gtao: bool = True,
+                               enable_tonemap: bool = True):
+    """Dynamic frame via in-jit BVH8 REFIT instead of a full rebuild: the
+    rest-pose SAH/BVH8 topology is kept and every slot AABB is recomputed
+    from the transformed triangles (bvh/wide.refit_bvh8) — the analogue of
+    the reference's static-BLAS + per-frame-TLAS split (renderer.rs:637-651)
+    done the TPU way: one O(T) box pass + a 6-level bottom-up sweep, then
+    the SAME BVH8 packet tracer as the static path. Tree quality degrades
+    only as instances move far from the rest pose (rebuild then)."""
+    from ..bvh.wide import LEAF8_MAX, refit_bvh8
+
+    transforms = jnp.asarray(transforms, jnp.float32)
+    inst = obj_scene["vtx_instance"]
+    vtx_pos = _transform_points(transforms, inst, obj_scene["obj_vtx_pos"])
+
+    inv3t = jnp.transpose(jnp.linalg.inv(transforms[:, :, :3]), (0, 2, 1))
+    vtx_normal = _normalize(
+        jnp.einsum("vij,vj->vi", inv3t[inst], obj_scene["obj_vtx_normal"]))
+    tan = obj_scene["obj_vtx_tangent"]
+    tan_xyz = _normalize(
+        jnp.einsum("vij,vj->vi", transforms[inst][:, :, :3], tan[:, :3]))
+    vtx_tangent = jnp.concatenate([tan_xyz, tan[:, 3:4]], axis=1)
+
+    tv = obj_scene["tri_vertex"]
+    order = refit["order"]
+    tvo = tv[order]                                   # SAH-ordered corners
+    v0 = vtx_pos[tvo[:, 0]]
+    v1 = vtx_pos[tvo[:, 1]]
+    v2 = vtx_pos[tvo[:, 2]]
+    tri_min = jnp.minimum(jnp.minimum(v0, v1), v2)
+    tri_max = jnp.maximum(jnp.maximum(v0, v1), v2)
+    nodes8 = refit_bvh8(refit["nodes8"], refit["levels"], tri_min, tri_max,
+                        leaf_max=LEAF8_MAX)
+
+    geom = dict(v0=v0, e1=v1 - v0, e2=v2 - v0, tri_id=order)
+    scene = dict(
+        bvh=dict(nodes8=nodes8), geom=geom,
+        tri_vertex=tv, tri_prim=obj_scene["tri_prim"],
+        vtx_pos=vtx_pos, vtx_uv=obj_scene["vtx_uv"],
+        vtx_normal=vtx_normal, vtx_tangent=vtx_tangent,
+        tex_stack=obj_scene["tex_stack"], tex_size=obj_scene["tex_size"],
+    )
+    if "tex_quad48" in obj_scene:
+        scene["tri_attr"] = _tri_attr(
+            tv, obj_scene["tri_prim"], vtx_pos, obj_scene["vtx_uv"],
+            vtx_normal, vtx_tangent, obj_scene["tex_size"])
+        scene["tex_quad48"] = obj_scene["tex_quad48"]
+
+    from ..kernels.traverse_pallas import trace_closest_packets
+
+    origin, direction = camera_rays(camera, width, height)
+    hits = trace_closest_packets(scene["bvh"], scene["geom"], origin,
+                                 direction, T_MIN, T_MAX, height=height,
+                                 width=width, tables="bvh8")
+    g = shade(scene, camera, lights, hits, origin, direction,
+              pallas_tables="bvh8", height=height, width=width)
 
     color = quantize_r11g11b10f(g["color"]).reshape(height, width, 3)
     depth = quantize_r16f(g["depth"]).reshape(height, width)

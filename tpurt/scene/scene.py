@@ -93,7 +93,7 @@ class FlatScene:
     def as_object_pytree(self) -> dict:
         """Inputs for the dynamic mode: object-space geometry + instance ids
         (transforms are passed separately per frame)."""
-        return dict(
+        out = dict(
             tri_vertex=self.tri_vertex, tri_prim=self.tri_prim,
             vtx_instance=self.vtx_instance, obj_vtx_pos=self.obj_vtx_pos,
             obj_vtx_normal=self.obj_vtx_normal,
@@ -101,6 +101,11 @@ class FlatScene:
             vtx_uv=self.vtx_uv, tex_stack=self.tex_stack,
             tex_size=self.tex_size,
         )
+        if self.tex_quad48 is not None:
+            # transform-independent: the dynamic modes reuse the packed
+            # quad texture rows and rebuild only tri_attr in-jit
+            out["tex_quad48"] = self.tex_quad48
+        return out
 
 
 def _transform_points(m3x4: np.ndarray, pts: np.ndarray) -> np.ndarray:
