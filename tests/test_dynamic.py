@@ -110,3 +110,18 @@ def test_refit_matches_rebuild_under_rotation():
     d_img = np.abs(np.asarray(refit["image"]).astype(int)
                    - np.asarray(rebuilt["image"]).astype(int))
     assert (d_img <= 1).mean() > 0.99
+
+
+def test_renderer_render_dynamic_api():
+    """Renderer.render_dynamic: refit and rebuild variants both render and
+    agree with the static frame at rest transforms."""
+    r = make_renderer(tracer="smem")
+    static = np.asarray(r.render()["image"]).astype(int)
+
+    r2 = make_renderer()
+    rest = r2.scene.transforms
+    out_refit = np.asarray(r2.render_dynamic(rest)["image"]).astype(int)
+    out_rebuild = np.asarray(
+        r2.render_dynamic(rest, refit=False)["image"]).astype(int)
+    assert (np.abs(out_refit - static) <= 1).mean() > 0.995
+    assert (np.abs(out_rebuild - static) <= 1).mean() > 0.99

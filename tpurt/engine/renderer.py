@@ -72,6 +72,8 @@ class Renderer:
         # needs_update uniform uploads, vk_camera.rs:104-126): unchanged
         # camera/lights/constants reuse their device-resident arrays
         self._input_cache = {}
+        self._obj_device = None      # dynamic-mode object tables (device)
+        self._refit_device = None    # BVH8 refit metadata (device)
         self._lpm_ctl, self._lpm_derived = lpm_setup(c.lpm)
         self._frame_idx = 0
         self.rendered_frames = 0
@@ -169,6 +171,55 @@ class Renderer:
             enable_gtao=c.enable_gtao, enable_tonemap=c.enable_tonemap,
             pallas_tables=self._pallas_tables(), spp=c.spp,
             aniso_taps=c.aniso_taps)
+        self._frame_idx += 1
+        self.rendered_frames += 1
+        if block:
+            out["image"].block_until_ready()
+        return out
+
+    def render_dynamic(self, transforms, block: bool = True,
+                       refit: bool = True):
+        """Render one frame with per-frame instance transforms (the
+        reference's animated-TLAS path, renderer.rs:637-651).
+
+        transforms: (I, 3, 4) array replacing the scene's instance
+        transforms this frame. refit=True (default) keeps the rest-pose
+        BVH8 topology and refits boxes in-jit (~static-frame cost;
+        engine/dynamic.render_frame_dynamic_refit); refit=False rebuilds
+        a fresh LBVH in-jit instead (slower, but immune to tree-quality
+        decay under extreme motion)."""
+        import jax
+
+        from .dynamic import (make_refit_data, render_frame_dynamic,
+                              render_frame_dynamic_refit)
+
+        c = self.config
+        self._update_models()
+        assert self._scene is not None, "call prepare_first_frame() first"
+        if self._obj_device is None:
+            self._obj_device = jax.device_put(self._scene.as_object_pytree())
+            self._refit_device = jax.device_put(make_refit_data(self._scene))
+
+        cam = self._cached("camera", self.camera.uniform())
+        consts = gtao_constants(c.width, c.height, self.camera.znear,
+                                self.camera.zfar, self.camera.fovy,
+                                self.camera.aspect)
+        lights = self._cached("lights", self.lights.shader_arrays())
+        gtao = self._effective_gtao()
+        if refit:
+            out = render_frame_dynamic_refit(
+                self._obj_device, self._refit_device, transforms, cam,
+                lights, consts, self._lpm_derived,
+                np.int32(self._frame_idx % 64), width=c.width,
+                height=c.height, gtao_settings=gtao,
+                enable_gtao=c.enable_gtao, enable_tonemap=c.enable_tonemap)
+        else:
+            out = render_frame_dynamic(
+                self._obj_device, transforms, cam, lights, consts,
+                self._lpm_derived, np.int32(self._frame_idx % 64),
+                width=c.width, height=c.height, gtao_settings=gtao,
+                enable_gtao=c.enable_gtao, enable_tonemap=c.enable_tonemap,
+                use_pallas=bool(self._pallas_tables()))
         self._frame_idx += 1
         self.rendered_frames += 1
         if block:
