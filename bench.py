@@ -264,23 +264,23 @@ def materials_main():
     r.prepare_first_frame()
     rays = WIDTH * HEIGHT * (1 + 2)
     for i in range(WARMUP):
-        r.render(block=True)
-        _log(f"materials: warmup {i + 1}/{WARMUP}")
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(FRAMES):
         out = r.render(block=True)
-    el = time.perf_counter() - t0
+        _log(f"materials: warmup {i + 1}/{WARMUP}")
     checksum, _ = _device_sanity(out["image"])
     assert checksum > 0
+    # device-scan timing (blocked per-frame loops only measure dispatch on
+    # the tunneled backend — see the headline bench)
+    burst_ms = _measure_burst(r, frames=8)
+    _log(f"materials: device-side frame cost {burst_ms:.3f} ms")
     report = dict(
         metric="Mrays/s, 36 distinct materials + mip-chain trilinear, "
                "800x800 ULTRA",
-        value=round(rays * FRAMES / el / 1e6, 2), unit="Mrays/s",
-        ms_per_frame=round(el * 1000 / FRAMES, 3),
+        value=round(rays / burst_ms / 1e3, 2), unit="Mrays/s",
+        ms_per_frame=round(burst_ms, 3),
         tris=int(r.scene.geom["v0"].shape[0]), materials=r.scene.num_prims,
         mip_levels=int(r.scene.tex_mip_sizes.shape[1]),
-        device=str(jax.devices()[0]))
+        device=str(jax.devices()[0]),
+        timing="device-side lax.scan of 8 frames, checksum readback")
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_MATERIALS.json"), "w") as f:
         json.dump(report, f, indent=1)

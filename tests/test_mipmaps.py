@@ -222,3 +222,29 @@ def test_aniso_end_to_end():
     assert abs(float(img_aniso.mean()) - float(img_tri.mean())) < 12.0
     # ...but oblique ground tiles resolve differently with 4 aniso taps
     assert (img_aniso != img_tri).mean() > 0.005
+
+
+def test_quad_mip_atlas_matches_per_layer():
+    """The quad-packed mip atlas path (2 gathers) is bit-identical to the
+    per-layer atlas path (24 gathers) for trilinear fetches."""
+    from tpurt.passes.shade import sample_trilinear_quad
+    from tpurt.scene.scene import build_mip_quad_atlas
+
+    stack, sizes = _stack_and_sizes()
+    atlas, offsets, msizes = build_mip_atlas(stack, sizes)
+    qatlas, qoffsets, qsizes = build_mip_quad_atlas(stack, sizes)
+    np.testing.assert_array_equal(np.asarray(msizes), np.asarray(qsizes))
+
+    n = 96
+    rng = np.random.default_rng(7)
+    uv = jnp.asarray(rng.uniform(-0.2, 1.2, (n, 2)), jnp.float32)
+    prim = jnp.asarray(rng.integers(0, 2, n), jnp.int32)
+    lod = jnp.asarray(rng.uniform(0, 5, n), jnp.float32)
+
+    packed = sample_trilinear_quad(jnp.asarray(qatlas), jnp.asarray(qoffsets),
+                                   jnp.asarray(msizes), prim, uv, lod)
+    for layer in range(3):
+        ref = sample_trilinear(jnp.asarray(atlas), jnp.asarray(offsets),
+                               jnp.asarray(msizes), prim, layer, uv, lod)
+        np.testing.assert_array_equal(
+            np.asarray(packed[:, layer * 4:layer * 4 + 4]), np.asarray(ref))

@@ -148,6 +148,59 @@ def sample_trilinear(atlas, offsets, sizes, prim, layer: int, uv, lod):
     return s0 * (1 - frac) + s1 * frac
 
 
+def _sample_mip_bilinear_quad(qatlas, qoffsets, sizes, prim, uv, level):
+    """Bilinear REPEAT fetch of ALL THREE layers at an integer mip `level`
+    in ONE row gather: qatlas (N, 64) u8 quad rows (scene.py
+    build_mip_quad_atlas), qoffsets (P, L) i32, sizes (P, L, 2).
+    Returns (N, 12) floats [albedo4 | orm4 | normal4]. Bit-identical to
+    3x _sample_mip_bilinear."""
+    hw = sizes[prim, level]                  # (N, 2)
+    h = hw[:, 0]
+    w = hw[:, 1]
+    px = uv[:, 0] * w.astype(jnp.float32) - 0.5
+    py = uv[:, 1] * h.astype(jnp.float32) - 0.5
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    fx = (px - x0)[:, None]
+    fy = (py - y0)[:, None]
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    y0i = jnp.mod(y0.astype(jnp.int32), h)
+    row = qatlas[qoffsets[prim, level] + y0i * w + x0i].astype(jnp.float32)
+    t00, t10, t01, t11 = (row[:, 0:12], row[:, 12:24],
+                          row[:, 24:36], row[:, 36:48])
+    out = ((t00 * (1 - fx) + t10 * fx) * (1 - fy)
+           + (t01 * (1 - fx) + t11 * fx) * fy)
+    return out / 255.0
+
+
+def sample_trilinear_quad(qatlas, qoffsets, sizes, prim, uv, lod):
+    """Trilinear fetch of all three layers in TWO row gathers (vs 24
+    narrow ones through the per-layer atlas) — same lerp structure as
+    sample_trilinear, bit-identical per layer."""
+    levels = sizes.shape[1]
+    lod = jnp.clip(lod, 0.0, float(levels - 1))
+    l0 = jnp.floor(lod)
+    frac = (lod - l0)[:, None]
+    l0i = l0.astype(jnp.int32)
+    l1i = jnp.minimum(l0i + 1, levels - 1)
+    s0 = _sample_mip_bilinear_quad(qatlas, qoffsets, sizes, prim, uv, l0i)
+    s1 = _sample_mip_bilinear_quad(qatlas, qoffsets, sizes, prim, uv, l1i)
+    return s0 * (1 - frac) + s1 * frac
+
+
+def sample_anisotropic_quad(qatlas, qoffsets, sizes, prim, uv, lod_minor,
+                            duv_major, taps: int):
+    """Anisotropic filtering through the quad mip atlas: `taps` trilinear
+    quad fetches along the footprint's major axis, averaged."""
+    acc = None
+    for i in range(taps):
+        f = (i + 0.5) / taps - 0.5
+        s = sample_trilinear_quad(qatlas, qoffsets, sizes, prim,
+                                  uv + duv_major * f, lod_minor)
+        acc = s if acc is None else acc + s
+    return acc / taps
+
+
 def ray_cone_lod(t, direction, N, p0, p1, p2, uv0, uv1, uv2, tex_w, tex_h,
                  spread):
     """Texture LOD from the ray-cone footprint (Akenine-Moeller et al.,
@@ -297,27 +350,43 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
             np.sqrt(hits["t"].shape[0]))))
         spread = 2.0 / (camera["proj"][1, 1] * rows)
         tex_hw = scene["tex_mip_sizes"][prim, 0].astype(jnp.float32)
+        quad_mips = scene.get("tex_mip_quad") is not None
         if aniso_taps > 1:
             lod_minor, duv_major = ray_cone_aniso(
                 hits["t"], direction, world_normal, p0, p1, p2,
                 uv0, uv1, uv2, tex_hw[:, 1], tex_hw[:, 0], spread,
                 max_aniso=16)
+            if quad_mips:
+                packed = sample_anisotropic_quad(
+                    scene["tex_mip_quad"], scene["tex_mip_quad_offsets"],
+                    scene["tex_mip_sizes"], prim, tex_coord, lod_minor,
+                    duv_major, aniso_taps)
 
-            def fetch(layer):
-                return sample_anisotropic(
-                    scene["tex_atlas"], scene["tex_mip_offsets"],
-                    scene["tex_mip_sizes"], prim, layer, tex_coord,
-                    lod_minor, duv_major, aniso_taps)
+                def fetch(layer):
+                    return packed[:, layer * 4:layer * 4 + 4]
+            else:
+                def fetch(layer):
+                    return sample_anisotropic(
+                        scene["tex_atlas"], scene["tex_mip_offsets"],
+                        scene["tex_mip_sizes"], prim, layer, tex_coord,
+                        lod_minor, duv_major, aniso_taps)
         else:
             lod = ray_cone_lod(hits["t"], direction, world_normal, p0, p1,
                                p2, uv0, uv1, uv2, tex_hw[:, 1], tex_hw[:, 0],
                                spread)
+            if quad_mips:
+                packed = sample_trilinear_quad(
+                    scene["tex_mip_quad"], scene["tex_mip_quad_offsets"],
+                    scene["tex_mip_sizes"], prim, tex_coord, lod)
 
-            def fetch(layer):
-                return sample_trilinear(scene["tex_atlas"],
-                                        scene["tex_mip_offsets"],
-                                        scene["tex_mip_sizes"], prim, layer,
-                                        tex_coord, lod)
+                def fetch(layer):
+                    return packed[:, layer * 4:layer * 4 + 4]
+            else:
+                def fetch(layer):
+                    return sample_trilinear(scene["tex_atlas"],
+                                            scene["tex_mip_offsets"],
+                                            scene["tex_mip_sizes"], prim,
+                                            layer, tex_coord, lod)
     elif "tex_quad48" in scene and tex_hw is not None:
         # quad rows: ONE gather fetches the whole 2x2 bilinear footprint of
         # albedo+ORM+normal at once

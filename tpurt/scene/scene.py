@@ -61,6 +61,9 @@ class FlatScene:
     tex_atlas: Any = None        # (N, 4) u8 — all images, all mip levels
     tex_mip_offsets: Any = None  # (P*3, L) i32 texel offset into the atlas
     tex_mip_sizes: Any = None    # (P, L, 2) i32 per-level (h, w)
+    tex_mip_quad: Any = None     # (N, 64) u8 quad-packed mip rows (2x2
+    #                              footprint x 3 layers; 48 data + 16 pad)
+    tex_mip_quad_offsets: Any = None  # (P, L) i32 row offsets
     # gather-optimized tables (see flatten_scene): one wide row per hit
     tri_attr: Any = None         # (T, 39) f32 3x[pos, uv, normal, tangent]
     #                              + [prim, tex_h, tex_w]
@@ -84,7 +87,9 @@ class FlatScene:
         if self.tex_atlas is not None:
             out.update(tex_atlas=self.tex_atlas,
                        tex_mip_offsets=self.tex_mip_offsets,
-                       tex_mip_sizes=self.tex_mip_sizes)
+                       tex_mip_sizes=self.tex_mip_sizes,
+                       tex_mip_quad=self.tex_mip_quad,
+                       tex_mip_quad_offsets=self.tex_mip_quad_offsets)
         if self.tri_attr is not None:
             out.update(tri_attr=self.tri_attr,
                        tex_quad48=self.tex_quad48)
@@ -170,6 +175,44 @@ def build_mip_atlas(tex_stack: np.ndarray, tex_size: np.ndarray):
             if cur.shape[0] > 1 or cur.shape[1] > 1:
                 cur = _box_mip(cur)
             # 1x1 repeats for remaining levels (sampler clamp at max lod)
+    atlas = np.concatenate(chunks, axis=0)
+    return atlas, offsets.astype(np.int32), sizes
+
+
+def build_mip_quad_atlas(tex_stack: np.ndarray, tex_size: np.ndarray):
+    """Quad-packed mip atlas: one 64-byte row per (prim, level, y, x) texel
+    carrying the full 2x2 bilinear footprint (REPEAT wrap at that level)
+    across the 3 packed layers (albedo|orm|normal, 12 B x 4 corners = 48 B
+    + 16 pad for the power-of-two gather fast path — see tex_quad48).
+    A trilinear fetch of all three layers becomes TWO row gathers instead
+    of 24. Returns (atlas (N, 64) u8, offsets (P, L) i32 row offsets,
+    sizes (P, L, 2) i32)."""
+    n_prims = tex_size.shape[0]
+    hmax = int(tex_size[:, 0].max(initial=1))
+    wmax = int(tex_size[:, 1].max(initial=1))
+    levels = max(int(np.ceil(np.log2(max(hmax, wmax, 1)))) + 1, 1)
+
+    chunks = []
+    offsets = np.zeros((n_prims, levels), np.int64)
+    sizes = np.zeros((n_prims, levels, 2), np.int32)
+    cursor = 0
+    for prim in range(n_prims):
+        h, w = int(tex_size[prim, 0]), int(tex_size[prim, 1])
+        mips = [tex_stack[prim * 3 + l, :h, :w].copy() for l in range(3)]
+        for lv in range(levels):
+            arr12 = np.concatenate(mips, axis=2)            # (h, w, 12)
+            quad = np.zeros(arr12.shape[:2] + (64,), np.uint8)
+            quad[..., :48] = np.concatenate(
+                [arr12,
+                 np.roll(arr12, -1, axis=1),
+                 np.roll(arr12, -1, axis=0),
+                 np.roll(np.roll(arr12, -1, 0), -1, 1)], axis=2)
+            offsets[prim, lv] = cursor
+            sizes[prim, lv] = arr12.shape[:2]
+            chunks.append(quad.reshape(-1, 64))
+            cursor += quad.shape[0] * quad.shape[1]
+            if mips[0].shape[0] > 1 or mips[0].shape[1] > 1:
+                mips = [_box_mip(m) for m in mips]
     atlas = np.concatenate(chunks, axis=0)
     return atlas, offsets.astype(np.int32), sizes
 
@@ -277,8 +320,11 @@ def flatten_scene(models: List[Model], mipmaps: bool = False) -> FlatScene:
                 tri_id=order.astype(np.int32))
 
     tex_atlas = tex_mip_offsets = tex_mip_sizes = None
+    tex_mip_quad = tex_mip_quad_offsets = None
     if mipmaps:
         tex_atlas, tex_mip_offsets, tex_mip_sizes = build_mip_atlas(
+            tex_stack, tex_size)
+        tex_mip_quad, tex_mip_quad_offsets, _ = build_mip_quad_atlas(
             tex_stack, tex_size)
 
     # Gather-optimized tables. TPU gather cost scales with the number of
@@ -325,6 +371,7 @@ def flatten_scene(models: List[Model], mipmaps: bool = False) -> FlatScene:
         obj_vtx_normal=obj_vtx_normal, obj_vtx_tangent=obj_vtx_tangent,
         transforms=transforms,
         tex_atlas=tex_atlas, tex_mip_offsets=tex_mip_offsets,
-        tex_mip_sizes=tex_mip_sizes,
+        tex_mip_sizes=tex_mip_sizes, tex_mip_quad=tex_mip_quad,
+        tex_mip_quad_offsets=tex_mip_quad_offsets,
         tri_attr=tri_attr, tex_stack12=tex_stack12, tex_quad48=tex_quad48,
     )
