@@ -350,6 +350,19 @@ def main():
         timing="device-side lax.scan of 8 frames (host-timed 'blocked' "
                "loops only measure dispatch on this backend)",
     )
+    # secondary: the BASELINE.json primary-metric shape (full pipeline at
+    # 1080p). Guarded so a failure here cannot spoil the headline artifact.
+    try:
+        _log("bench: 1080p secondary (full pipeline)...")
+        r_hd = build_scene(1920, 1080)
+        r_hd.render(block=True)  # compile + settle
+        hd_ms = _measure_burst(r_hd, frames=4)
+        meta["ms_per_frame_1080p"] = round(hd_ms, 3)
+        meta["mrays_per_s_1080p"] = round(
+            1920 * 1080 * (1 + n_lights) / hd_ms / 1e3, 2)
+        _log(f"bench: 1080p full pipeline {hd_ms:.3f} ms/frame")
+    except Exception as e:  # noqa: BLE001
+        _log(f"bench: 1080p secondary failed ({e!r}); headline unaffected")
     print(json.dumps(dict(
         metric="Mrays/sec/chip (primary+shadow), full pipeline 800x800",
         value=round(mrays, 2),

@@ -131,3 +131,19 @@ def test_checkpoint_path_without_npz_suffix(tmp_path, renderer):
     resumed = load_checkpoint(bare)
     assert resumed is not None
     assert resumed.num_samples == 0
+
+
+def test_device_profile():
+    """device_profile: honest per-pass attribution API (device-scan)."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_frame import make_renderer
+    from tpurt.engine.profiler import device_profile
+
+    r = make_renderer(tracer="smem")
+    stats = device_profile(r, reps=2)
+    assert set(stats.ms_per_pass) == {"trace", "shade", "gtao", "tonemap"}
+    assert stats.rays_traced == 64 * 64 * 2
+    assert stats.ms_per_pass["trace"] > 0
+    assert all(np.isfinite(v) for v in stats.ms_per_pass.values())

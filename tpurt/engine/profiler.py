@@ -166,3 +166,115 @@ def profile_frame(renderer, repeats: int = 1) -> FrameStats:
             k: v / repeats for k, v in timer.stats.ms_per_pass.items()}
         timer.stats.rays_traced //= repeats
     return timer.stats
+
+
+def device_profile(renderer, reps: int = 8) -> FrameStats:
+    """Honest per-pass frame attribution on async/tunneled backends.
+
+    PassTimer's sync-point timing is unreliable where block_until_ready
+    does not actually synchronize (RPC-tunneled TPU); this runs the frame
+    pipeline as cumulative prefixes (trace; trace+shade; ...) each inside
+    a device-side lax.scan of `reps` iterations ending in a scalar
+    checksum readback, and reports per-pass cost as consecutive
+    differences. Compiles 4 programs on first use."""
+    import jax.numpy as jnp
+
+    from ..kernels.traverse_pallas import trace_closest_packets
+    from ..passes.encodings import (pack_unorm8, quantize_r11g11b10f,
+                                    quantize_r16f)
+    from ..passes.gtao import (ao_visibility_u8, compute_ao, gtao_constants)
+    from ..passes.rays import T_MAX, T_MIN, camera_rays
+    from ..passes.shade import shade
+    from ..passes.tonemap import tonemap_frame
+    from ..kernels.traverse import trace_closest
+    from .frame import MAX_LEAF
+
+    c = renderer.config
+    w, h = c.width, c.height
+    cam = renderer._cached("camera", renderer.camera.uniform())
+    lights = renderer._cached("lights", renderer.lights.shader_arrays())
+    consts = gtao_constants(w, h, renderer.camera.znear, renderer.camera.zfar,
+                            renderer.camera.fovy, renderer.camera.aspect)
+    scene = renderer.scene_device
+    tables = renderer._pallas_tables()
+    gtao = renderer._effective_gtao()
+    lpm = renderer._lpm_derived
+
+    jits = jnp.linspace(-0.25, 0.25, reps).reshape(reps, 1) \
+        * jnp.ones((1, 2), jnp.float32)
+
+    def _trace(scene, cam, jit):
+        o, d = camera_rays(cam, w, h, jitter=jit)
+        if tables:
+            hits = trace_closest_packets(scene["bvh"], scene["geom"], o, d,
+                                         T_MIN, T_MAX, height=h, width=w,
+                                         max_leaf=MAX_LEAF, tables=tables)
+        else:
+            hits = trace_closest(scene["bvh"], scene["geom"], o, d,
+                                 T_MIN, T_MAX, max_leaf=MAX_LEAF)
+        return o, d, hits
+
+    def stage_trace(scene, cam, lights, consts, lpm, jit, ni):
+        _, _, hits = _trace(scene, cam, jit)
+        return jnp.sum(jnp.where(jnp.isfinite(hits["t"]), hits["t"], 0.0))
+
+    def _gbuf(scene, cam, lights, jit):
+        o, d, hits = _trace(scene, cam, jit)
+        return shade(scene, cam, lights, hits, o, d, pallas_tables=tables,
+                     height=h, width=w, max_leaf=MAX_LEAF)
+
+    def stage_shade(scene, cam, lights, consts, lpm, jit, ni):
+        return jnp.sum(_gbuf(scene, cam, lights, jit)["color"])
+
+    def _ao(scene, cam, lights, consts, jit, ni):
+        g = _gbuf(scene, cam, lights, jit)
+        depth = quantize_r16f(g["depth"]).reshape(h, w)
+        normal = quantize_r11g11b10f(g["normal_enc"]).reshape(h, w, 3)
+        ao_term = compute_ao(depth, normal, consts, gtao, ni)
+        return g, ao_visibility_u8(ao_term, gtao)
+
+    def stage_gtao(scene, cam, lights, consts, lpm, jit, ni):
+        g, ao = _ao(scene, cam, lights, consts, jit, ni)
+        return jnp.sum(g["color"]) + jnp.sum(ao.astype(jnp.float32))
+
+    def stage_tonemap(scene, cam, lights, consts, lpm, jit, ni):
+        g, ao = _ao(scene, cam, lights, consts, jit, ni)
+        color = quantize_r11g11b10f(g["color"]).reshape(h, w, 3)
+        image = pack_unorm8(tonemap_frame(color, ao, lpm))
+        return jnp.sum(image.astype(jnp.float32))
+
+    stages = [("trace", stage_trace), ("shade", stage_shade)]
+    if c.enable_gtao:
+        stages.append(("gtao", stage_gtao))
+    if c.enable_tonemap:
+        stages.append(("tonemap", stage_tonemap))
+
+    cum = {}
+    for name, fn in stages:
+        @jax.jit
+        def run(scene, cam, lights, consts, lpm, fn=fn):
+            def body(acc, xs):
+                jit, ni = xs
+                return acc + fn(scene, cam, lights, consts, lpm, jit,
+                                ni), None
+
+            import jax.numpy as jnp
+            acc, _ = jax.lax.scan(
+                body, jnp.float32(0),
+                (jits, jnp.arange(reps, dtype=jnp.int32) % 64))
+            return acc
+
+        args = (scene, cam, lights, consts, lpm)
+        float(run(*args))  # compile + settle
+        start = time.perf_counter()
+        float(run(*args))
+        cum[name] = (time.perf_counter() - start) * 1000 / reps
+
+    stats = FrameStats()
+    prev = 0.0
+    for name, _ in stages:
+        stats.ms_per_pass[name] = cum[name] - prev
+        prev = cum[name]
+    n_lights = int(lights["pos"].shape[0])
+    stats.rays_traced = w * h * (1 + n_lights)
+    return stats
