@@ -287,11 +287,63 @@ def materials_main():
     print(json.dumps(report))
 
 
+def scale_main():
+    """--scale: Sponza-scale triangle count (307k) at 800x800 ULTRA with
+    honest device-scan timing; writes BENCH_SCALE.json."""
+    import jax
+
+    from tpurt.engine import Renderer, RendererConfig
+    from tpurt.passes.gtao import GtaoSettings
+    from tpurt.scene.lights import DirectionalLight, SpotLight
+    from tpurt.scene.procedural import box_field, ground_plane
+
+    cfg = RendererConfig(width=WIDTH, height=HEIGHT,
+                         gtao=GtaoSettings(9, 3, denoise=1))
+    r = Renderer(cfg)
+    r.models.append(box_field(nx=16, nz=16, subdiv=10, spacing=1.0))
+    r.models.append(ground_plane())
+    r.camera_mut().set_pos([0.0, -3.5, -11.0])
+    d = np.array([0.0, 0.3, 1.0])
+    r.camera_mut().set_dir(d / np.linalg.norm(d))
+    r.lights_mut().directional_lights.append(DirectionalLight(
+        dir=np.array([0.35, 0.85, 0.4]) / np.linalg.norm([0.35, 0.85, 0.4]),
+        color=[1.4, 1.3, 1.1], casts_shadows=True))
+    r.lights_mut().spot_lights.append(SpotLight(
+        pos=[0.0, -5.0, 0.0], dir=[0.0, 1.0, 0.0],
+        color=np.array([1.36, 0.16, 2.22]) * 10.0, falloff_distance=14.0,
+        penumbra_umbra_angles=(np.radians(30), np.radians(45)),
+        casts_shadows=True))
+    r.prepare_first_frame()
+    rays = WIDTH * HEIGHT * (1 + 2)
+    for i in range(WARMUP):
+        out = r.render(block=True)
+        _log(f"scale: warmup {i + 1}/{WARMUP}")
+    checksum, _ = _device_sanity(out["image"])
+    assert checksum > 0
+    burst_ms = _measure_burst(r, frames=8)
+    _log(f"scale: device-side frame cost {burst_ms:.3f} ms")
+    report = dict(
+        metric="Mrays/s, Sponza-scale triangle count, 800x800 ULTRA",
+        value=round(rays / burst_ms / 1e3, 2), unit="Mrays/s",
+        ms_per_frame=round(burst_ms, 3),
+        tris=int(r.scene.geom["v0"].shape[0]),
+        tracer_tier=r._pallas_tables(),
+        device=str(jax.devices()[0]),
+        timing="device-side lax.scan of 8 frames, checksum readback")
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_SCALE.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+
+
 def main():
     import jax
 
     if "--profile" in sys.argv:
         profile_main()
+        return
+    if "--scale" in sys.argv:
+        scale_main()
         return
     if "--materials" in sys.argv:
         materials_main()

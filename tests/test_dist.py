@@ -118,3 +118,15 @@ def test_sharded_geometry_ring_matches_replicated():
     for key in ("image", "color", "depth", "normal", "ao"):
         np.testing.assert_array_equal(np.asarray(single[key]),
                                       np.asarray(out[key]), err_msg=key)
+
+
+def test_sharded_bvh8_tier_matches_single():
+    """The production BVH8 tier through the sharded path (interpret mode,
+    8 virtual devices): bit-exact vs the single-device BVH8 frame."""
+    r = make_renderer()
+    r.config.tracer = "bvh8"
+    single = np.asarray(r.render()["image"])
+
+    r2 = make_renderer()
+    out = _sharded_out(r2, make_mesh(8), pallas_tables="bvh8")
+    np.testing.assert_array_equal(single, np.asarray(out["image"]))
