@@ -108,10 +108,12 @@ def main(argv=None):
                  if args.checkpoint else None)
         if state is None:
             state = init_accumulation(args.height, args.width)
+        tables = renderer._pallas_tables()
         while state.num_samples < args.spp:
             batch = min(args.checkpoint_every, args.spp - state.num_samples)
             state = accumulate_samples(state, scene, cam, lights, batch,
-                                       width=args.width, height=args.height)
+                                       width=args.width, height=args.height,
+                                       pallas_tables=tables)
             if args.checkpoint:
                 save_checkpoint(args.checkpoint, state)
             print(f"accumulated {state.num_samples}/{args.spp} spp")
