@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..bvh.wide import LEAF8_MAX
 from .traverse_pallas import (PACKET_LANES, STACK_DEPTH, _Rays,
                               _from_packets, _rays_to_packets,
                               _resolve_interpret, pack_tris_hbm)
@@ -54,7 +55,7 @@ def _kernel_bvh8(nodes_ref, tris_ref,
                  ox, oy, oz, dx, dy, dz, tmn, tmx,
                  t_out, tri_out, u_out, v_out,
                  stack, node_buf, tri_buf, sems,
-                 *, max_leaf: int, any_hit: bool):
+                 *, max_leaf: int, any_hit: bool, push_order: str = "sort"):
     rays = _Rays(ox, oy, oz, dx, dy, dz, tmn, tmx)
     t_min = rays.t_min
     t_max0 = rays.t_max0
@@ -147,6 +148,31 @@ def _kernel_bvh8(nodes_ref, tris_ref,
                            jnp.minimum(sp + 1, STACK_DEPTH), sp)
         return sp
 
+    def push_nearlast(sp, keys, codes):
+        """Cheap partial ordering: push in slot order but hold back the
+        NEAREST valid child (max key) for the final push so it pops
+        first — 7 comparators instead of the 19-comparator full sort;
+        the shrinking t bound still culls most far children."""
+        keys = list(keys)
+        codes = list(codes)
+        bk = keys[0]
+        bc = codes[0]
+        for k in range(1, 8):
+            better = keys[k] > bk
+            bk = jnp.where(better, keys[k], bk)
+            bc = jnp.where(better, codes[k], bc)
+        taken = jnp.int32(0)  # skip ONE slot equal to the best
+        for k in range(8):
+            is_best = (keys[k] == bk) & (codes[k] == bc) & (taken == 0)
+            taken = jnp.where(is_best, 1, taken)
+            valid = (keys[k] > jnp.float32(_NEG / 2)) & ~is_best
+            stack[jnp.minimum(sp, STACK_DEPTH - 1)] = codes[k]
+            sp = jnp.where(valid, jnp.minimum(sp + 1, STACK_DEPTH), sp)
+        stack[jnp.minimum(sp, STACK_DEPTH - 1)] = bc
+        sp = jnp.where(bk > jnp.float32(_NEG / 2),
+                       jnp.minimum(sp + 1, STACK_DEPTH), sp)
+        return sp
+
     def push_unsorted(sp, keys, codes):
         """Any-hit: order does not matter; invalid slots write at the
         current top without advancing and are overwritten by later valid
@@ -222,7 +248,9 @@ def _kernel_bvh8(nodes_ref, tris_ref,
             wait_tri_fetch()
 
             keys_codes = jax.lax.cond(is_node, node_children, no_children, t)
-            sp = push_sorted(sp, keys_codes[:8], keys_codes[8:])
+            push = {"sort": push_sorted, "nearlast": push_nearlast,
+                    "none": push_unsorted}[push_order]
+            sp = push(sp, keys_codes[:8], keys_codes[8:])
             nxt = stack[jnp.maximum(sp - 1, 0)]
             start_node_fetch(nxt)
 
@@ -259,7 +287,7 @@ def _kernel_bvh8(nodes_ref, tris_ref,
 
 
 def _trace_packets_bvh8(nodes8, tris128, rays, max_leaf: int, any_hit: bool,
-                        interpret: bool):
+                        interpret: bool, push_order: str = "sort"):
     n_sub = rays["ox"].shape[0]
     grid = (n_sub // 8,)
 
@@ -284,7 +312,8 @@ def _trace_packets_bvh8(nodes8, tris128, rays, max_leaf: int, any_hit: bool,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = partial(_kernel_bvh8, max_leaf=max_leaf, any_hit=any_hit)
+    kernel = partial(_kernel_bvh8, max_leaf=max_leaf, any_hit=any_hit,
+                     push_order=push_order)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -298,10 +327,12 @@ def _trace_packets_bvh8(nodes8, tris128, rays, max_leaf: int, any_hit: bool,
 
 
 @partial(jax.jit, static_argnames=("height", "width", "max_leaf",
-                                   "interpret"))
+                                   "interpret", "push_order"))
 def trace_closest_bvh8(bvh: dict, geom: dict, origin, direction,
                        t_min, t_max, *, height: int, width: int,
-                       max_leaf: int = 4, interpret: bool | None = None):
+                       max_leaf: int = LEAF8_MAX,
+                       interpret: bool | None = None,
+                       push_order: str = "sort"):
     """Closest-hit BVH8 packet trace. bvh must carry 'nodes8'
     (bvh/wide.collapse8). Contract matches trace_closest."""
     interpret = _resolve_interpret(interpret)
@@ -309,7 +340,8 @@ def trace_closest_bvh8(bvh: dict, geom: dict, origin, direction,
     rays = _rays_to_packets(origin, direction, t_min, t_max, height, width)
     t, tri, u, v = _trace_packets_bvh8(bvh["nodes8"], tris128, rays,
                                        max_leaf, any_hit=False,
-                                       interpret=interpret)
+                                       interpret=interpret,
+                                       push_order=push_order)
     g = partial(_from_packets, height=height, width=width)
     return dict(t=g(t), tri=g(tri), u=g(u), v=g(v))
 
@@ -318,7 +350,8 @@ def trace_closest_bvh8(bvh: dict, geom: dict, origin, direction,
                                    "interpret"))
 def trace_any_bvh8(bvh: dict, geom: dict, origin, direction,
                    t_min, t_max, *, height: int, width: int,
-                   max_leaf: int = 4, interpret: bool | None = None):
+                   max_leaf: int = LEAF8_MAX,
+                   interpret: bool | None = None):
     """Any-hit BVH8 packet trace; returns boolean occlusion mask (H*W,)."""
     interpret = _resolve_interpret(interpret)
     tris128 = pack_tris_hbm(geom)
