@@ -125,3 +125,37 @@ def test_renderer_render_dynamic_api():
         r2.render_dynamic(rest, refit=False)["image"]).astype(int)
     assert (np.abs(out_refit - static) <= 1).mean() > 0.995
     assert (np.abs(out_rebuild - static) <= 1).mean() > 0.99
+
+
+def test_refit_random_transforms_match_rebuild():
+    """Refit vs full rebuild under random affine instance transforms
+    (rotation + nonuniform-ish scale + translation): same hits."""
+    from tpurt.engine.dynamic import (make_refit_data, render_frame_dynamic,
+                                      render_frame_dynamic_refit)
+
+    r = make_renderer()
+    cam, lights, consts, lpm = _args(r)
+    obj = r.scene.as_object_pytree()
+    refit_data = make_refit_data(r.scene)
+    rng = np.random.default_rng(11)
+    base = np.asarray(r.scene.transforms)
+
+    for trial in range(2):
+        t = base.copy()
+        ang = rng.uniform(-1.2, 1.2)
+        c, s = np.cos(ang), np.sin(ang)
+        m = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        scale = rng.uniform(0.6, 1.5)
+        t[:, :, :3] = np.einsum("ij,njk->nik", m * scale, t[:, :, :3])
+        t[:, :, 3] += rng.uniform(-0.5, 0.5, size=t[:, :, 3].shape)
+
+        rebuilt = render_frame_dynamic(
+            obj, jnp.asarray(t), cam, lights, consts, lpm, np.int32(0),
+            width=SIZE, height=SIZE, gtao_settings=r.config.gtao)
+        refit = render_frame_dynamic_refit(
+            obj, refit_data, jnp.asarray(t), cam, lights, consts, lpm,
+            np.int32(0), width=SIZE, height=SIZE,
+            gtao_settings=r.config.gtao)
+        d_depth = np.abs(np.asarray(refit["depth"])
+                         - np.asarray(rebuilt["depth"]))
+        assert (d_depth < 1e-3).mean() > 0.999, f"trial {trial}"
