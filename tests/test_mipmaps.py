@@ -248,3 +248,24 @@ def test_quad_mip_atlas_matches_per_layer():
                                jnp.asarray(msizes), prim, layer, uv, lod)
         np.testing.assert_array_equal(
             np.asarray(packed[:, layer * 4:layer * 4 + 4]), np.asarray(ref))
+
+
+def test_aniso_degenerate_triangle_falls_back_isotropic():
+    """Near-parallel triangle edges (degenerate UV Gram system) must not
+    explode the major axis — duv falls back to 0 (isotropic tap)."""
+    from tpurt.passes.shade import ray_cone_aniso
+
+    p0 = jnp.asarray([[0.0, 0.0, 0.0]])
+    p1 = jnp.asarray([[1.0, 0.0, 0.0]])
+    p2 = jnp.asarray([[2.0, 0.0, 1e-9]])     # almost collinear
+    uv0 = jnp.asarray([[0.0, 0.0]])
+    uv1 = jnp.asarray([[1.0, 0.0]])
+    uv2 = jnp.asarray([[0.0, 1.0]])
+    N = jnp.asarray([[0.0, -1.0, 0.0]])
+    s2 = 1.0 / np.sqrt(2.0)
+    direction = jnp.asarray([[s2, s2, 0.0]])
+    lod, duv = ray_cone_aniso(jnp.asarray([2.0]), direction, N, p0, p1, p2,
+                              uv0, uv1, uv2, jnp.asarray([256.0]),
+                              jnp.asarray([256.0]), 0.002)
+    assert np.isfinite(np.asarray(lod)).all()
+    assert np.linalg.norm(np.asarray(duv)) < 1e-6

@@ -259,11 +259,17 @@ def ray_cone_aniso(t, direction, N, p0, p1, p2, uv0, uv1, uv2, tex_w, tex_h,
     g22 = jnp.sum(e2 * e2, axis=-1)
     r1 = jnp.sum(pdir * e1, axis=-1)
     r2 = jnp.sum(pdir * e2, axis=-1)
-    det = jnp.maximum(g11 * g22 - g12 * g12, 1e-20)
-    a = (r1 * g22 - r2 * g12) / det
-    b = (g11 * r2 - g12 * r1) / det
+    det = g11 * g22 - g12 * g12
+    # degenerate triangles (near-parallel edges) make the Gram solve blow
+    # up — fall back to an isotropic tap (duv = 0) instead of sampling
+    # across the whole texture. Relative test: det/(g11*g22) = sin^2(angle)
+    ok = (det > 1e-8 * g11 * g22)[:, None]
+    inv_det = 1.0 / jnp.maximum(det, 1e-30)
+    a = (r1 * g22 - r2 * g12) * inv_det
+    b = (g11 * r2 - g12 * r1) * inv_det
     duv_per_world = a[:, None] * duv1 + b[:, None] * duv2
-    return lod_minor, duv_per_world * major_len[:, None]
+    duv_major = jnp.where(ok, duv_per_world * major_len[:, None], 0.0)
+    return lod_minor, duv_major
 
 
 def sample_anisotropic(atlas, offsets, sizes, prim, layer: int, uv,
