@@ -201,25 +201,23 @@ def _measure(renderer, rays_per_frame):
 
 
 def profile_main():
-    """--profile: per-pass ms breakdown (trace / shade+shadows / GTAO /
-    tonemap, sync-point timing) + fused end-to-end, at 800x800 and 1080p.
+    """--profile: honest per-pass ms breakdown (trace / shade+shadows /
+    GTAO / tonemap) + fused end-to-end, at 800x800 and 1080p, via the
+    cumulative-prefix device-scan (engine.profiler.device_profile —
+    sync-point timing only measures dispatch on the tunneled backend).
     Writes PROFILE.json (VERDICT round-1 item 5)."""
     import jax
+
+    from tpurt.engine.profiler import device_profile
 
     report = {}
     for w, h in [(WIDTH, HEIGHT), (1920, 1080)]:
         _log(f"profile: building {w}x{h} scene...")
         r = build_scene(w, h)
-        for i in range(2):
-            r.render(block=True)  # compile + settle
-        t0 = time.perf_counter()
-        for _ in range(8):
-            r.render(block=True)
-        fused_ms = (time.perf_counter() - t0) * 1000.0 / 8
+        r.render(block=True)  # compile + settle
+        fused_ms = _measure_burst(r, frames=8)
 
-        from tpurt.engine.profiler import profile_frame
-
-        stats = profile_frame(r, repeats=5)
+        stats = device_profile(r, reps=8)
         _log(f"profile {w}x{h}: {stats.pretty()} | fused {fused_ms:.3f} ms")
         report[f"{w}x{h}"] = dict(
             per_pass_ms={k: round(v, 4) for k, v in stats.ms_per_pass.items()},
@@ -227,8 +225,8 @@ def profile_main():
             fused_frame_ms=round(fused_ms, 4),
             tracer_tier=r.stats()["tracer_tier"],
             tris=r.stats()["tris"],
-            note="per-pass numbers include a device sync each; the fused "
-                 "frame is the real cost",
+            note="device-scan timing (cumulative prefixes); the fused "
+                 "frame is one whole-frame program",
         )
     report["device"] = str(jax.devices()[0])
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
