@@ -263,40 +263,56 @@ def _kernel(consts_ref,                                   # scalar prefetch
 
     mip_off = c("depth_mip_sampling_offset")
 
-    def sample_depth(sx, sy, mip):
-        """_sample_mip_point: per-lane mip select across the 5 windows.
-        Each window's gather is predicated on any lane actually using that
-        level (typical tiles touch 1-2 levels per step) — lax.cond skips
-        the matmuls for the rest at run time."""
-        sz = jnp.zeros_like(sx)
-        ux = jnp.clip(sx, 0.0, 1.0)
-        uy = jnp.clip(sy, 0.0, 1.0)
+    def sample_depth2(sx_a, sy_a, sx_b, sy_b, mip):
+        """_sample_mip_point for BOTH horizon samples of one step at once:
+        the mip selector depends only on the step's offset length, so the
+        two fetches share it exactly — one lax.cond per level per STEP
+        (instead of two) and one hi/lo window split per taken branch.
+        Per-level predication skips the matmuls for untouched levels
+        (typical tiles touch 1-2 levels per step)."""
+        sz_a = jnp.zeros_like(sx_a)
+        sz_b = jnp.zeros_like(sx_b)
+        ux_a = jnp.clip(sx_a, 0.0, 1.0)
+        uy_a = jnp.clip(sy_a, 0.0, 1.0)
+        ux_b = jnp.clip(sx_b, 0.0, 1.0)
+        uy_b = jnp.clip(sy_b, 0.0, 1.0)
         for m in range(5):
             hm, wm = mip_shapes[m]
             wy, wx, _ = plan[m]
             y0, x0 = win_offs[m]
-            tex_x = jnp.clip((ux * float(wm)).astype(jnp.int32), 0, wm - 1)
-            tex_y = jnp.clip((uy * float(hm)).astype(jnp.int32), 0, hm - 1)
-            relx = jnp.clip(tex_x - x0, 0, wx - 1)
-            rely = jnp.clip(tex_y - y0, 0, wy - 1)
+
+            def rel(ux, uy, y0=y0, x0=x0, hm=hm, wm=wm, wy=wy, wx=wx):
+                tex_x = jnp.clip((ux * float(wm)).astype(jnp.int32),
+                                 0, wm - 1)
+                tex_y = jnp.clip((uy * float(hm)).astype(jnp.int32),
+                                 0, hm - 1)
+                return (jnp.clip(tex_y - y0, 0, wy - 1),
+                        jnp.clip(tex_x - x0, 0, wx - 1))
+
+            rely_a, relx_a = rel(ux_a, uy_a)
+            rely_b, relx_b = rel(ux_b, uy_b)
             win_ref = wins[m]
             use = mip == m
 
-            def fetch(sz, win_ref=win_ref, relx=relx,
-                      rely=rely, wy=wy, wx=wx, use=use):
+            def fetch(carry, win_ref=win_ref, relx_a=relx_a, rely_a=rely_a,
+                      relx_b=relx_b, rely_b=rely_b, wy=wy, wx=wx, use=use):
                 # splits/casts happen in-kernel: bf16 *operands* mis-lower
                 # under Mosaic (measured: ~12-20% of pixels wrong at any
                 # size while the interpreter was exact) — f32 windows +
                 # a cast (half) or 3-op split (exact) per fetch are safe
+                sz_a, sz_b = carry
                 if precision == "half":
                     parts = (win_ref[0].astype(jnp.bfloat16),)
                 else:
                     parts = _split_hi_lo(win_ref[0])
-                val = _gather_window(parts, rely, relx, wy, wx)
-                return jnp.where(use, val, sz)
+                val_a = _gather_window(parts, rely_a, relx_a, wy, wx)
+                val_b = _gather_window(parts, rely_b, relx_b, wy, wx)
+                return (jnp.where(use, val_a, sz_a),
+                        jnp.where(use, val_b, sz_b))
 
-            sz = jax.lax.cond(jnp.any(use), fetch, lambda s: s, sz)
-        return sz
+            sz_a, sz_b = jax.lax.cond(jnp.any(use), fetch, lambda s: s,
+                                      (sz_a, sz_b))
+        return sz_a, sz_b
 
     def slice_body(slice_i, visibility):
         sf = slice_i.astype(jnp.float32)
@@ -360,8 +376,10 @@ def _kernel(consts_ref,                                   # scalar prefetch
             so_x = jnp.round(so_x0) * pix_x
             so_y = jnp.round(so_y0) * pix_y
 
-            def horizon(sx, sy, low, h):
-                sz = sample_depth(sx, sy, mip)
+            sz0, sz1 = sample_depth2(sp_x + so_x, sp_y + so_y,
+                                     sp_x - so_x, sp_y - so_y, mip)
+
+            def horizon(sx, sy, sz, low, h):
                 qx, qy, qz = view_pos(sx, sy, sz)
                 dx_ = qx - px
                 dy_ = qy - py
@@ -377,8 +395,8 @@ def _kernel(consts_ref,                                   # scalar prefetch
                 shc = low + (shc - low) * weight
                 return jnp.maximum(h, shc)
 
-            h0 = horizon(sp_x + so_x, sp_y + so_y, low0, h0)
-            h1 = horizon(sp_x - so_x, sp_y - so_y, low1, h1)
+            h0 = horizon(sp_x + so_x, sp_y + so_y, sz0, low0, h0)
+            h1 = horizon(sp_x - so_x, sp_y - so_y, sz1, low1, h1)
             return h0, h1
 
         h0, h1 = jax.lax.fori_loop(0, steps_per_slice, step_body,
