@@ -399,8 +399,12 @@ def _kernel(consts_ref,                                   # scalar prefetch
             h1 = horizon(sp_x - so_x, sp_y - so_y, sz1, low1, h1)
             return h0, h1
 
-        h0, h1 = jax.lax.fori_loop(0, steps_per_slice, step_body,
-                                   (low0, low1))
+        # steps unroll (static count, typically 3): no loop-carry overhead
+        # and Mosaic can overlap consecutive steps' matmuls
+        carry = (low0, low1)
+        for step in range(steps_per_slice):
+            carry = step_body(jnp.int32(step), carry)
+        h0, h1 = carry
 
         pnl = projected_normal_len + (1.0 - projected_normal_len) * 0.05
         hh0 = -_fast_acos(jnp.clip(h1, -1.0, 1.0))
