@@ -102,7 +102,12 @@ def _measure_burst(renderer, frames: int = 16):
     (lax.scan over the GTAO noise index, reduced to a checksum so nothing
     big crosses the tunnel). Separates true device throughput from the
     per-dispatch RPC floor — the analogue of the reference's 3
-    frames-in-flight keeping the GPU fed (renderer.rs:300-318)."""
+    frames-in-flight keeping the GPU fed (renderer.rs:300-318).
+
+    NOTE: the wall time of ONE burst includes the ~30 ms tunnel RPC floor,
+    i.e. a bias of floor/frames ms per frame (round-3 discovery: every
+    round-2 artifact taken at frames=8 was ~3.6 ms/frame inflated). Use
+    _frame_cost_paired for floor-free numbers."""
     import jax
     import jax.numpy as jnp
 
@@ -140,6 +145,17 @@ def _measure_burst(renderer, frames: int = 16):
     el = time.perf_counter() - t0
     assert chk > 0
     return el * 1000.0 / frames
+
+
+def _frame_cost_paired(renderer, lo: int = 8, hi: int = 32):
+    """Floor-free per-frame device cost: (t_burst(hi) - t_burst(lo)) /
+    (hi - lo). The two bursts carry the SAME per-invocation overhead (RPC
+    round-trip, dispatch, readback), so the difference isolates pure
+    device time per frame. Both programs must be compiled (call
+    _measure_burst once for each count first)."""
+    t_lo = _measure_burst(renderer, frames=lo) * lo
+    t_hi = _measure_burst(renderer, frames=hi) * hi
+    return (t_hi - t_lo) / (hi - lo)
 
 
 def _measure_primary_trace(renderer, frames: int = 8):
@@ -215,7 +231,10 @@ def profile_main():
         _log(f"profile: building {w}x{h} scene...")
         r = build_scene(w, h)
         r.render(block=True)  # compile + settle
-        fused_ms = _measure_burst(r, frames=8)
+        _measure_burst(r, frames=8)   # compile
+        _measure_burst(r, frames=24)
+        fused_ms = (_measure_burst(r, frames=24) * 24
+                    - _measure_burst(r, frames=8) * 8) / 16
 
         stats = device_profile(r, reps=8)
         _log(f"profile {w}x{h}: {stats.pretty()} | fused {fused_ms:.3f} ms")
@@ -268,9 +287,11 @@ def materials_main():
         _log(f"materials: warmup {i + 1}/{WARMUP}")
     checksum, _ = _device_sanity(out["image"])
     assert checksum > 0
-    # device-scan timing (blocked per-frame loops only measure dispatch on
-    # the tunneled backend — see the headline bench)
-    burst_ms = _measure_burst(r, frames=8)
+    # paired device-scan timing (RPC floor cancelled; blocked per-frame
+    # loops only measure dispatch on the tunneled backend)
+    _measure_burst(r, frames=8)
+    _measure_burst(r, frames=24)
+    burst_ms = _frame_cost_paired(r, lo=8, hi=24)
     _log(f"materials: device-side frame cost {burst_ms:.3f} ms")
     report = dict(
         metric="Mrays/s, 36 distinct materials + mip-chain trilinear, "
@@ -320,7 +341,9 @@ def scale_main():
         _log(f"scale: warmup {i + 1}/{WARMUP}")
     checksum, _ = _device_sanity(out["image"])
     assert checksum > 0
-    burst_ms = _measure_burst(r, frames=8)
+    _measure_burst(r, frames=8)
+    _measure_burst(r, frames=24)
+    burst_ms = _frame_cost_paired(r, lo=8, hi=24)
     _log(f"scale: device-side frame cost {burst_ms:.3f} ms")
     report = dict(
         metric="Mrays/s, Sponza-scale triangle count, 800x800 ULTRA",
@@ -349,6 +372,20 @@ def main():
         materials_main()
         return
 
+    from tpurt.utils.health import guarded_measure, is_healthy, probe_ms
+
+    # Gate 0: don't even compile through a degraded tunnel — a slow remote
+    # compile wedges everything behind it. Wait up to 5 min for health.
+    p = probe_ms()
+    waited = 0.0
+    while not is_healthy(p) and waited < 300.0:
+        _log(f"bench: tunnel degraded before start (probe {p:.0f} ms); "
+             f"waiting 30s...")
+        time.sleep(30.0)
+        waited += 30.0
+        p = probe_ms()
+    _log(f"bench: initial probe {p:.1f} ms (healthy={is_healthy(p)})")
+
     _log("bench: building scene...")
     renderer = build_scene()
     _log("bench: scene ready, warming up (first frame compiles)...")
@@ -358,23 +395,12 @@ def main():
     # one retry on backend abort: the tunnel occasionally kills a long RPC;
     # the compiled program survives in the cache so attempt 2 is cheap
     attempts = 2
-    elapsed = burst_ms = trace_ms = None
+    elapsed = None
     for attempt in range(attempts):
         try:
             elapsed = _measure(renderer, rays_per_frame)
-            # HEADLINE measurement: device-side scan of whole frames.
-            # block_until_ready does NOT synchronize on the tunneled axon
-            # backend (measured: a "blocked" loop reported 1.6 ms/frame
-            # while draining the queue took 11.5 s/frame), so host-timed
-            # loops measure DISPATCH rate, not compute. The lax.scan of
-            # FRAMES full frames inside one program, timed to a device
-            # checksum readback, is the honest per-frame cost.
-            burst_ms = _measure_burst(renderer, frames=8)
-            _log(f"bench: device-side frame cost {burst_ms:.3f} ms "
-                 f"({rays_per_frame / burst_ms / 1e3:.0f} Mrays/s)")
-            trace_ms = _measure_primary_trace(renderer, frames=8)
-            _log(f"bench: primary trace alone {trace_ms:.3f} ms "
-                 f"({WIDTH * HEIGHT / trace_ms / 1e3:.0f} Mrays/s)")
+            # compile the burst program once (untimed) before the gated runs
+            _measure_burst(renderer, frames=8)
             break
         except Exception as e:  # noqa: BLE001 — backend aborts surface as
             # JaxRuntimeError/RuntimeError; anything else fails on retry too
@@ -384,6 +410,35 @@ def main():
                  f"waiting 30s for the tunnel to settle, then retrying...")
             time.sleep(30)
 
+    # HEADLINE measurement: device-side scan of whole frames.
+    # block_until_ready does NOT synchronize on the tunneled axon backend
+    # (measured: a "blocked" loop reported 1.6 ms/frame while draining the
+    # queue took 11.5 s/frame), so host-timed loops measure DISPATCH rate.
+    # Paired bursts (32-frame minus 8-frame scan, checksum readback)
+    # cancel the ~30 ms per-invocation RPC floor exactly; min-of-3 with
+    # health probes before/after each sample (round-2's artifact of record
+    # was 21x wrong from one unguarded degraded sample, and its
+    # single-burst microbenches were +floor/8 ≈ 3.6 ms/frame inflated).
+    _measure_burst(renderer, frames=32)  # compile the long burst
+    head = guarded_measure(lambda: _frame_cost_paired(renderer),
+                           samples=3, budget_s=600.0, log=_log)
+    burst_ms = head.value
+    _log(f"bench: device-side frame cost {burst_ms:.3f} ms "
+         f"({rays_per_frame / burst_ms / 1e3:.0f} Mrays/s)"
+         + (" [DEGRADED]" if head.degraded else ""))
+
+    def trace_paired():
+        t8 = _measure_primary_trace(renderer, frames=8) * 8
+        t24 = _measure_primary_trace(renderer, frames=24) * 24
+        return (t24 - t8) / 16
+
+    _measure_primary_trace(renderer, frames=24)  # compile
+    tr = guarded_measure(trace_paired, samples=2, budget_s=180.0, log=_log)
+    trace_ms = tr.value
+    if trace_ms:
+        _log(f"bench: primary trace alone {trace_ms:.3f} ms "
+             f"({WIDTH * HEIGHT / trace_ms / 1e3:.0f} Mrays/s)")
+
     dispatch_ms = elapsed * 1000.0 / FRAMES
     mrays = rays_per_frame / burst_ms / 1e3
 
@@ -391,33 +446,42 @@ def main():
         ms_per_frame=round(burst_ms, 3),
         fps=round(1000.0 / burst_ms, 2),
         dispatch_ms_per_frame=round(dispatch_ms, 3),
-        primary_trace_ms=round(trace_ms, 3),
-        primary_trace_mrays_per_s=round(WIDTH * HEIGHT / trace_ms / 1e3, 1),
         resolution=f"{WIDTH}x{HEIGHT}",
         rays_per_frame=rays_per_frame,
         lights=n_lights,
         tris=int(renderer.scene.geom["v0"].shape[0]),
         device=str(jax.devices()[0]),
         pipeline="primary+shadow, GTAO ULTRA 9x3 + sharp denoise, LPM tonemap",
-        timing="device-side lax.scan of 8 frames (host-timed 'blocked' "
-               "loops only measure dispatch on this backend)",
+        timing="min-of-3 paired device-scan bursts (32-8 frames, RPC "
+               "floor cancelled), each gated by before/after tunnel-health "
+               "probes (host-timed 'blocked' loops only measure dispatch "
+               "on this backend)",
+        health=head.asdict(),
     )
+    if trace_ms:
+        meta["primary_trace_ms"] = round(trace_ms, 3)
+        meta["primary_trace_mrays_per_s"] = round(
+            WIDTH * HEIGHT / trace_ms / 1e3, 1)
     # secondary: the BASELINE.json primary-metric shape (full pipeline at
     # 1080p). Guarded so a failure here cannot spoil the headline artifact,
     # and skipped when the headline already ran long (cold remote-compile
     # cache / slow tunnel) so the whole bench stays inside a driver budget.
     try:
-        if time.perf_counter() - _T_START > 480.0:
-            raise RuntimeError("headline took > 8 min; skipping 1080p "
+        if time.perf_counter() - _T_START > 900.0:
+            raise RuntimeError("headline took > 15 min; skipping 1080p "
                                "secondary to stay inside the time budget")
         _log("bench: 1080p secondary (full pipeline)...")
         r_hd = build_scene(1920, 1080)
         r_hd.render(block=True)  # compile + settle
-        hd_ms = _measure_burst(r_hd, frames=4)
-        meta["ms_per_frame_1080p"] = round(hd_ms, 3)
-        meta["mrays_per_s_1080p"] = round(
-            1920 * 1080 * (1 + n_lights) / hd_ms / 1e3, 2)
-        _log(f"bench: 1080p full pipeline {hd_ms:.3f} ms/frame")
+        _measure_burst(r_hd, frames=4)   # compile both burst programs
+        _measure_burst(r_hd, frames=12)
+        hd = guarded_measure(lambda: _frame_cost_paired(r_hd, lo=4, hi=12),
+                             samples=2, budget_s=240.0, log=_log)
+        if hd.value and not hd.degraded:
+            meta["ms_per_frame_1080p"] = round(hd.value, 3)
+            meta["mrays_per_s_1080p"] = round(
+                1920 * 1080 * (1 + n_lights) / hd.value / 1e3, 2)
+            _log(f"bench: 1080p full pipeline {hd.value:.3f} ms/frame")
     except Exception as e:  # noqa: BLE001
         _log(f"bench: 1080p secondary failed ({e!r}); headline unaffected")
     print(json.dumps(dict(

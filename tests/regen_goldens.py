@@ -20,7 +20,16 @@ def main():
     jax.config.update("jax_platforms", "cpu")
     import golden_scenes as gs
 
-    for name, fn in [("spotarea128", gs.render_spotarea),
+    def render_frame64():
+        from test_frame import make_renderer
+
+        out = make_renderer().render()
+        return dict(image=np.asarray(out["image"]),
+                    depth=np.asarray(out["depth"]),
+                    ao=np.asarray(out["ao"]))
+
+    for name, fn in [("frame64", render_frame64),
+                     ("spotarea128", gs.render_spotarea),
                      ("bent64", gs.render_bent),
                      ("dynamic64", gs.render_dynamic)]:
         out = fn()

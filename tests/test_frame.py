@@ -80,7 +80,8 @@ def test_ao_range(frame):
     ao = frame["ao"]
     c = SIZE // 2
     assert ao[c, c] > 150, "flat face should be mostly unoccluded"
-    assert ao.dtype == np.uint8
+    # u16: the final AO store is unclamped (0..~383, XeGTAO.hlsli:729-731)
+    assert ao.dtype == np.uint16
 
 
 def test_shadowing_darkens():

@@ -194,7 +194,7 @@ def render_frame_sharded_geometry(scene: dict, shards: dict, camera: dict,
                                 gtao_settings, noise_index, row0, band),
                 gtao_settings)
         else:
-            ao = jnp.full((band, width), 255, jnp.uint8)
+            ao = jnp.full((band, width), 255, jnp.uint16)
 
         if enable_tonemap:
             image = pack_unorm8(tonemap_frame(color, ao, lpm_derived))

@@ -50,19 +50,20 @@ def make_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
 
 @partial(jax.jit, static_argnames=("width", "height", "gtao_settings", "mesh",
                                    "axis", "enable_gtao", "enable_tonemap",
-                                   "pallas_tables", "spp"))
+                                   "pallas_tables", "spp", "aniso_taps"))
 def render_frame_sharded(scene: dict, camera: dict, lights: dict,
                          gtao_consts: dict, lpm_derived: dict, noise_index,
                          *, width: int, height: int,
                          gtao_settings: GtaoSettings, mesh: Mesh,
                          axis: str = "x", enable_gtao: bool = True,
                          enable_tonemap: bool = True,
-                         pallas_tables: str = "", spp: int = 1):
+                         pallas_tables: str = "", spp: int = 1,
+                         aniso_taps: int = 1):
     """Render one frame over a device mesh; height must be divisible by the
     mesh size. Supports the full RendererConfig surface (packet-tracer tier,
-    spp, gtao/tonemap toggles) and returns the same output dict as the
-    single-chip render_frame: image/color/depth/normal/ao (+bent_normals),
-    every array band-sharded over `axis`."""
+    spp, aniso_taps, gtao/tonemap toggles) and returns the same output dict
+    as the single-chip render_frame: image/color/depth/normal/ao
+    (+bent_normals), every array band-sharded over `axis`."""
     n = mesh.shape[axis]
     assert height % n == 0, f"height {height} not divisible by mesh size {n}"
     band = height // n
@@ -73,7 +74,8 @@ def render_frame_sharded(scene: dict, camera: dict, lights: dict,
 
         g = render_gbuffer(scene, camera, lights, width=width, height=height,
                            row_start=row0, num_rows=band,
-                           pallas_tables=pallas_tables, spp=spp)
+                           pallas_tables=pallas_tables, spp=spp,
+                           aniso_taps=aniso_taps)
 
         color = quantize_r11g11b10f(g["color"]).reshape(band, width, 3)
         depth = quantize_r16f(g["depth"]).reshape(band, width)
@@ -92,7 +94,7 @@ def render_frame_sharded(scene: dict, camera: dict, lights: dict,
             ao = ao_visibility_u8(ao_term, gtao_settings)
             bent = ao_bent_normals(ao_term, gtao_settings)
         else:
-            ao = jnp.full((band, width), 255, jnp.uint8)
+            ao = jnp.full((band, width), 255, jnp.uint16)
 
         if enable_tonemap:
             image = pack_unorm8(tonemap_frame(color, ao, lpm_derived))

@@ -54,6 +54,18 @@ def _tri_attr(tv, tri_prim, vtx_pos, vtx_uv, vtx_normal, vtx_tangent,
               tex_size[tri_prim].astype(jnp.float32)], axis=1)
 
 
+# transform-independent texture tables forwarded verbatim so the dynamic
+# modes keep the full mipmaps/trilinear/aniso feature matrix
+_MIP_KEYS = ("tex_atlas", "tex_mip_offsets", "tex_mip_sizes",
+             "tex_mip_quad", "tex_mip_quad_offsets")
+
+
+def _forward_mip_tables(scene: dict, obj_scene: dict):
+    for k in _MIP_KEYS:
+        if k in obj_scene:
+            scene[k] = obj_scene[k]
+
+
 def build_world_tables(obj_scene: dict, transforms):
     """Object-space tables + (I,3,4) transforms -> world tables + fresh BVH.
     Fully jittable (the per-frame 'TLAS rebuild')."""
@@ -92,19 +104,20 @@ def build_world_tables(obj_scene: dict, transforms):
             tv, obj_scene["tri_prim"], vtx_pos, obj_scene["vtx_uv"],
             vtx_normal, vtx_tangent, obj_scene["tex_size"])
         out["tex_quad48"] = obj_scene["tex_quad48"]
+    _forward_mip_tables(out, obj_scene)
     return out
 
 
 @partial(jax.jit, static_argnames=("width", "height", "gtao_settings",
                                    "enable_gtao", "enable_tonemap",
-                                   "use_pallas"))
+                                   "use_pallas", "aniso_taps"))
 def render_frame_dynamic(obj_scene: dict, transforms, camera: dict,
                          lights: dict, gtao_consts: dict, lpm_derived: dict,
                          noise_index, *, width: int, height: int,
                          gtao_settings: GtaoSettings = GtaoSettings(),
                          enable_gtao: bool = True,
                          enable_tonemap: bool = True,
-                         use_pallas: bool = False):
+                         use_pallas: bool = False, aniso_taps: int = 1):
     """One frame with animated instance transforms: BVH rebuilt in-jit
     (LBVH leaves hold 1 triangle). use_pallas routes rays through the HBM
     packet tracer — the freshly built (traced) tables are packed in-jit."""
@@ -122,7 +135,8 @@ def render_frame_dynamic(obj_scene: dict, transforms, camera: dict,
                              T_MIN, T_MAX, max_leaf=1)
     g = shade(scene, camera, lights, hits, origin, direction,
               pallas_tables="hbm" if use_pallas else "",
-              height=height, width=width, max_leaf=1)
+              height=height, width=width, max_leaf=1,
+              aniso_taps=aniso_taps)
 
     color = quantize_r11g11b10f(g["color"]).reshape(height, width, 3)
     depth = quantize_r16f(g["depth"]).reshape(height, width)
@@ -131,7 +145,7 @@ def render_frame_dynamic(obj_scene: dict, transforms, camera: dict,
     if enable_gtao:
         ao = compute_ao(depth, normal, gtao_consts, gtao_settings, noise_index)
     else:
-        ao = jnp.full((height, width), 255, jnp.uint8)
+        ao = jnp.full((height, width), 255, jnp.uint16)
 
     if enable_tonemap:
         image = pack_unorm8(tonemap_frame(color, ao, lpm_derived))
@@ -157,14 +171,16 @@ def make_refit_data(scene) -> dict:
 
 
 @partial(jax.jit, static_argnames=("width", "height", "gtao_settings",
-                                   "enable_gtao", "enable_tonemap"))
+                                   "enable_gtao", "enable_tonemap",
+                                   "aniso_taps"))
 def render_frame_dynamic_refit(obj_scene: dict, refit: dict, transforms,
                                camera: dict, lights: dict, gtao_consts: dict,
                                lpm_derived: dict, noise_index, *,
                                width: int, height: int,
                                gtao_settings: GtaoSettings = GtaoSettings(),
                                enable_gtao: bool = True,
-                               enable_tonemap: bool = True):
+                               enable_tonemap: bool = True,
+                               aniso_taps: int = 1):
     """Dynamic frame via in-jit BVH8 REFIT instead of a full rebuild: the
     rest-pose SAH/BVH8 topology is kept and every slot AABB is recomputed
     from the transformed triangles (bvh/wide.refit_bvh8) — the analogue of
@@ -210,6 +226,7 @@ def render_frame_dynamic_refit(obj_scene: dict, refit: dict, transforms,
             tv, obj_scene["tri_prim"], vtx_pos, obj_scene["vtx_uv"],
             vtx_normal, vtx_tangent, obj_scene["tex_size"])
         scene["tex_quad48"] = obj_scene["tex_quad48"]
+    _forward_mip_tables(scene, obj_scene)
 
     from ..kernels.traverse_pallas import trace_closest_packets
 
@@ -218,7 +235,8 @@ def render_frame_dynamic_refit(obj_scene: dict, refit: dict, transforms,
                                  direction, T_MIN, T_MAX, height=height,
                                  width=width, tables="bvh8")
     g = shade(scene, camera, lights, hits, origin, direction,
-              pallas_tables="bvh8", height=height, width=width)
+              pallas_tables="bvh8", height=height, width=width,
+              aniso_taps=aniso_taps)
 
     color = quantize_r11g11b10f(g["color"]).reshape(height, width, 3)
     depth = quantize_r16f(g["depth"]).reshape(height, width)
@@ -227,7 +245,7 @@ def render_frame_dynamic_refit(obj_scene: dict, refit: dict, transforms,
     if enable_gtao:
         ao = compute_ao(depth, normal, gtao_consts, gtao_settings, noise_index)
     else:
-        ao = jnp.full((height, width), 255, jnp.uint8)
+        ao = jnp.full((height, width), 255, jnp.uint16)
 
     if enable_tonemap:
         image = pack_unorm8(tonemap_frame(color, ao, lpm_derived))

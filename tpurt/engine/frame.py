@@ -67,7 +67,8 @@ def render_gbuffer(scene: dict, camera: dict, lights: dict, *, width: int,
                                  direction, T_MIN, T_MAX, max_leaf=MAX_LEAF)
         return shade(scene, camera, lights, hits, origin, direction,
                      pallas_tables=pallas_tables, height=band, width=width,
-                     max_leaf=MAX_LEAF, aniso_taps=aniso_taps)
+                     max_leaf=MAX_LEAF, aniso_taps=aniso_taps,
+                     image_rows=height)
 
     origin, direction = camera_rays(camera, width, height,
                                     row_start=row_start, num_rows=num_rows)
@@ -127,7 +128,7 @@ def render_frame(scene: dict, camera: dict, lights: dict, gtao_consts: dict,
         ao = ao_visibility_u8(ao_term, gtao_settings)
         bent = ao_bent_normals(ao_term, gtao_settings)
     else:
-        ao = jnp.full((height, width), 255, jnp.uint8)
+        ao = jnp.full((height, width), 255, jnp.uint16)
 
     if enable_tonemap:
         rgb = tonemap_frame(color, ao, lpm_derived)

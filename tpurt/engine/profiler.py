@@ -168,7 +168,7 @@ def profile_frame(renderer, repeats: int = 1) -> FrameStats:
     return timer.stats
 
 
-def device_profile(renderer, reps: int = 8) -> FrameStats:
+def device_profile(renderer, reps: int = 8, k: int = 3) -> FrameStats:
     """Honest per-pass frame attribution on async/tunneled backends.
 
     PassTimer's sync-point timing is unreliable where block_until_ready
@@ -176,7 +176,13 @@ def device_profile(renderer, reps: int = 8) -> FrameStats:
     pipeline as cumulative prefixes (trace; trace+shade; ...) each inside
     a device-side lax.scan of `reps` iterations ending in a scalar
     checksum readback, and reports per-pass cost as consecutive
-    differences. Compiles 4 programs on first use."""
+    differences. Compiles 4 programs on first use.
+
+    Each prefix is timed min-of-`k` (RPC jitter is one-sided: delays only
+    add time, so the minimum is the estimator) and the cumulative curve is
+    clamped monotonic before differencing — round 2's single-shot
+    subtraction reported negative per-pass times (-1.48 ms tonemap at
+    1080p) whenever multi-ms jitter landed on the shorter prefix."""
     import jax.numpy as jnp
 
     from ..kernels.traverse_pallas import trace_closest_packets
@@ -243,7 +249,15 @@ def device_profile(renderer, reps: int = 8) -> FrameStats:
         image = pack_unorm8(tonemap_frame(color, ao, lpm))
         return jnp.sum(image.astype(jnp.float32))
 
-    stages = [("trace", stage_trace), ("shade", stage_shade)]
+    def stage_null(scene, cam, lights, consts, lpm, jit, ni):
+        # measures the scan/RPC floor alone: the ~30 ms per-invocation
+        # tunnel round-trip otherwise inflates the FIRST stage's
+        # attribution by floor/reps ms (round-3 discovery — every
+        # round-2 single-burst probe carried this bias)
+        return jnp.sum(jit) + ni.astype(jnp.float32)
+
+    stages = [("null", stage_null),
+              ("trace", stage_trace), ("shade", stage_shade)]
     if c.enable_gtao:
         stages.append(("gtao", stage_gtao))
     if c.enable_tonemap:
@@ -266,15 +280,21 @@ def device_profile(renderer, reps: int = 8) -> FrameStats:
 
         args = (scene, cam, lights, consts, lpm)
         float(run(*args))  # compile + settle
-        start = time.perf_counter()
-        float(run(*args))
-        cum[name] = (time.perf_counter() - start) * 1000 / reps
+        best = float("inf")
+        for _ in range(max(1, k)):
+            start = time.perf_counter()
+            float(run(*args))
+            best = min(best, (time.perf_counter() - start) * 1000 / reps)
+        cum[name] = best
 
     stats = FrameStats()
-    prev = 0.0
-    for name, _ in stages:
-        stats.ms_per_pass[name] = cum[name] - prev
-        prev = cum[name]
+    prev = cum["null"]
+    for name, _ in stages[1:]:
+        # monotonic clamp: a longer prefix can never truly be cheaper than
+        # a shorter one; residual jitter is attributed as 0, not negative
+        cur = max(cum[name], prev)
+        stats.ms_per_pass[name] = cur - prev
+        prev = cur
     n_lights = int(lights["pos"].shape[0])
     stats.rays_traced = w * h * (1 + n_lights)
     return stats

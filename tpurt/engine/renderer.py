@@ -157,7 +157,8 @@ class Renderer:
                 width=c.width, height=c.height, gtao_settings=gtao,
                 mesh=c.mesh, enable_gtao=c.enable_gtao,
                 enable_tonemap=c.enable_tonemap,
-                pallas_tables=self._pallas_tables(), spp=c.spp)
+                pallas_tables=self._pallas_tables(), spp=c.spp,
+                aniso_taps=c.aniso_taps)
             self._frame_idx += 1
             self.rendered_frames += 1
             if block:
@@ -212,14 +213,16 @@ class Renderer:
                 lights, consts, self._lpm_derived,
                 np.int32(self._frame_idx % 64), width=c.width,
                 height=c.height, gtao_settings=gtao,
-                enable_gtao=c.enable_gtao, enable_tonemap=c.enable_tonemap)
+                enable_gtao=c.enable_gtao, enable_tonemap=c.enable_tonemap,
+                aniso_taps=c.aniso_taps)
         else:
             out = render_frame_dynamic(
                 self._obj_device, transforms, cam, lights, consts,
                 self._lpm_derived, np.int32(self._frame_idx % 64),
                 width=c.width, height=c.height, gtao_settings=gtao,
                 enable_gtao=c.enable_gtao, enable_tonemap=c.enable_tonemap,
-                use_pallas=bool(self._pallas_tables()))
+                use_pallas=bool(self._pallas_tables()),
+                aniso_taps=c.aniso_taps)
         self._frame_idx += 1
         self.rendered_frames += 1
         if block:
@@ -254,10 +257,27 @@ class Renderer:
             return replace(g, pallas_main=True, pallas_denoise=True)
         return g
 
+    # beyond this triangle count the XLA gather-tracer's rebuild-mode
+    # programs have been observed to FAULT the tunneled TPU worker
+    # (43k tris / 800x800, see CLAUDE.md) — refuse rather than crash
+    XLA_TRACER_MAX_TRIS = 20_000
+
     def _pallas_tables(self) -> str:
         """Pick the packet-tracer table tier: "smem" -> "bvh8" -> "" (XLA)."""
         c = self.config
         if c.tracer == "xla":
+            import jax
+
+            if (jax.default_backend() in ("tpu", "axon")
+                    and self._scene is not None
+                    and self._scene.geom["v0"].shape[0]
+                    > self.XLA_TRACER_MAX_TRIS):
+                raise ValueError(
+                    f"tracer='xla' with "
+                    f"{self._scene.geom['v0'].shape[0]} triangles: the XLA "
+                    f"fallback tracer faults the TPU worker beyond "
+                    f"~{self.XLA_TRACER_MAX_TRIS} tris. Use tracer='auto' "
+                    f"(packet tracer) for scenes this size.")
             return ""
         import jax
 

@@ -88,6 +88,36 @@ def _split_hi_lo(win):
     return hi, lo
 
 
+def _gather_window2(parts, rely_a, relx_a, rely_b, relx_b, wy: int, wx: int):
+    """Both horizon directions of one step fetched with ONE matmul per
+    sublane: the two 128-lane one-hot column selectors concatenate along
+    rhs lanes ((wx, 256) — 2 lane-tiles), halving matmul-op count vs two
+    _gather_window calls at identical total MACs. (The 8-way sublane
+    lane-concat was measured 15% WORSE in round 2 — (wx, 1024) rhs; the
+    2-way stays within normal operand shapes.)"""
+    stacked = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    dims = (((1,), (0,)), ((), ()))
+    rows_a, rows_b = [], []
+    for s in range(8):
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (wx, 128), 0)
+        onehot = jnp.concatenate(
+            [(iota_c == relx_a[s:s + 1]).astype(jnp.bfloat16),
+             (iota_c == relx_b[s:s + 1]).astype(jnp.bfloat16)], axis=1)
+        cs = jax.lax.dot_general(stacked, onehot, dims,
+                                 preferred_element_type=jnp.float32)
+        val = cs[:wy]
+        for k in range(1, len(parts)):
+            val = val + cs[k * wy:(k + 1) * wy]
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (wy, 128), 0)
+        mask = jnp.concatenate(
+            [(iota_r == rely_a[s:s + 1]).astype(jnp.float32),
+             (iota_r == rely_b[s:s + 1]).astype(jnp.float32)], axis=1)
+        row = jnp.sum(val * mask, axis=0, keepdims=True)
+        rows_a.append(row[:, :128])
+        rows_b.append(row[:, 128:])
+    return jnp.concatenate(rows_a, axis=0), jnp.concatenate(rows_b, axis=0)
+
+
 def _gather_window(parts, rely, relx, wy: int, wx: int):
     """Per-pixel fetch win[rely, relx] for an (8, 128) packet via one-hot
     MXU matmuls + mask-reduce per sublane row. `parts` is a tuple of bf16
@@ -172,7 +202,8 @@ def _kernel(consts_ref,                                   # scalar prefetch
             w0, w1, w2, w3, w4,                           # mip windows (f32)
             ao_out, edges_out,                            # outputs
             *, plan, mip_shapes, width, height, tiles_x,
-            slice_count: int, steps_per_slice: int, precision: str):
+            slice_count: int, steps_per_slice: int, precision: str,
+            fuse_dirs: bool = True):
     i = pl.program_id(0)
     ty = (i // tiles_x) * TILE
     tx = (i % tiles_x) * TILE
@@ -305,8 +336,12 @@ def _kernel(consts_ref,                                   # scalar prefetch
                     parts = (win_ref[0].astype(jnp.bfloat16),)
                 else:
                     parts = _split_hi_lo(win_ref[0])
-                val_a = _gather_window(parts, rely_a, relx_a, wy, wx)
-                val_b = _gather_window(parts, rely_b, relx_b, wy, wx)
+                if fuse_dirs:
+                    val_a, val_b = _gather_window2(
+                        parts, rely_a, relx_a, rely_b, relx_b, wy, wx)
+                else:
+                    val_a = _gather_window(parts, rely_a, relx_a, wy, wx)
+                    val_b = _gather_window(parts, rely_b, relx_b, wy, wx)
                 return (jnp.where(use, val_a, sz_a),
                         jnp.where(use, val_b, sz_b))
 
@@ -430,11 +465,11 @@ def _kernel(consts_ref,                                   # scalar prefetch
 
 @partial(jax.jit, static_argnames=("width", "height", "slice_count",
                                    "steps_per_slice", "interpret",
-                                   "precision"))
+                                   "precision", "fuse_dirs"))
 def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
                      width: int, height: int, slice_count: int,
                      steps_per_slice: int, interpret: bool | None = None,
-                     precision: str = "exact"):
+                     precision: str = "exact", fuse_dirs: bool = True):
     """Pallas main pass over pre-packeted inputs. depth_mips: list of 5
     (H_m, W_m) f32 mips (R16F-quantized values); normal_enc: (H, W, 3);
     consts_vec: (len(_CK),) f32; noise_maps: (nx, ny) each (64, 64) f32.
@@ -501,7 +536,8 @@ def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
                             memory_space=pltpu.VMEM)
     kernel = partial(_kernel, plan=plan, mip_shapes=mip_shapes, width=width,
                      height=height, tiles_x=tiles_x, slice_count=slice_count,
-                     steps_per_slice=steps_per_slice, precision=precision)
+                     steps_per_slice=steps_per_slice, precision=precision,
+                     fuse_dirs=fuse_dirs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,

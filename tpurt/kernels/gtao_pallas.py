@@ -119,8 +119,12 @@ def _denoise_once(vis, edges_i32, blur: float, final_apply: bool,
         sum_weight = sum_weight + w
     out = total / sum_weight
     if final_apply:
+        # XeGTAO_Output (:729-731): ×1.5 then `uint(v*255+0.5)` with NO
+        # saturate (R32_UINT store) — final values reach ~383
         out = out * XE_GTAO_OCCLUSION_TERM_SCALE
-    q = jnp.floor(jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5)  # u8 store
+        q = jnp.floor(jnp.maximum(out, 0.0) * 255.0 + 0.5)
+    else:
+        q = jnp.floor(jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5)  # u8 store
     return q / 255.0, q
 
 
@@ -162,15 +166,16 @@ def _chain_kernel(ao_hbm, edges_hbm, out_ref, ao_buf, ed_buf, sems, *,
             if last_col < cols - 1:
                 vis = jnp.where(cid > last_col,
                                 vis[:, last_col:last_col + 1], vis)
-    out_ref[:] = q[halo:halo + out_rows].astype(jnp.int32).astype(jnp.uint8)
+    out_ref[:] = q[halo:halo + out_rows].astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("n_passes", "blur_beta", "interpret"))
 def denoise_chain_pallas(ao_u8, edges_u8, *, n_passes: int,
                          blur_beta: float, interpret: bool | None = None):
     """Run the full N-pass GTAO denoise chain as ONE fused Pallas kernel.
-    ao_u8/edges_u8: (H, W) u8. Returns (H, W) u8, bit-identical to chaining
-    passes.gtao.denoise_pass N times (non-bent-normals path)."""
+    ao_u8/edges_u8: (H, W) u8. Returns (H, W) u16 in the reference's
+    unclamped final-AO range (0..~383, XeGTAO.hlsli:729-731), bit-identical
+    to chaining passes.gtao.denoise_pass N times (non-bent-normals path)."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     h, w = ao_u8.shape
@@ -200,7 +205,7 @@ def denoise_chain_pallas(ao_u8, edges_u8, *, n_passes: int,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=pl.BlockSpec((BLOCK_ROWS, wp), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((rows, wp), jnp.uint8),
             pltpu.VMEM((rows, wp), jnp.uint8),
@@ -208,4 +213,4 @@ def denoise_chain_pallas(ao_u8, edges_u8, *, n_passes: int,
         ],
         interpret=interpret,
     )(ao_p, ed_p)
-    return out[:h, :w]
+    return out[:h, :w].astype(jnp.uint16)

@@ -19,8 +19,10 @@ vk_xe_gtao.rs):
      N passes by denoise level (vk_xe_gtao.rs:1099-1139).
 
 Stored-image quantization points match the reference formats: depth mips
-R16F, AO term u8 (R32_UINT 0..255), edges u8 (R8_UNORM); intermediate math
-runs in f32 where the reference uses min16float.
+R16F, working AO term u8 (R32_UINT 0..255), edges u8 (R8_UNORM), final AO
+term u16 (the R32_UINT final store is UNCLAMPED and reaches ~383 after the
+×1.5 occlusion-term scale, XeGTAO.hlsli:729-731); intermediate math runs
+in f32 where the reference uses min16float.
 """
 from __future__ import annotations
 
@@ -589,7 +591,15 @@ def denoise_pass(ao_u8, edges_u8, settings: GtaoSettings, final_apply: bool):
         bn = bn / jnp.maximum(jnp.linalg.norm(bn, axis=-1, keepdims=True), 1e-20)
         return encode_visibility_bent_normal(v, bn)
     if final_apply:
+        # XeGTAO_Output (:729-731): `uint(outputValue * 1.5 * 255 + 0.5)`
+        # into an R32_UINT texture with NO saturate — the final AO term
+        # legitimately reaches ~383 (visibility overshoots 1 on open
+        # geometry; OCCLUSION_TERM_SCALE restores it), and the tonemap's
+        # `float(ao)/255` then *brightens* those pixels. u16 keeps the
+        # reference's unclamped range (round 1-2 clamped at 255 — a real
+        # parity divergence caught by the config-4 oracle).
         out = out * XE_GTAO_OCCLUSION_TERM_SCALE
+        return (jnp.maximum(out, 0.0) * 255.0 + 0.5).astype(jnp.uint16)
     return (jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
 
 

@@ -289,7 +289,7 @@ def sample_anisotropic(atlas, offsets, sizes, prim, layer: int, uv,
 def shade(scene: dict, camera: dict, lights: dict, hits: dict,
           origin, direction, *, pallas_tables: str = "",
           height: int = 0, width: int = 0, max_leaf: int = 4,
-          shadow_trace_fn=None, aniso_taps: int = 1):
+          shadow_trace_fn=None, aniso_taps: int = 1, image_rows: int = 0):
     """Shade one batch of primary hits.
 
     Returns dict(color (N,3), depth (N,), normal_enc (N,3)) — the unquantized
@@ -299,6 +299,9 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
     shadow_trace_fn overrides the occlusion tracer entirely —
     (origin, dir, tmin, tmax) -> bool mask; the sharded-geometry mode
     passes its ring all-to-all tracer here (dist/geometry.py).
+    image_rows: the FULL image height, used for the ray-cone spread — pass
+    it when `height` is only a band of the frame (multi-chip path), or the
+    cone comes out mesh-size× too wide.
     """
     if pallas_tables:
         from ..kernels.traverse_pallas import trace_any_packets
@@ -352,7 +355,7 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
     if "tex_atlas" in scene:
         # trilinear mip sampling: LOD from the ray-cone footprint; pixel
         # cone spread angle recovered from proj[1][1] = 1/tan(fovy/2)
-        rows = height if height else int(round(float(
+        rows = image_rows or height or int(round(float(
             np.sqrt(hits["t"].shape[0]))))
         spread = 2.0 / (camera["proj"][1, 1] * rows)
         tex_hw = scene["tex_mip_sizes"][prim, 0].astype(jnp.float32)

@@ -110,6 +110,15 @@ class FlatScene:
             # transform-independent: the dynamic modes reuse the packed
             # quad texture rows and rebuild only tri_attr in-jit
             out["tex_quad48"] = self.tex_quad48
+        if self.tex_atlas is not None:
+            # mip atlas is transform-independent too — forward it so the
+            # dynamic modes keep mipmaps/trilinear/aniso (round-2 dropped
+            # it silently; config-parity fix)
+            out.update(tex_atlas=self.tex_atlas,
+                       tex_mip_offsets=self.tex_mip_offsets,
+                       tex_mip_sizes=self.tex_mip_sizes,
+                       tex_mip_quad=self.tex_mip_quad,
+                       tex_mip_quad_offsets=self.tex_mip_quad_offsets)
         return out
 
 
