@@ -159,3 +159,51 @@ def test_refit_random_transforms_match_rebuild():
         d_depth = np.abs(np.asarray(refit["depth"])
                          - np.asarray(rebuilt["depth"]))
         assert (d_depth < 1e-3).mean() > 0.999, f"trial {trial}"
+
+
+def test_refit_quality_and_auto_rebuild_trigger():
+    """bvh.wide.refit_quality ~1 at rest, grows under scrambling motion;
+    Renderer.render_dynamic flips refit->rebuild past REBUILD_SAH_RATIO."""
+    from tpurt.engine.dynamic import REBUILD_SAH_RATIO
+    from tpurt.scene.procedural import box_field
+
+    from tpurt.engine import Renderer, RendererConfig
+    from tpurt.passes.gtao import GtaoSettings
+    from tpurt.scene.lights import PointLight
+
+    cfg = RendererConfig(width=32, height=32,
+                         gtao=GtaoSettings(1, 2, denoise=0))
+    r = Renderer(cfg)
+    BOX = "/root/reference/assets/models/BoxTextured.glb"
+    for i in range(6):   # several INSTANCES so scrambling is non-rigid
+        m = np.array([[0.5, 0, 0, (i % 3 - 1) * 1.5],
+                      [0, 0.5, 0, -0.5],
+                      [0, 0, 0.5, (i // 3) * 1.5]], np.float32)
+        r.add_model(BOX, m)
+    r.camera_mut().set_pos([0.0, -2.0, -5.0])
+    d = np.array([0.0, 0.3, 1.0])
+    r.camera_mut().set_dir(d / np.linalg.norm(d))
+    r.lights_mut().point_lights.append(PointLight(
+        pos=[0.0, -3.0, 0.0], color=[6.0, 5.0, 4.0], falloff_distance=15.0,
+        casts_shadows=True))
+    r.prepare_first_frame()
+
+    rest = np.asarray(r.scene.transforms, np.float32)
+    out = r.render_dynamic(rest, check_every=1)
+    assert "refit_sah_ratio" in out
+    assert float(out["refit_sah_ratio"]) < 1.5   # rest pose ~1
+    assert r._rebuild_until < 0                  # no trigger
+
+    # scramble: teleport instances across each other (rest-pose topology
+    # now groups spatially-distant boxes -> slot boxes balloon)
+    rng = np.random.default_rng(0)
+    scrambled = rest.copy()
+    scrambled[:, :, 3] = rng.uniform(-8, 8, scrambled[:, :, 3].shape)
+    out2 = r.render_dynamic(scrambled, check_every=1)
+    ratio = float(out2["refit_sah_ratio"])
+    assert ratio > REBUILD_SAH_RATIO, f"scrambling only reached {ratio:.2f}"
+    assert r._rebuild_until > r._frame_idx - 1   # trigger armed
+
+    # next frame takes the rebuild path (no refit_sah_ratio in output)
+    out3 = r.render_dynamic(scrambled, check_every=1)
+    assert "refit_sah_ratio" not in out3

@@ -251,3 +251,30 @@ def refit_bvh8(nodes8, levels, tri_min_sah, tri_max_sah, leaf_max: int):
     # write box lanes 0..47: [k*6 +0..2] = min, [+3..5] = max
     boxes = jnp.concatenate([slot_min, slot_max], axis=2)  # (M, 8, 6)
     return nodes8.at[:, :48].set(boxes.reshape(m, 48))
+
+
+def _areas(mn, mx):
+    import jax.numpy as jnp
+
+    ext = jnp.maximum(mx - mn, 0.0)
+    return 2.0 * (ext[..., 0] * ext[..., 1] + ext[..., 1] * ext[..., 2]
+                  + ext[..., 0] * ext[..., 2])
+
+
+def refit_quality(nodes8, tri_min, tri_max):
+    """SAH-cost proxy of a (refit) BVH8: total slot-box surface area
+    divided by the total per-TRIANGLE AABB area. Triangle boxes move
+    rigidly with their instance, so the denominator tracks the scene's
+    intrinsic scale (invariant under rigid motion and uniform scaling);
+    slots whose triangles diverge from the rest-pose grouping balloon the
+    numerator. The RATIO of this value after refit_bvh8 to its rest-pose
+    value is ~1.0 near rest and grows with tree decay — engine.dynamic
+    uses it for the automatic refit->rebuild trigger (the decision the
+    reference hard-codes by always rebuilding its TLAS,
+    vk_tlas_builder.rs:43-46)."""
+    import jax.numpy as jnp
+
+    boxes = nodes8[:, :48].reshape(-1, 8, 6)
+    slot_area = jnp.sum(_areas(boxes[..., 0:3], boxes[..., 3:6]))
+    tri_area = jnp.sum(_areas(tri_min, tri_max))
+    return slot_area / jnp.maximum(tri_area, 1e-20)

@@ -154,20 +154,31 @@ def render_frame_dynamic(obj_scene: dict, transforms, camera: dict,
     return dict(image=image, color=color, depth=depth, normal=normal, ao=ao)
 
 
+REBUILD_SAH_RATIO = 2.0   # refit decay threshold that flips to rebuild
+
+
 def make_refit_data(scene) -> dict:
     """Host-side static refit metadata from a flattened scene (FlatScene):
     the rest-pose BVH8 rows, their BFS level partition, and the SAH
     triangle order. Compute once; feed to render_frame_dynamic_refit."""
     import numpy as np
 
-    from ..bvh.wide import refit_plan
+    from ..bvh.wide import refit_plan, refit_quality
 
     nodes8 = np.asarray(scene.bvh["nodes8"])
+    v0 = np.asarray(scene.geom["v0"])
+    v1 = v0 + np.asarray(scene.geom["e1"])
+    v2 = v0 + np.asarray(scene.geom["e2"])
+    tri_min = np.minimum(np.minimum(v0, v1), v2)
+    tri_max = np.maximum(np.maximum(v0, v1), v2)
+    rest_q = float(refit_quality(jnp.asarray(nodes8), jnp.asarray(tri_min),
+                                 jnp.asarray(tri_max)))
     return dict(nodes8=jnp.asarray(nodes8),
                 levels=tuple(jnp.asarray(l)
                              for l in refit_plan(nodes8)),
                 order=jnp.asarray(np.asarray(scene.geom["tri_id"]),
-                                  jnp.int32))
+                                  jnp.int32),
+                rest_quality=jnp.float32(rest_q))
 
 
 @partial(jax.jit, static_argnames=("width", "height", "gtao_settings",
@@ -188,7 +199,7 @@ def render_frame_dynamic_refit(obj_scene: dict, refit: dict, transforms,
     done the TPU way: one O(T) box pass + a 6-level bottom-up sweep, then
     the SAME BVH8 packet tracer as the static path. Tree quality degrades
     only as instances move far from the rest pose (rebuild then)."""
-    from ..bvh.wide import LEAF8_MAX, refit_bvh8
+    from ..bvh.wide import LEAF8_MAX, refit_bvh8, refit_quality
 
     transforms = jnp.asarray(transforms, jnp.float32)
     inst = obj_scene["vtx_instance"]
@@ -212,6 +223,9 @@ def render_frame_dynamic_refit(obj_scene: dict, refit: dict, transforms,
     tri_max = jnp.maximum(jnp.maximum(v0, v1), v2)
     nodes8 = refit_bvh8(refit["nodes8"], refit["levels"], tri_min, tri_max,
                         leaf_max=LEAF8_MAX)
+    # tree-quality decay vs the rest pose (drives the rebuild trigger)
+    sah_ratio = (refit_quality(nodes8, tri_min, tri_max)
+                 / refit["rest_quality"])
 
     geom = dict(v0=v0, e1=v1 - v0, e2=v2 - v0, tri_id=order)
     scene = dict(
@@ -251,4 +265,5 @@ def render_frame_dynamic_refit(obj_scene: dict, refit: dict, transforms,
         image = pack_unorm8(tonemap_frame(color, ao, lpm_derived))
     else:
         image = pack_unorm8(jnp.clip(color, 0.0, 1.0))
-    return dict(image=image, color=color, depth=depth, normal=normal, ao=ao)
+    return dict(image=image, color=color, depth=depth, normal=normal, ao=ao,
+                refit_sah_ratio=sah_ratio)

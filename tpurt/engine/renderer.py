@@ -77,6 +77,9 @@ class Renderer:
         self._lpm_ctl, self._lpm_derived = lpm_setup(c.lpm)
         self._frame_idx = 0
         self.rendered_frames = 0
+        # dynamic-mode refit->rebuild trigger state
+        self._rebuild_until = -1
+        self.last_refit_sah_ratio = 1.0
 
     # -- scene management ---------------------------------------------------
 
@@ -179,7 +182,8 @@ class Renderer:
         return out
 
     def render_dynamic(self, transforms, block: bool = True,
-                       refit: bool = True):
+                       refit: bool = True, auto_rebuild: bool = True,
+                       check_every: int = 16):
         """Render one frame with per-frame instance transforms (the
         reference's animated-TLAS path, renderer.rs:637-651).
 
@@ -188,10 +192,19 @@ class Renderer:
         BVH8 topology and refits boxes in-jit (~static-frame cost;
         engine/dynamic.render_frame_dynamic_refit); refit=False rebuilds
         a fresh LBVH in-jit instead (slower, but immune to tree-quality
-        decay under extreme motion)."""
+        decay under extreme motion).
+
+        auto_rebuild: every `check_every`-th refit frame reads the
+        refit-quality ratio (bvh.wide.refit_quality vs the rest pose —
+        frames stay CORRECT under decay, only trace cost grows) and
+        switches the next `check_every` frames to the rebuild path when
+        it exceeds dynamic.REBUILD_SAH_RATIO. The reference hard-codes
+        the other end of this trade by always rebuilding its TLAS
+        (vk_tlas_builder.rs:43-46)."""
         import jax
 
-        from .dynamic import (make_refit_data, render_frame_dynamic,
+        from .dynamic import (REBUILD_SAH_RATIO, make_refit_data,
+                              render_frame_dynamic,
                               render_frame_dynamic_refit)
 
         c = self.config
@@ -207,6 +220,9 @@ class Renderer:
                                 self.camera.aspect)
         lights = self._cached("lights", self.lights.shader_arrays())
         gtao = self._effective_gtao()
+        if refit and auto_rebuild \
+                and self._frame_idx < self._rebuild_until:
+            refit = False  # decayed tree: rebuild for this window
         if refit:
             out = render_frame_dynamic_refit(
                 self._obj_device, self._refit_device, transforms, cam,
@@ -215,6 +231,12 @@ class Renderer:
                 height=c.height, gtao_settings=gtao,
                 enable_gtao=c.enable_gtao, enable_tonemap=c.enable_tonemap,
                 aniso_taps=c.aniso_taps)
+            if auto_rebuild and self._frame_idx % check_every == 0:
+                ratio = float(out["refit_sah_ratio"])
+                self.last_refit_sah_ratio = ratio
+                if ratio > REBUILD_SAH_RATIO:
+                    # +1: _frame_idx increments after this frame
+                    self._rebuild_until = self._frame_idx + 1 + check_every
         else:
             out = render_frame_dynamic(
                 self._obj_device, transforms, cam, lights, consts,

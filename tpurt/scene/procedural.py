@@ -91,17 +91,20 @@ def _image(arr: np.ndarray):
 
 
 def material_field(nx: int = 6, nz: int = 6, subdiv: int = 3, seed: int = 7,
-                   spacing: float = 1.2, half: float = 0.45) -> Model:
+                   spacing: float = 1.2, half: float = 0.45,
+                   extents=(16, 32, 64, 128)) -> Model:
     """A Sponza-class *material* workload: a grid of boxes where every box
     is its own primitive with DISTINCT albedo/ORM/normal textures at varied
-    extents (16..128px) — the nx*nz-slot analogue of the reference's
-    256-slot bindless texture array (vk_rt_descriptor_set.rs:42-97).
-    Materials sweep roughness/metallic and hue so wrong-primitive fetches
-    are visually and numerically detectable."""
+    extents — the nx*nz-slot analogue of the reference's 256-slot bindless
+    texture array (vk_rt_descriptor_set.rs:42-97). Materials sweep
+    roughness/metallic and hue so wrong-primitive fetches are visually and
+    numerically detectable. Pass bigger `extents` (e.g. (256,) — uniform,
+    no stack padding waste) for texture-VOLUME stress at the reference
+    asset's ~150 MB scale."""
     from .mesh import TextureType
 
     rng = np.random.default_rng(seed)
-    extents = [16, 32, 64, 128]
+    extents = list(extents)
     prims = []
     for i in range(nx):
         for j in range(nz):
