@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-REPS = 8
+REPS = 16
 
 
 def main():
@@ -96,7 +96,12 @@ def main():
             image = pack_unorm8(tonemap_frame(color, ao, lpm))
             return jnp.sum(image.astype(jnp.float32))
 
-        stages = [("trace", stage_trace), ("shade", stage_shade),
+        def stage_null(scene, cam, lights, consts, lpm, jit, ni):
+            # RPC-floor / scan baseline (CLAUDE.md round-3 note)
+            return jnp.sum(jit) + ni.astype(jnp.float32)
+
+        stages = [("null", stage_null),
+                  ("trace", stage_trace), ("shade", stage_shade),
                   ("gtao", stage_gtao), ("tonemap", stage_tonemap)]
         cum = {}
         for name, fn in stages:
@@ -118,20 +123,28 @@ def main():
 
             arrs = (scene, cam, lights, consts, lpm)
             float(run(*arrs))  # compile + settle
-            t0 = time.perf_counter()
-            float(run(*arrs))
-            cum[name] = (time.perf_counter() - t0) * 1000 / REPS
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(run(*arrs))
+                best = min(best, (time.perf_counter() - t0) * 1000 / REPS)
+            cum[name] = best
             print(f"{w}x{h} cum through {name}: {cum[name]:.2f} ms",
                   file=sys.stderr, flush=True)
 
         names = [n for n, _ in stages]
-        per_pass = {names[0]: cum[names[0]]}
-        for a, b in zip(names, names[1:]):
-            per_pass[b] = cum[b] - cum[a]
+        per_pass = {}
+        prev = cum["null"]
+        for b in names[1:]:
+            cur = max(cum[b], prev)   # monotonic clamp
+            per_pass[b] = cur - prev
+            prev = cur
         report[f"{w}x{h}"] = dict(
             cumulative_ms={k: round(v, 2) for k, v in cum.items()},
             per_pass_ms={k: round(v, 2) for k, v in per_pass.items()},
             tracer_tier=tables, tris=int(scene["geom"]["v0"].shape[0]),
+            timing="min-of-3 device scans, null-stage floor subtraction, "
+                   "monotonic clamp",
         )
         print(json.dumps(report[f"{w}x{h}"]), file=sys.stderr, flush=True)
 

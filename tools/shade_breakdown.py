@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-REPS = 8
+REPS = 16
 W = H = 800
 
 
@@ -67,7 +67,12 @@ def main():
         return jnp.sum(g["color"]) + jnp.sum(g["depth"]) \
             + jnp.sum(g["normal_enc"])
 
+    def stage_null(scene, cam, lights, jit):
+        # RPC-floor / scan baseline (see CLAUDE.md round-3 note)
+        return jnp.sum(jit)
+
     stages = [
+        ("null", stage_null, lights),
         ("trace", stage_trace, lights),
         ("gbuf0", _shaded, empty_lights),
         ("noshadow", _shaded, noshadow_lights),
@@ -84,27 +89,37 @@ def main():
             return acc
 
         float(run(scene, cam, lt))
-        t0 = time.perf_counter()
-        float(run(scene, cam, lt))
-        cum[name] = (time.perf_counter() - t0) * 1000 / REPS
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(scene, cam, lt))
+            best = min(best, (time.perf_counter() - t0) * 1000 / REPS)
+        cum[name] = best
         print(f"cum through {name}: {cum[name]:.2f} ms", file=sys.stderr,
               flush=True)
 
     names = [n for n, _, _ in stages]
-    diff = {names[0]: cum[names[0]]}
-    for a, b in zip(names, names[1:]):
-        diff[b] = cum[b] - cum[a]
+    diff = {}
+    prev = cum["null"]
+    for b in names[1:]:
+        cur = max(cum[b], prev)   # monotonic clamp
+        diff[b] = cur - prev
+        prev = cur
     report = dict(device=str(jax.devices()[0]), reps=REPS,
                   resolution=f"{W}x{H}", tracer_tier=tables,
                   tris=int(scene["geom"]["v0"].shape[0]),
                   cumulative_ms={k: round(v, 2) for k, v in cum.items()},
                   attributed_ms={
                       "closest_trace": round(diff["trace"], 2),
-                      "gather_tbn_texture": round(diff["gbuf0"], 2),
-                      "per_light_math+parked_launches":
+                      # zero lights DCEs the albedo/ORM fetch+decode, so
+                      # gbuf0 isolates gathers+TBN+normal-map only
+                      "gather_tbn_normalmap": round(diff["gbuf0"], 2),
+                      "albedo_orm+light_math+parked_launches":
                           round(diff["noshadow"], 2),
                       "shadow_traversal": round(diff["full"], 2),
-                  })
+                  },
+                  timing="min-of-3 device scans, null-stage floor "
+                         "subtraction, monotonic clamp")
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "SHADE_BREAKDOWN.json")
     with open(path, "w") as f:

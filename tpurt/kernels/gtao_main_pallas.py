@@ -88,36 +88,6 @@ def _split_hi_lo(win):
     return hi, lo
 
 
-def _gather_window2(parts, rely_a, relx_a, rely_b, relx_b, wy: int, wx: int):
-    """Both horizon directions of one step fetched with ONE matmul per
-    sublane: the two 128-lane one-hot column selectors concatenate along
-    rhs lanes ((wx, 256) — 2 lane-tiles), halving matmul-op count vs two
-    _gather_window calls at identical total MACs. (The 8-way sublane
-    lane-concat was measured 15% WORSE in round 2 — (wx, 1024) rhs; the
-    2-way stays within normal operand shapes.)"""
-    stacked = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
-    dims = (((1,), (0,)), ((), ()))
-    rows_a, rows_b = [], []
-    for s in range(8):
-        iota_c = jax.lax.broadcasted_iota(jnp.int32, (wx, 128), 0)
-        onehot = jnp.concatenate(
-            [(iota_c == relx_a[s:s + 1]).astype(jnp.bfloat16),
-             (iota_c == relx_b[s:s + 1]).astype(jnp.bfloat16)], axis=1)
-        cs = jax.lax.dot_general(stacked, onehot, dims,
-                                 preferred_element_type=jnp.float32)
-        val = cs[:wy]
-        for k in range(1, len(parts)):
-            val = val + cs[k * wy:(k + 1) * wy]
-        iota_r = jax.lax.broadcasted_iota(jnp.int32, (wy, 128), 0)
-        mask = jnp.concatenate(
-            [(iota_r == rely_a[s:s + 1]).astype(jnp.float32),
-             (iota_r == rely_b[s:s + 1]).astype(jnp.float32)], axis=1)
-        row = jnp.sum(val * mask, axis=0, keepdims=True)
-        rows_a.append(row[:, :128])
-        rows_b.append(row[:, 128:])
-    return jnp.concatenate(rows_a, axis=0), jnp.concatenate(rows_b, axis=0)
-
-
 def _gather_window(parts, rely, relx, wy: int, wx: int):
     """Per-pixel fetch win[rely, relx] for an (8, 128) packet via one-hot
     MXU matmuls + mask-reduce per sublane row. `parts` is a tuple of bf16
@@ -182,30 +152,36 @@ def _window_starts(plan, mip_shapes, tiles_y: int, tiles_x: int):
 
 
 def _cut_windows(mip, y0s, x0s, wy: int, wx: int):
-    """Cut per-tile (wy, wx) windows from one mip with STATIC separable
-    indices: rows by tile row, columns by tile column (edge-clamped; the
-    clamped duplicates are never selected by the in-kernel one-hots).
-    Returns (Ty*Tx, wy, wx) f32 in row-major tile order."""
+    """Cut per-tile (wy, wx) windows from one mip with separable indices:
+    rows by tile row (static OR traced — the banded path's origins depend
+    on the traced band start), columns by tile column (static,
+    edge-clamped; the clamped duplicates are never selected by the
+    in-kernel one-hots). Returns (Ty*Tx, wy, wx) f32, row-major tiles."""
     hm, wm = mip.shape
-    rows = np.clip(y0s[:, None] + np.arange(wy)[None, :], 0, hm - 1)
-    cols = np.clip(x0s[:, None] + np.arange(wx)[None, :], 0, wm - 1)
-    r = mip[jnp.asarray(rows.reshape(-1))]          # (Ty*wy, wm)
-    r = r.reshape(y0s.shape[0], wy, wm)
+    rows = jnp.clip(jnp.asarray(y0s)[:, None] + jnp.arange(wy)[None, :],
+                    0, hm - 1)
+    cols = np.clip(np.asarray(x0s)[:, None] + np.arange(wx)[None, :],
+                   0, wm - 1)
+    n_ty = rows.shape[0]
+    r = mip[rows.reshape(-1)]                       # (Ty*wy, wm)
+    r = r.reshape(n_ty, wy, wm)
     w = r[:, :, jnp.asarray(cols.reshape(-1))]      # (Ty, wy, Tx*wx)
-    w = w.reshape(y0s.shape[0], wy, x0s.shape[0], wx)
+    w = w.reshape(n_ty, wy, x0s.shape[0], wx)
     return w.transpose(0, 2, 1, 3).reshape(-1, wy, wx)
 
 
-def _kernel(consts_ref,                                   # scalar prefetch
+def _kernel(consts_ref, row0_ref,                         # scalar prefetch
             spx_r, spy_r, vz_r, pl_r, pr_r, pt_r, pb_r,
             nx_r, ny_r, nz_r, nsl_r, nsm_r,               # packeted inputs
             w0, w1, w2, w3, w4,                           # mip windows (f32)
             ao_out, edges_out,                            # outputs
             *, plan, mip_shapes, width, height, tiles_x,
-            slice_count: int, steps_per_slice: int, precision: str,
-            fuse_dirs: bool = True):
+            slice_count: int, steps_per_slice: int, precision: str):
     i = pl.program_id(0)
-    ty = (i // tiles_x) * TILE
+    # row0_ref holds the band's first tile row (0 for full frames): tile
+    # coordinates — and therefore window origins — are ABSOLUTE image
+    # coordinates even when only a band of rows is computed
+    ty = (row0_ref[0] + i // tiles_x) * TILE
     tx = (i % tiles_x) * TILE
 
     wins = (w0, w1, w2, w3, w4)
@@ -332,16 +308,25 @@ def _kernel(consts_ref,                                   # scalar prefetch
                 # size while the interpreter was exact) — f32 windows +
                 # a cast (half) or 3-op split (exact) per fetch are safe
                 sz_a, sz_b = carry
+                if precision == "debug_nofetch":
+                    # diagnostic: skip the gather entirely (wrong AO) —
+                    # isolates the slice/step scaffold + window pipeline
+                    v = jnp.sum(win_ref[0][:1, :128]) * 1e-6
+                    return (jnp.where(use, sz_a + v, sz_a),
+                            jnp.where(use, sz_b + v, sz_b))
                 if precision == "half":
                     parts = (win_ref[0].astype(jnp.bfloat16),)
                 else:
                     parts = _split_hi_lo(win_ref[0])
-                if fuse_dirs:
-                    val_a, val_b = _gather_window2(
-                        parts, rely_a, relx_a, rely_b, relx_b, wy, wx)
-                else:
-                    val_a = _gather_window(parts, rely_a, relx_a, wy, wx)
-                    val_b = _gather_window(parts, rely_b, relx_b, wy, wx)
+                if precision == "debug_sharedsel":
+                    # diagnostic: one shared selector for all sublanes
+                    # (wrong AO) — isolates one-hot-construction cost
+                    relx_a = jnp.broadcast_to(relx_a[:1], relx_a.shape)
+                    rely_a = jnp.broadcast_to(rely_a[:1], rely_a.shape)
+                    relx_b = relx_a
+                    rely_b = rely_a
+                val_a = _gather_window(parts, rely_a, relx_a, wy, wx)
+                val_b = _gather_window(parts, rely_b, relx_b, wy, wx)
                 return (jnp.where(use, val_a, sz_a),
                         jnp.where(use, val_b, sz_b))
 
@@ -465,45 +450,65 @@ def _kernel(consts_ref,                                   # scalar prefetch
 
 @partial(jax.jit, static_argnames=("width", "height", "slice_count",
                                    "steps_per_slice", "interpret",
-                                   "precision", "fuse_dirs"))
+                                   "precision", "num_rows"))
 def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
                      width: int, height: int, slice_count: int,
                      steps_per_slice: int, interpret: bool | None = None,
-                     precision: str = "exact", fuse_dirs: bool = True):
+                     precision: str = "exact", row_start=0,
+                     num_rows: int | None = None):
     """Pallas main pass over pre-packeted inputs. depth_mips: list of 5
     (H_m, W_m) f32 mips (R16F-quantized values); normal_enc: (H, W, 3);
     consts_vec: (len(_CK),) f32; noise_maps: (nx, ny) each (64, 64) f32.
-    Returns (ao_u8 (H, W), edges_u8 (H, W))."""
+
+    Banded output (the multi-chip path, passes/gtao.compute_ao_band):
+    num_rows (static, multiple of 32) restricts the OUTPUT to
+    [row_start, row_start + num_rows) — row_start may be TRACED (each
+    chip's band origin is `axis_index * band` inside shard_map) but must
+    be 32-aligned and within [0, height - num_rows]; sampling still sees
+    the full depth pyramid and all coordinates stay absolute.
+
+    Returns (ao_u8, edges_u8), each (num_rows or H, W)."""
     from .traverse_pallas import _from_packets, _to_packets
 
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
 
+    full_frame = num_rows is None
+    rows_out = height if full_frame else num_rows
+    assert rows_out % TILE == 0 or full_frame
     d0 = depth_mips[0]
     mip_shapes = tuple((int(m.shape[0]), int(m.shape[1]))
                       for m in depth_mips)
     plan = tuple(_plan_windows(mip_shapes, width, height))
 
     tiles_x = -(-width // TILE)
-    tiles_y = -(-height // TILE)
-    starts = _window_starts(plan, mip_shapes, tiles_y, tiles_x)
+    tiles_y = rows_out // TILE
+    row0 = jnp.asarray(row_start, jnp.int32)
+    row0_tiles = row0 // TILE
 
-    # per-tile windows, cut with static indices and pre-split hi/lo bf16
-    # (full top level: one shared window, constant block index)
+    # per-tile windows (full top level: one shared window, constant block
+    # index). Band origins are traced; _cut_windows handles both.
     win_ops = []
     win_specs = []
-    for m, ((wy, wx, full), (y0s, x0s)) in enumerate(zip(plan, starts)):
+    for m, (wy, wx, full) in enumerate(plan):
+        hm, wm = mip_shapes[m]
         if full:
-            w = _cut_windows(depth_mips[m], y0s[:1], x0s[:1], wy, wx)
+            w = _cut_windows(depth_mips[m], np.zeros(1, np.int32),
+                             np.zeros(1, np.int32), wy, wx)
             idx = lambda i, *refs: (0, 0, 0)
         else:
+            ty_abs = (row0_tiles + jnp.arange(tiles_y)) * TILE
+            tx_abs = np.arange(tiles_x, dtype=np.int64) * TILE
+            y0s = jnp.clip((ty_abs >> m) - HALO, 0, max(hm - wy, 0))
+            x0s = np.clip((tx_abs >> m) - HALO, 0,
+                          max(wm - wx, 0)).astype(np.int32)
             w = _cut_windows(depth_mips[m], y0s, x0s, wy, wx)
             idx = lambda i, *refs: (i, 0, 0)
         win_ops.append(w)
         win_specs.append(pl.BlockSpec((1, wy, wx), idx,
                                       memory_space=pltpu.VMEM))
 
-    pk = partial(_to_packets, height=height, width=width)
+    pk = partial(_to_packets, height=rows_out, width=width)
 
     def shift_clamp(img, dy, dx):
         h, w = img.shape
@@ -511,22 +516,29 @@ def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
         xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
         return img[ys][:, xs]
 
+    def band(img):
+        if full_frame:
+            return img
+        return jax.lax.dynamic_slice(img, (row0, jnp.int32(0)),
+                                     (rows_out, width))
+
     xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width
-    ys = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height
+    ys = (row0.astype(jnp.float32)
+          + jnp.arange(rows_out, dtype=jnp.float32) + 0.5) / height
     sp_x, sp_y = jnp.meshgrid(xs, ys)
 
     # tile the 64x64 noise maps across the frame (dense, no gathers)
     reps_y = -(-height // 64)
     reps_x = -(-width // 64)
-    nsl = jnp.tile(noise_maps[0], (reps_y, reps_x))[:height, :width]
-    nsm = jnp.tile(noise_maps[1], (reps_y, reps_x))[:height, :width]
+    nsl = band(jnp.tile(noise_maps[0], (reps_y, reps_x))[:height, :width])
+    nsm = band(jnp.tile(noise_maps[1], (reps_y, reps_x))[:height, :width])
 
     packeted = [pk(a.reshape(-1)) for a in (
-        sp_x, sp_y, d0,
-        shift_clamp(d0, 0, -1), shift_clamp(d0, 0, 1),
-        shift_clamp(d0, -1, 0), shift_clamp(d0, 1, 0),
-        normal_enc[..., 0], normal_enc[..., 1], normal_enc[..., 2],
-        nsl, nsm)]
+        sp_x, sp_y, band(d0),
+        band(shift_clamp(d0, 0, -1)), band(shift_clamp(d0, 0, 1)),
+        band(shift_clamp(d0, -1, 0)), band(shift_clamp(d0, 1, 0)),
+        band(normal_enc[..., 0]), band(normal_enc[..., 1]),
+        band(normal_enc[..., 2]), nsl, nsm)]
 
     n_sub = packeted[0].shape[0]
     grid = (n_sub // 8,)
@@ -536,10 +548,9 @@ def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
                             memory_space=pltpu.VMEM)
     kernel = partial(_kernel, plan=plan, mip_shapes=mip_shapes, width=width,
                      height=height, tiles_x=tiles_x, slice_count=slice_count,
-                     steps_per_slice=steps_per_slice, precision=precision,
-                     fuse_dirs=fuse_dirs)
+                     steps_per_slice=steps_per_slice, precision=precision)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=[ray_spec] * 12 + win_specs,
         out_specs=[
@@ -555,11 +566,11 @@ def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
         out_shape=[jax.ShapeDtypeStruct((n_sub, 128), jnp.uint8),
                    jax.ShapeDtypeStruct((n_sub, 128), jnp.uint8)],
         interpret=interpret,
-    )(consts_vec, *packeted, *win_ops)
+    )(consts_vec, row0_tiles.reshape(1), *packeted, *win_ops)
 
-    unpk = partial(_from_packets, height=height, width=width)
-    return (unpk(ao_pk).reshape(height, width),
-            unpk(edges_pk).reshape(height, width))
+    unpk = partial(_from_packets, height=rows_out, width=width)
+    return (unpk(ao_pk).reshape(rows_out, width),
+            unpk(edges_pk).reshape(rows_out, width))
 
 
 def consts_to_vec(consts: dict) -> jnp.ndarray:

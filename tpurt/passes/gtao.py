@@ -609,12 +609,58 @@ def compute_ao_band(view_depth, normal_enc, consts, settings: GtaoSettings,
     main pass runs over the band plus a denoise halo, and the halo is
     trimmed after the denoise chain. Halo rows outside the image duplicate
     the edge rows exactly (incl. noise), reproducing single-device
-    edge-clamping bit-exactly. `row_start` may be a traced value."""
+    edge-clamping bit-exactly. `row_start` may be a traced value.
+
+    With settings.pallas_main the band rides the Pallas MXU main pass
+    (round-3 fix: the first real-Mosaic run of the sharded path showed the
+    XLA main pass made sharded frames ~7x slower than single-chip): the
+    kernel computes a 32-aligned contiguous superset of the band+halo
+    rows, and the clamp-duplicated halo rows are reproduced by a row
+    gather afterwards (AO of a clamped row == AO of the row it clamps to,
+    so duplicate-after equals the XLA path's duplicate-inside)."""
     halo = settings.num_denoise_passes + 1
+    h, w = view_depth.shape
     mips = prefilter_depths(view_depth, consts)
-    ao, edges = main_pass(mips, normal_enc, consts, settings, noise_index,
-                          row_start=row_start - halo,
-                          num_rows=band_rows + 2 * halo)
+    main_rows = band_rows + 2 * halo
+
+    use_pallas = (settings.pallas_main and not settings.bent_normals
+                  and h % 32 == 0 and w % 32 == 0
+                  and -(-w // 16) <= 128)   # mip-4 width fits one lane row
+    r_static = ((main_rows + 31) // 32) * 32 + 32
+    if use_pallas and r_static <= h:
+        from ..kernels.gtao_main_pallas import (consts_to_vec,
+                                                main_pass_pallas)
+
+        lo_abs = jnp.asarray(row_start, jnp.int32) - halo
+        lo_c = jnp.clip(lo_abs, 0, h - main_rows)
+        lo32 = jnp.clip((lo_c // 32) * 32, 0, h - r_static)
+        ao_r, ed_r = main_pass_pallas(
+            mips, normal_enc, consts_to_vec(consts),
+            noise_maps_64(noise_index), width=w, height=h,
+            slice_count=settings.slice_count,
+            steps_per_slice=settings.steps_per_slice,
+            precision=settings.precision,
+            row_start=lo32, num_rows=r_static)
+        idx = jnp.clip(lo_abs + jnp.arange(main_rows), 0, h - 1) - lo32
+        ao, edges = ao_r[idx], ed_r[idx]
+    elif use_pallas:
+        # band+halo nearly covers the image: full-frame kernel + gather
+        from ..kernels.gtao_main_pallas import (consts_to_vec,
+                                                main_pass_pallas)
+
+        ao_f, ed_f = main_pass_pallas(
+            mips, normal_enc, consts_to_vec(consts),
+            noise_maps_64(noise_index), width=w, height=h,
+            slice_count=settings.slice_count,
+            steps_per_slice=settings.steps_per_slice,
+            precision=settings.precision)
+        idx = jnp.clip(jnp.asarray(row_start, jnp.int32) - halo
+                       + jnp.arange(main_rows), 0, h - 1)
+        ao, edges = ao_f[idx], ed_f[idx]
+    else:
+        ao, edges = main_pass(mips, normal_enc, consts, settings,
+                              noise_index, row_start=row_start - halo,
+                              num_rows=main_rows)
     ao = _denoise_chain(ao, edges, settings)
     return ao[halo:halo + band_rows]
 
