@@ -287,31 +287,38 @@ def _kernel(consts_ref, row0_ref,                         # scalar prefetch
             hm, wm = mip_shapes[m]
             wy, wx, _ = plan[m]
             y0, x0 = win_offs[m]
-
-            def rel(ux, uy, y0=y0, x0=x0, hm=hm, wm=wm, wy=wy, wx=wx):
-                tex_x = jnp.clip((ux * float(wm)).astype(jnp.int32),
-                                 0, wm - 1)
-                tex_y = jnp.clip((uy * float(hm)).astype(jnp.int32),
-                                 0, hm - 1)
-                return (jnp.clip(tex_y - y0, 0, wy - 1),
-                        jnp.clip(tex_x - x0, 0, wx - 1))
-
-            rely_a, relx_a = rel(ux_a, uy_a)
-            rely_b, relx_b = rel(ux_b, uy_b)
             win_ref = wins[m]
             use = mip == m
 
-            def fetch(carry, win_ref=win_ref, relx_a=relx_a, rely_a=rely_a,
-                      relx_b=relx_b, rely_b=rely_b, wy=wy, wx=wx, use=use):
-                # splits/casts happen in-kernel: bf16 *operands* mis-lower
-                # under Mosaic (measured: ~12-20% of pixels wrong at any
-                # size while the interpreter was exact) — f32 windows +
+            def fetch(carry, win_ref=win_ref, y0=y0, x0=x0, hm=hm, wm=wm,
+                      wy=wy, wx=wx, use=use):
+                # ALL per-level work lives inside the cond — round 3 found
+                # the texel/window coordinate math for every level of
+                # every step (eagerly hoisted out of the conds) was ~60%
+                # of the whole kernel; typical tiles take 1-2 of 5 levels.
+                # splits/casts happen in-kernel too: bf16 *operands*
+                # mis-lower under Mosaic (measured: ~12-20% of pixels
+                # wrong while the interpreter was exact) — f32 windows +
                 # a cast (half) or 3-op split (exact) per fetch are safe
                 sz_a, sz_b = carry
+
+                def rel(ux, uy):
+                    tex_x = jnp.clip((ux * float(wm)).astype(jnp.int32),
+                                     0, wm - 1)
+                    tex_y = jnp.clip((uy * float(hm)).astype(jnp.int32),
+                                     0, hm - 1)
+                    return (jnp.clip(tex_y - y0, 0, wy - 1),
+                            jnp.clip(tex_x - x0, 0, wx - 1))
+
+                rely_a, relx_a = rel(ux_a, uy_a)
+                rely_b, relx_b = rel(ux_b, uy_b)
                 if precision == "debug_nofetch":
                     # diagnostic: skip the gather entirely (wrong AO) —
                     # isolates the slice/step scaffold + window pipeline
-                    v = jnp.sum(win_ref[0][:1, :128]) * 1e-6
+                    v = (jnp.sum(win_ref[0][:1, :128])
+                         + jnp.sum(rely_a[:1, :1].astype(jnp.float32))
+                         + jnp.sum(relx_b[:1, :1].astype(jnp.float32))
+                         ) * 1e-6
                     return (jnp.where(use, sz_a + v, sz_a),
                             jnp.where(use, sz_b + v, sz_b))
                 if precision == "half":
