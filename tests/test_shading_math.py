@@ -258,3 +258,49 @@ def test_lpm_hdr_and_gamut_configs():
                                 config=LPM_CONFIG_709_P3))
     assert np.isfinite(out).all()
     assert out[0, 0] > out[0, 1], "red must dominate after gamut mapping"
+
+
+def test_ffx_transfer_functions():
+    """ffx_a.h output transfer functions (ffx_a.h:1869-1893): spec anchor
+    values + to/from round trips."""
+    from tpurt.passes.tonemap import (
+        a_from_709, a_from_gamma, a_from_pq, a_from_srgb, a_from_two,
+        a_to_709, a_to_gamma, a_to_pq, a_to_srgb, a_to_two,
+    )
+
+    # start above the linear-segment knee: the reference's min/max-trick
+    # inverses (AFrom709F1 etc.) are deliberately not exact below it
+    x = jnp.asarray(np.linspace(0.05, 1.0, 257, dtype=np.float32))
+    for to, frm, tol in ((a_to_709, a_from_709, 1e-3),
+                         (a_to_pq, a_from_pq, 2e-3),
+                         (a_to_srgb, a_from_srgb, 1e-3),
+                         (a_to_two, a_from_two, 1e-6)):
+        rt = np.asarray(frm(to(x)))
+        np.testing.assert_allclose(rt, np.asarray(x), atol=tol)
+    rt = np.asarray(a_from_gamma(a_to_gamma(x, 1.0 / 2.2), 2.2))
+    np.testing.assert_allclose(rt, np.asarray(x), atol=1e-5)
+
+    # PQ (SMPTE ST 2084) anchors: 1.0 -> 1.0; 100 nits (0.01) -> ~0.508
+    assert abs(float(a_to_pq(jnp.float32(1.0))) - 1.0) < 1e-3
+    assert abs(float(a_to_pq(jnp.float32(0.01))) - 0.5081) < 2e-3
+    # BT.709 OETF linear-segment boundary behaves per spec
+    assert abs(float(a_to_709(jnp.float32(0.001))) - 0.0045) < 1e-4
+    # sRGB transfer matches the exact-form encoder at mid grey
+    assert abs(float(a_to_srgb(jnp.float32(0.5))) - 0.73536) < 1e-3
+
+
+def test_tonemap_frame_hdr10():
+    """HDR10RAW_709 composite path: PQ-coded output in [0,1], AO-modulated,
+    monotone in luminance."""
+    from tpurt.passes.tonemap import lpm_setup_hdr10, tonemap_frame_hdr10
+
+    _, derived = lpm_setup_hdr10(display_max_nits=1000.0)
+    color = jnp.asarray(
+        np.random.default_rng(7).uniform(0, 16, (8, 8, 3)).astype(np.float32))
+    ao = jnp.full((8, 8), 255, jnp.uint8)
+    out = np.asarray(tonemap_frame_hdr10(color, ao, derived))
+    assert out.shape == (8, 8, 3)
+    assert np.isfinite(out).all() and (out >= 0).all() and (out <= 1).all()
+    # AO scaling: half AO must darken the PQ-coded result
+    out_half = np.asarray(tonemap_frame_hdr10(color, ao // 2, derived))
+    assert (out_half <= out + 1e-6).all() and out_half.mean() < out.mean()

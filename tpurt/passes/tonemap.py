@@ -270,3 +270,92 @@ def tonemap_frame(color, ao_u8, derived):
     color = color * ao[..., None]
     color = lpm_filter(color, derived)
     return srgb_approx(color)
+
+
+# ---- ffx_a.h output transfer functions (ffx_a.h:1869-1894) ----------------
+# The reference app only ever presents through the sRGB-approx path above,
+# but ships the full FidelityFX transfer library with its LPM; ported for
+# capability parity (HDR10/PQ/709/gamma outputs of the same filter).
+
+def a_to_709(c):
+    """ATo709F1 (ffx_a.h:1869)."""
+    c = jnp.maximum(c, 0.0)
+    return jnp.maximum(jnp.minimum(c * 4.5, 0.018),
+                       1.099 * jnp.power(c, 0.45) - 0.099)
+
+
+def a_from_709(c):
+    """AFrom709F1 (:1881-1882)."""
+    c = jnp.maximum(c, 0.0)
+    return jnp.maximum(jnp.minimum(c * (1.0 / 4.5), 0.081),
+                       jnp.power((c + 0.099) / 1.099, 1.0 / 0.45))
+
+
+def a_to_gamma(c, rcp_x):
+    """AToGammaF1 (:1872)."""
+    return jnp.power(jnp.maximum(c, 0.0), rcp_x)
+
+
+def a_from_gamma(c, x):
+    """AFromGammaF1 (:1884)."""
+    return jnp.power(jnp.maximum(c, 0.0), x)
+
+
+def a_to_pq(x):
+    """AToPqF1 (:1874-1875): linear {0..1, 1.0 = 10000 nits} -> PQ."""
+    p = jnp.power(jnp.maximum(x, 0.0), 0.159302)
+    return jnp.power((0.835938 + 18.8516 * p) / (1.0 + 18.6875 * p),
+                     78.8438)
+
+
+def a_from_pq(x):
+    """AFromPqF1 (:1886-1887)."""
+    p = jnp.power(jnp.maximum(x, 0.0), 0.0126833)
+    return jnp.power(jnp.clip(p - 0.835938, 0.0, 1.0)
+                     / (18.8516 - 18.6875 * p), 6.27739)
+
+
+def a_to_srgb(c):
+    """AToSrgbF1 (:1877)."""
+    c = jnp.maximum(c, 0.0)
+    return jnp.maximum(jnp.minimum(c * 12.92, 0.0031308),
+                       1.055 * jnp.power(c, 0.41666) - 0.055)
+
+
+def a_from_srgb(c):
+    """AFromSrgbF1 (:1890-1891)."""
+    c = jnp.maximum(c, 0.0)
+    return jnp.maximum(jnp.minimum(c / 12.92, 0.04045),
+                       jnp.power((c + 0.055) / 1.055, 2.4))
+
+
+def a_to_two(c):
+    """AToTwoF1 (:1879)."""
+    return jnp.sqrt(jnp.maximum(c, 0.0))
+
+
+def a_from_two(c):
+    """AFromTwoF1 (:1893)."""
+    return c * c
+
+
+def lpm_setup_hdr10(params: LpmParams = LpmParams(),
+                    display_max_nits: float = 1000.0):
+    """Control block for the HDR10RAW_709 output path: 709 working gamut,
+    2020 container scaled by LpmHdr10RawScalar (ffx_lpm.h HDR10RAW
+    prefabs)."""
+    return lpm_setup(params, config=LPM_CONFIG_HDR10RAW_709,
+                     colors=LPM_COLORS_HDR10RAW_709,
+                     scale_c=lpm_hdr10_raw_scalar(display_max_nits))
+
+
+def tonemap_frame_hdr10(color, ao_u8, derived_hdr10):
+    """HDR10 composite: AO modulate -> LpmFilter(HDR10RAW_709: con2+clip
+    into scaled Rec2020) -> PQ transfer (the output path the reference
+    ships but never reaches from its SDR app; tonemap.comp.glsl would
+    swap rgb_to_srgb_approx for AToPq). Returns PQ-coded [0,1] rgb for a
+    10-bit HDR10 surface."""
+    ao = ao_u8.astype(jnp.float32) / 255.0
+    color = color * ao[..., None]
+    color = lpm_filter(color, derived_hdr10, config=LPM_CONFIG_HDR10RAW_709)
+    return a_to_pq(color)
