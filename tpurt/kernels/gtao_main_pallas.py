@@ -489,7 +489,12 @@ def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
     plan = tuple(_plan_windows(mip_shapes, width, height))
 
     tiles_x = -(-width // TILE)
-    tiles_y = rows_out // TILE
+    # ceil: _to_packets edge-pads non-TILE-aligned frames, so the grid has
+    # ceil(rows/TILE) tile rows and every one needs a cut window — flooring
+    # here made the last tile row's window BlockSpec index out of bounds
+    # (1080p = 33.75 tile rows faulted the TPU worker; banded rows_out is
+    # asserted TILE-aligned so the band path is unaffected)
+    tiles_y = -(-rows_out // TILE)
     row0 = jnp.asarray(row_start, jnp.int32)
     row0_tiles = row0 // TILE
 
@@ -549,6 +554,9 @@ def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
 
     n_sub = packeted[0].shape[0]
     grid = (n_sub // 8,)
+    # every grid step must own a cut window: an OOB window block index is
+    # silently clamped by the interpreter but hard-faults the TPU worker
+    assert grid[0] == tiles_y * tiles_x, (grid, tiles_y, tiles_x)
 
     # index_map receives the scalar-prefetch refs as trailing args
     ray_spec = pl.BlockSpec((8, 128), lambda i, *refs: (i, 0),
