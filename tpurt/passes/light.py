@@ -121,132 +121,3 @@ def get_light_radiance(light: dict, pos, L):
     radiance = jnp.where(has_falloff[..., None] if jnp.ndim(has_falloff) else has_falloff,
                          radiance * w[..., None], radiance)
     return radiance
-
-
-# ----------------------------------------------------------------- planes --
-# SoA (component-plane) forms of the same functions. On TPU the minor axis
-# of an (N, 3) array occupies 3 of 128 vector lanes; the shading pass works
-# on (N,) planes instead (full lane occupancy; measured ~4x on the shade
-# elementwise block, SHADE_LAYOUT_PROBE.json). Float op ORDER matches the
-# vector forms exactly, so results are bit-identical.
-
-def _dot3(ax, ay, az, bx, by, bz):
-    return ax * bx + ay * by + az * bz
-
-
-def _bary_p(a, b, c, px, py, pz):
-    """compute_barycentric with constant triangle (a, b, c) and plane point
-    p (light.glsl:50-67). Returns (bx, by, bz) planes."""
-    v0 = b - a
-    v1 = c - a
-    v2x, v2y, v2z = px - a[0], py - a[1], pz - a[2]
-    d00 = v0[0] * v0[0] + v0[1] * v0[1] + v0[2] * v0[2]
-    d01 = v0[0] * v1[0] + v0[1] * v1[1] + v0[2] * v1[2]
-    d11 = v1[0] * v1[0] + v1[1] * v1[1] + v1[2] * v1[2]
-    d20 = _dot3(v2x, v2y, v2z, v0[0], v0[1], v0[2])
-    d21 = _dot3(v2x, v2y, v2z, v1[0], v1[1], v1[2])
-    denom = d00 * d11 - d01 * d01
-    bx = (d11 * d20 - d01 * d21) / denom
-    by = (d00 * d21 - d01 * d20) / denom
-    bz = 1.0 - bx - by
-    return bx, by, bz
-
-
-def _seg_p(pos0, pos1, px, py, pz):
-    """closest_point_to_segment with constant endpoints (light.glsl:69-74)."""
-    v01 = pos1 - pos0
-    t = _dot3(px - pos0[0], py - pos0[1], pz - pos0[2],
-              v01[0], v01[1], v01[2]) \
-        / (v01[0] * v01[0] + v01[1] * v01[1] + v01[2] * v01[2])
-    t = jnp.clip(t, 0.0, 1.0)
-    return pos0[0] + t * v01[0], pos0[1] + t * v01[1], pos0[2] + t * v01[2]
-
-
-def _tri_p(pos0, pos1, pos2, px, py, pz):
-    """closest_point_to_triangle, constant corners (light.glsl:76-91)."""
-    bx, by, bz = _bary_p(pos0, pos1, pos2, px, py, pz)
-    s20 = _seg_p(pos2, pos0, px, py, pz)
-    s12 = _seg_p(pos1, pos2, px, py, pz)
-    ox = jnp.where(bz < 0.0, s12[0], px)
-    oy = jnp.where(bz < 0.0, s12[1], py)
-    oz = jnp.where(bz < 0.0, s12[2], pz)
-    ox = jnp.where(bx < 0.0, s20[0], ox)
-    oy = jnp.where(bx < 0.0, s20[1], oy)
-    oz = jnp.where(bx < 0.0, s20[2], oz)
-    return ox, oy, oz
-
-
-def unnormalized_L_vec_p(light: dict, px, py, pz):
-    """get_unnormalized_L_vec over position planes (light.glsl:93-124).
-    Light fields are per-light scalars/3-vectors. Returns (Lx, Ly, Lz)."""
-    ltype = light["light_type"]
-    lpos = light["pos"]
-    ldir = light["dir"]
-
-    psx, psy, psz = lpos[0] - px, lpos[1] - py, lpos[2] - pz
-    ddx, ddy, ddz = -ldir[0] * 10.0, -ldir[1] * 10.0, -ldir[2] * 10.0
-
-    a2 = light["area_pos2"]
-    a3 = light["area_pos3"]
-    distance = (ldir[0] * a2[0] + ldir[1] * a2[1] + ldir[2] * a2[2]) \
-        - _dot3(ldir[0], ldir[1], ldir[2], px, py, pz)
-    cpx = px + distance * ldir[0]
-    cpy = py + distance * ldir[1]
-    cpz = pz + distance * ldir[2]
-    bx, by, bz = _bary_p(lpos, a2, a3, cpx, cpy, cpz)
-
-    pos4 = lpos - a2 + a3
-    tb = _tri_p(lpos, a3, pos4, cpx, cpy, cpz)
-    sa = _seg_p(lpos, a2, cpx, cpy, cpz)
-    sb = _seg_p(a2, a3, cpx, cpy, cpz)
-
-    clx = jnp.where(bz < 0.0, sb[0], cpx)
-    cly = jnp.where(bz < 0.0, sb[1], cpy)
-    clz = jnp.where(bz < 0.0, sb[2], cpz)
-    clx = jnp.where(by < 0.0, sa[0], clx)
-    cly = jnp.where(by < 0.0, sa[1], cly)
-    clz = jnp.where(by < 0.0, sa[2], clz)
-    clx = jnp.where(bx < 0.0, tb[0], clx)
-    cly = jnp.where(bx < 0.0, tb[1], cly)
-    clz = jnp.where(bx < 0.0, tb[2], clz)
-    arx, ary, arz = clx - px, cly - py, clz - pz
-
-    is_ps = (ltype == LIGHT_TYPE_POINT) | (ltype == LIGHT_TYPE_SPOT)
-    is_d = ltype == LIGHT_TYPE_DIRECTIONAL
-    is_a = ltype == LIGHT_TYPE_AREA
-    one = jnp.ones_like(px)
-    lx = jnp.where(is_ps, psx, jnp.where(is_d, ddx * one,
-                                         jnp.where(is_a, arx, one)))
-    ly = jnp.where(is_ps, psy, jnp.where(is_d, ddy * one,
-                                         jnp.where(is_a, ary, one)))
-    lz = jnp.where(is_ps, psz, jnp.where(is_d, ddz * one,
-                                         jnp.where(is_a, arz, one)))
-    return lx, ly, lz
-
-
-def light_radiance_p(light: dict, px, py, pz, lx, ly, lz):
-    """get_light_radiance over planes (light.glsl:34-48). Returns the
-    (r, g, b) radiance planes."""
-    ltype = light["light_type"]
-    is_cone = (ltype == LIGHT_TYPE_SPOT) | (ltype == LIGHT_TYPE_AREA)
-    cos_theta = _dot3(light["dir"][0], light["dir"][1], light["dir"][2],
-                      -lx, -ly, -lz)
-    theta_s = jnp.arccos(jnp.clip(cos_theta, -1.0, 1.0))
-    denom = light["penumbra_angle"] - light["umbra_angle"]
-    denom = jnp.where(denom == 0.0, 1.0, denom)
-    t = jnp.clip((theta_s - light["umbra_angle"]) / denom, 0.0, 1.0)
-    tt = t * t
-
-    has_falloff = light["falloff_distance"] > 0.0
-    dx, dy, dz = light["pos"][0] - px, light["pos"][1] - py, \
-        light["pos"][2] - pz
-    dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-    w = jnp.maximum(1.0 - (dist / light["falloff_distance"]) ** 2, 0.0) ** 2
-
-    out = []
-    for c in range(3):
-        rad = jnp.broadcast_to(light["color"][c], px.shape)
-        rad = jnp.where(is_cone, rad * tt, rad)
-        rad = jnp.where(has_falloff, rad * w, rad)
-        out.append(rad)
-    return tuple(out)

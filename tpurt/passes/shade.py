@@ -25,8 +25,7 @@ import numpy as np
 
 from ..kernels.traverse import trace_any
 from . import brdf
-from .light import (get_light_radiance, get_unnormalized_L_vec,
-                    light_radiance_p, unnormalized_L_vec_p)
+from .light import get_light_radiance, get_unnormalized_L_vec
 
 LOCAL_SSS_RATIO = 0.4
 SHADOW_T_MIN = 0.01
@@ -287,106 +286,6 @@ def sample_anisotropic(atlas, offsets, sizes, prim, layer: int, uv,
     return acc / taps
 
 
-# ----------------------------------------------------------------- planes --
-# SoA (component-plane) shading core. On TPU the minor axis of an (N, 3)
-# array maps to the 128-lane vector axis, so AoS elementwise math runs at
-# 3/128 lane occupancy; the plane forms below run the identical float ops
-# (same order — results are bit-identical) on (N,) planes at full width.
-# Measured ~4x on the shade elementwise block (SHADE_LAYOUT_PROBE.json).
-
-def _norm3_p(x, y, z, eps=1e-20):
-    n = jnp.maximum(jnp.sqrt(x * x + y * y + z * z), eps)
-    return x / n, y / n, z / n
-
-
-def _bilerp_planes(rowt, fx, fy):
-    """rowt: (64, N) f32 quad-row planes (quad layout: 4 corners x 12
-    channels, scene.py); fx/fy: (N,). Returns (12, N) lerped planes —
-    the plane form of sample_bilinear_quad's lerp."""
-    t00, t10 = rowt[0:12], rowt[12:24]
-    t01, t11 = rowt[24:36], rowt[36:48]
-    out = ((t00 * (1 - fx) + t10 * fx) * (1 - fy)
-           + (t01 * (1 - fx) + t11 * fx) * fy)
-    return out / 255.0
-
-
-def _quad48_fetch_p(quad, h, w, prim, tcu, tcv):
-    """sample_bilinear_quad in planes: one row gather + plane lerp.
-    Returns (12, N) [albedo4 | orm4 | normal4] planes."""
-    px = tcu * w - 0.5
-    py = tcv * h - 0.5
-    x0 = jnp.floor(px)
-    y0 = jnp.floor(py)
-    fx = px - x0
-    fy = py - y0
-    x0i = jnp.mod(x0.astype(jnp.int32), w.astype(jnp.int32))
-    y0i = jnp.mod(y0.astype(jnp.int32), h.astype(jnp.int32))
-    P, H, W, C = quad.shape
-    flat = (prim * H + y0i) * W + x0i
-    row = quad.reshape(P * H * W, C)[flat]          # (N, 64)
-    return _bilerp_planes(row.T.astype(jnp.float32), fx, fy)
-
-
-def _mip_quad_fetch_p(qatlas, qoffsets, sizes, prim, tcu, tcv, level):
-    """_sample_mip_bilinear_quad in planes. Returns (12, N)."""
-    hw = sizes[prim, level]
-    h = hw[:, 0]
-    w = hw[:, 1]
-    px = tcu * w.astype(jnp.float32) - 0.5
-    py = tcv * h.astype(jnp.float32) - 0.5
-    x0 = jnp.floor(px)
-    y0 = jnp.floor(py)
-    fx = px - x0
-    fy = py - y0
-    x0i = jnp.mod(x0.astype(jnp.int32), w)
-    y0i = jnp.mod(y0.astype(jnp.int32), h)
-    row = qatlas[qoffsets[prim, level] + y0i * w + x0i]
-    return _bilerp_planes(row.T.astype(jnp.float32), fx, fy)
-
-
-def _trilinear_quad_p(qatlas, qoffsets, sizes, prim, tcu, tcv, lod):
-    """sample_trilinear_quad in planes: two mip fetches + plane lerp."""
-    levels = sizes.shape[1]
-    lod = jnp.clip(lod, 0.0, float(levels - 1))
-    l0 = jnp.floor(lod)
-    frac = lod - l0
-    l0i = l0.astype(jnp.int32)
-    l1i = jnp.minimum(l0i + 1, levels - 1)
-    s0 = _mip_quad_fetch_p(qatlas, qoffsets, sizes, prim, tcu, tcv, l0i)
-    s1 = _mip_quad_fetch_p(qatlas, qoffsets, sizes, prim, tcu, tcv, l1i)
-    return s0 * (1 - frac) + s1 * frac
-
-
-def _aniso_quad_p(qatlas, qoffsets, sizes, prim, tcu, tcv, lod_minor,
-                  duv_mx, duv_my, taps: int):
-    """sample_anisotropic_quad in planes."""
-    acc = None
-    for i in range(taps):
-        f = (i + 0.5) / taps - 0.5
-        s = _trilinear_quad_p(qatlas, qoffsets, sizes, prim,
-                              tcu + duv_mx * f, tcv + duv_my * f, lod_minor)
-        acc = s if acc is None else acc + s
-    return acc / taps
-
-
-def _ray_cone_common_p(t, spread, nx, ny, nz, dx, dy, dz,
-                       e1x, e1y, e1z, e2x, e2y, e2z,
-                       duv1x, duv1y, duv2x, duv2y, tex_w, tex_h):
-    """Shared ray-cone quantities in planes (cone diameter, |N.D|,
-    texels-per-world density) — same float order as ray_cone_lod/aniso."""
-    cone_diam = t * spread
-    d_dot_n = nx * dx + ny * dy + nz * dz
-    cos_in = jnp.abs(d_dot_n)
-    cx = e1y * e2z - e1z * e2y
-    cy = e1z * e2x - e1x * e2z
-    cz = e1x * e2y - e1y * e2x
-    world_area = 0.5 * jnp.sqrt(cx * cx + cy * cy + cz * cz)
-    uv_area = 0.5 * jnp.abs(duv1x * duv2y - duv1y * duv2x)
-    texel_per_world = jnp.sqrt(
-        uv_area * tex_w * tex_h / jnp.maximum(world_area, 1e-12))
-    return cone_diam, d_dot_n, cos_in, texel_per_world
-
-
 def shade(scene: dict, camera: dict, lights: dict, hits: dict,
           origin, direction, *, pallas_tables: str = "",
           height: int = 0, width: int = 0, max_leaf: int = 4,
@@ -403,10 +302,6 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
     image_rows: the FULL image height, used for the ray-cone spread — pass
     it when `height` is only a band of the frame (multi-chip path), or the
     cone comes out mesh-size× too wide.
-
-    Internally all elementwise math runs on component PLANES (see the SoA
-    note above); outputs are restacked once at the end. Float op order
-    matches the reference formulas (raytrace.rgen.glsl:106-199) exactly.
     """
     if pallas_tables:
         from ..kernels.traverse_pallas import trace_any_packets
@@ -414,64 +309,48 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
     valid = tri >= 0
     tidx = jnp.maximum(tri, 0)
 
-    u = hits["u"]
-    v = hits["v"]
+    u = hits["u"][:, None]
+    v = hits["v"][:, None]
     w = 1.0 - u - v
 
-    def lerp(a0, a1, a2):
-        return a0 * w + a1 * u + a2 * v
-
-    texh = texw = None
+    tex_hw = None
     if "tri_attr" in scene:
         # gather-optimized path: ONE wide gather fetches all three
         # corners' attributes plus [prim, tex_h, tex_w] (TPU gather cost
-        # scales with rows, not row width), then ONE transpose turns the
-        # (N, 39) rows into 39 full-lane planes
-        at = scene["tri_attr"][tidx].T        # (39, N)
-        p0x, p0y, p0z, uv0x, uv0y = at[0], at[1], at[2], at[3], at[4]
-        n0x, n0y, n0z = at[5], at[6], at[7]
-        t0x, t0y, t0z, t0w = at[8], at[9], at[10], at[11]
-        p1x, p1y, p1z, uv1x, uv1y = at[12], at[13], at[14], at[15], at[16]
-        n1x, n1y, n1z = at[17], at[18], at[19]
-        t1x, t1y, t1z = at[20], at[21], at[22]
-        p2x, p2y, p2z, uv2x, uv2y = at[24], at[25], at[26], at[27], at[28]
-        n2x, n2y, n2z = at[29], at[30], at[31]
-        t2x, t2y, t2z = at[32], at[33], at[34]
-        prim = at[36].astype(jnp.int32)       # exact small floats
-        texh, texw = at[37], at[38]
+        # scales with rows, not row width) — the values are byte-identical
+        # to the per-table path
+        attr = scene["tri_attr"][tidx]        # (N, 39)
+        p0, p1, p2 = attr[:, 0:3], attr[:, 12:15], attr[:, 24:27]
+        uv0, uv1, uv2 = attr[:, 3:5], attr[:, 15:17], attr[:, 27:29]
+        n0, n1, n2 = attr[:, 5:8], attr[:, 17:20], attr[:, 29:32]
+        t0, t1, t2 = attr[:, 8:12], attr[:, 20:24], attr[:, 32:36]
+        prim = attr[:, 36].astype(jnp.int32)  # exact small floats
+        tex_hw = attr[:, 37:39]               # (N, 2) f32 (h, w)
     else:
         prim = scene["tri_prim"][tidx]        # (N,)
         vids = scene["tri_vertex"][tidx]      # (N, 3)
-        pt = [scene["vtx_pos"][vids[:, k]].T for k in range(3)]
-        uvt = [scene["vtx_uv"][vids[:, k]].T for k in range(3)]
-        nt = [scene["vtx_normal"][vids[:, k]].T for k in range(3)]
-        tt = [scene["vtx_tangent"][vids[:, k]].T for k in range(3)]
-        p0x, p0y, p0z = pt[0]
-        p1x, p1y, p1z = pt[1]
-        p2x, p2y, p2z = pt[2]
-        uv0x, uv0y = uvt[0]
-        uv1x, uv1y = uvt[1]
-        uv2x, uv2y = uvt[2]
-        n0x, n0y, n0z = nt[0]
-        n1x, n1y, n1z = nt[1]
-        n2x, n2y, n2z = nt[2]
-        t0x, t0y, t0z, t0w = tt[0]
-        t1x, t1y, t1z = tt[1][0], tt[1][1], tt[1][2]
-        t2x, t2y, t2z = tt[2][0], tt[2][1], tt[2][2]
+        p0 = scene["vtx_pos"][vids[:, 0]]
+        p1 = scene["vtx_pos"][vids[:, 1]]
+        p2 = scene["vtx_pos"][vids[:, 2]]
+        uv0 = scene["vtx_uv"][vids[:, 0]]
+        uv1 = scene["vtx_uv"][vids[:, 1]]
+        uv2 = scene["vtx_uv"][vids[:, 2]]
+        n0 = scene["vtx_normal"][vids[:, 0]]
+        n1 = scene["vtx_normal"][vids[:, 1]]
+        n2 = scene["vtx_normal"][vids[:, 2]]
+        t0 = scene["vtx_tangent"][vids[:, 0]]
+        t1 = scene["vtx_tangent"][vids[:, 1]]
+        t2 = scene["vtx_tangent"][vids[:, 2]]
 
-    posx, posy, posz = lerp(p0x, p1x, p2x), lerp(p0y, p1y, p2y), \
-        lerp(p0z, p1z, p2z)
-    tcu, tcv = lerp(uv0x, uv1x, uv2x), lerp(uv0y, uv1y, uv2y)
-    wnx, wny, wnz = _norm3_p(lerp(n0x, n1x, n2x), lerp(n0y, n1y, n2y),
-                             lerp(n0z, n1z, n2z))
-    wtx, wty, wtz = _norm3_p(lerp(t0x, t1x, t2x), lerp(t0y, t1y, t2y),
-                             lerp(t0z, t1z, t2z))
+    world_pos = p0 * w + p1 * u + p2 * v
+    tex_coord = uv0 * w + uv1 * u + uv2 * v
+    world_normal = _normalize(n0 * w + n1 * u + n2 * v)
+    world_tangent = _normalize(t0[:, :3] * w + t1[:, :3] * u + t2[:, :3] * v)
     # Gram-Schmidt re-orthogonalization; handedness from v0's tangent.w
-    tn = wtx * wnx + wty * wny + wtz * wnz
-    wtx, wty, wtz = _norm3_p(wtx - tn * wnx, wty - tn * wny, wtz - tn * wnz)
-    wbx = (wny * wtz - wnz * wty) * t0w
-    wby = (wnz * wtx - wnx * wtz) * t0w
-    wbz = (wnx * wty - wny * wtx) * t0w
+    world_tangent = _normalize(
+        world_tangent
+        - jnp.sum(world_tangent * world_normal, -1, keepdims=True) * world_normal)
+    world_binormal = jnp.cross(world_normal, world_tangent) * t0[:, 3:4]
 
     if "tex_atlas" in scene:
         # trilinear mip sampling: LOD from the ray-cone footprint; pixel
@@ -479,138 +358,110 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
         rows = image_rows or height or int(round(float(
             np.sqrt(hits["t"].shape[0]))))
         spread = 2.0 / (camera["proj"][1, 1] * rows)
-        hw0 = scene["tex_mip_sizes"][prim, 0].astype(jnp.float32)
-        texh, texw = hw0[:, 0], hw0[:, 1]
+        tex_hw = scene["tex_mip_sizes"][prim, 0].astype(jnp.float32)
         quad_mips = scene.get("tex_mip_quad") is not None
-        dx, dy, dz = direction[:, 0], direction[:, 1], direction[:, 2]
-        e1x, e1y, e1z = p1x - p0x, p1y - p0y, p1z - p0z
-        e2x, e2y, e2z = p2x - p0x, p2y - p0y, p2z - p0z
-        duv1x, duv1y = uv1x - uv0x, uv1y - uv0y
-        duv2x, duv2y = uv2x - uv0x, uv2y - uv0y
-        cone_diam, d_dot_n, cos_in, texel_per_world = _ray_cone_common_p(
-            hits["t"], spread, wnx, wny, wnz, dx, dy, dz,
-            e1x, e1y, e1z, e2x, e2y, e2z, duv1x, duv1y, duv2x, duv2y,
-            texw, texh)
         if aniso_taps > 1:
-            # ray_cone_aniso in planes (same float order)
-            lod_minor = jnp.log2(jnp.maximum(cone_diam * texel_per_world,
-                                             1e-6))
-            prx = dx - d_dot_n * wnx
-            pry = dy - d_dot_n * wny
-            prz = dz - d_dot_n * wnz
-            plen = jnp.sqrt(prx * prx + pry * pry + prz * prz)
-            pl = jnp.maximum(plen, 1e-20)
-            pdx, pdy, pdz = prx / pl, pry / pl, prz / pl
-            aniso = jnp.clip(1.0 / jnp.maximum(cos_in, 1e-4), 1.0, 16.0)
-            major_len = cone_diam * aniso
-            g11 = e1x * e1x + e1y * e1y + e1z * e1z
-            g12 = e1x * e2x + e1y * e2y + e1z * e2z
-            g22 = e2x * e2x + e2y * e2y + e2z * e2z
-            r1 = pdx * e1x + pdy * e1y + pdz * e1z
-            r2 = pdx * e2x + pdy * e2y + pdz * e2z
-            det = g11 * g22 - g12 * g12
-            ok = det > 1e-8 * g11 * g22
-            inv_det = 1.0 / jnp.maximum(det, 1e-30)
-            a = (r1 * g22 - r2 * g12) * inv_det
-            b = (g11 * r2 - g12 * r1) * inv_det
-            duv_mx = jnp.where(ok, (a * duv1x + b * duv2x) * major_len, 0.0)
-            duv_my = jnp.where(ok, (a * duv1y + b * duv2y) * major_len, 0.0)
+            lod_minor, duv_major = ray_cone_aniso(
+                hits["t"], direction, world_normal, p0, p1, p2,
+                uv0, uv1, uv2, tex_hw[:, 1], tex_hw[:, 0], spread,
+                max_aniso=16)
             if quad_mips:
-                packed = _aniso_quad_p(
+                packed = sample_anisotropic_quad(
                     scene["tex_mip_quad"], scene["tex_mip_quad_offsets"],
-                    scene["tex_mip_sizes"], prim, tcu, tcv, lod_minor,
-                    duv_mx, duv_my, aniso_taps)
+                    scene["tex_mip_sizes"], prim, tex_coord, lod_minor,
+                    duv_major, aniso_taps)
+
+                def fetch(layer):
+                    return packed[:, layer * 4:layer * 4 + 4]
             else:
-                uv = jnp.stack([tcu, tcv], axis=-1)
-                duv = jnp.stack([duv_mx, duv_my], axis=-1)
-                packed = jnp.concatenate([
-                    sample_anisotropic(
+                def fetch(layer):
+                    return sample_anisotropic(
                         scene["tex_atlas"], scene["tex_mip_offsets"],
-                        scene["tex_mip_sizes"], prim, layer, uv,
-                        lod_minor, duv, aniso_taps)
-                    for layer in range(3)], axis=-1).T
+                        scene["tex_mip_sizes"], prim, layer, tex_coord,
+                        lod_minor, duv_major, aniso_taps)
         else:
-            # ray_cone_lod in planes: bounded-anisotropy footprint
-            footprint = cone_diam / jnp.maximum(cos_in, 0.25)
-            lod = jnp.log2(jnp.maximum(footprint * texel_per_world, 1e-6))
+            lod = ray_cone_lod(hits["t"], direction, world_normal, p0, p1,
+                               p2, uv0, uv1, uv2, tex_hw[:, 1], tex_hw[:, 0],
+                               spread)
             if quad_mips:
-                packed = _trilinear_quad_p(
+                packed = sample_trilinear_quad(
                     scene["tex_mip_quad"], scene["tex_mip_quad_offsets"],
-                    scene["tex_mip_sizes"], prim, tcu, tcv, lod)
+                    scene["tex_mip_sizes"], prim, tex_coord, lod)
+
+                def fetch(layer):
+                    return packed[:, layer * 4:layer * 4 + 4]
             else:
-                uv = jnp.stack([tcu, tcv], axis=-1)
-                packed = jnp.concatenate([
-                    sample_trilinear(scene["tex_atlas"],
-                                     scene["tex_mip_offsets"],
-                                     scene["tex_mip_sizes"], prim,
-                                     layer, uv, lod)
-                    for layer in range(3)], axis=-1).T
-    elif "tex_quad48" in scene and texh is not None:
+                def fetch(layer):
+                    return sample_trilinear(scene["tex_atlas"],
+                                            scene["tex_mip_offsets"],
+                                            scene["tex_mip_sizes"], prim,
+                                            layer, tex_coord, lod)
+    elif "tex_quad48" in scene and tex_hw is not None:
         # quad rows: ONE gather fetches the whole 2x2 bilinear footprint of
         # albedo+ORM+normal at once
-        packed = _quad48_fetch_p(scene["tex_quad48"], texh, texw, prim,
-                                 tcu, tcv)
+        packed = sample_bilinear_quad(scene["tex_quad48"], tex_hw, prim,
+                                      tex_coord)
+
+        def fetch(layer):
+            return packed[:, layer * 4:layer * 4 + 4]
     elif "tex_stack12" in scene:
         # packed layers: 4 bilinear taps fetch albedo+ORM+normal together
         packed = sample_bilinear(scene["tex_stack12"], scene["tex_size"],
-                                 prim, 0, jnp.stack([tcu, tcv], axis=-1),
-                                 images_per_prim=1).T
+                                 prim, 0, tex_coord, images_per_prim=1)
+
+        def fetch(layer):
+            return packed[:, layer * 4:layer * 4 + 4]
     else:
-        uv = jnp.stack([tcu, tcv], axis=-1)
-        packed = jnp.concatenate([
-            sample_bilinear(scene["tex_stack"], scene["tex_size"], prim,
-                            layer, uv) for layer in range(3)], axis=-1).T
+        def fetch(layer):
+            return sample_bilinear(scene["tex_stack"], scene["tex_size"],
+                                   prim, layer, tex_coord)
 
-    # packed: (12, N) planes = [albedo4 | orm4 | normal4]
-    tsx, tsy, tsz = _norm3_p(packed[8] * 2.0 - 1.0, packed[9] * 2.0 - 1.0,
-                             packed[10] * 2.0 - 1.0)
-    Nx, Ny, Nz = _norm3_p(tsx * wtx + tsy * wbx + tsz * wnx,
-                          tsx * wty + tsy * wby + tsz * wny,
-                          tsx * wtz + tsy * wbz + tsz * wnz)
+    nmap = fetch(2)
+    N_ts = _normalize(nmap[:, :3] * 2.0 - 1.0)
+    N = _normalize(N_ts[:, 0:1] * world_tangent
+                   + N_ts[:, 1:2] * world_binormal
+                   + N_ts[:, 2:3] * world_normal)
 
-    alb = (jnp.power(packed[0], 2.2), jnp.power(packed[1], 2.2),
-           jnp.power(packed[2], 2.2))
-    roughness = packed[5]
-    metallic = packed[6]
+    albedo = jnp.power(fetch(0)[:, :3], 2.2)
+    orm = fetch(1)
+    roughness = orm[:, 1]
+    metallic = orm[:, 2]
 
     camera_pos = camera["camera_pos"]
-    Vx, Vy, Vz = _norm3_p(camera_pos[0] - posx, camera_pos[1] - posy,
-                          camera_pos[2] - posz)
-    one_minus_metal = 1.0 - metallic
-    F0 = tuple(0.04 * one_minus_metal + alb[c] * metallic for c in range(3))
+    V = _normalize(camera_pos[None, :] - world_pos)
+    F0 = 0.04 * (1.0 - metallic[:, None]) + albedo * metallic[:, None]
     corrected_roughness = roughness * roughness
 
-    nc_NdotV = Nx * Vx + Ny * Vy + Nz * Vz
+    nc_NdotV = jnp.sum(N * V, axis=-1)
     NdotV = jnp.clip(nc_NdotV, 1e-5, 1.0)
 
     num_lights = lights["pos"].shape[0]
-    rho = [jnp.zeros_like(roughness) for _ in range(3)]
+    rho = jnp.zeros_like(albedo)
     for i in range(num_lights):
         light = {k: arr[i] for k, arr in lights.items()}
-        nnx, nny, nnz = unnormalized_L_vec_p(light, posx, posy, posz)
-        L_len = jnp.sqrt(nnx * nnx + nny * nny + nnz * nnz)
-        safe_len = jnp.maximum(L_len, 1e-20)
-        Lx, Ly, Lz = nnx / safe_len, nny / safe_len, nnz / safe_len
-        Hx, Hy, Hz = _norm3_p(Vx + Lx, Vy + Ly, Vz + Lz)
+        nn_L = get_unnormalized_L_vec(light, world_pos)
+        L_len = jnp.linalg.norm(nn_L, axis=-1)
+        L = nn_L / jnp.maximum(L_len, 1e-20)[..., None]
+        H = _normalize(V + L)
 
-        nc_NdotL = Nx * Lx + Ny * Ly + Nz * Lz
+        nc_NdotL = jnp.sum(N * L, axis=-1)
         NdotL = jnp.clip(nc_NdotL, 0.0, 1.0)
-        NdotH = jnp.clip(Nx * Hx + Ny * Hy + Nz * Hz, 0.0, 1.0)
-        LdotH = jnp.clip(Lx * Hx + Ly * Hy + Lz * Hz, 0.0, 1.0)
+        NdotH = jnp.clip(jnp.sum(N * H, axis=-1), 0.0, 1.0)
+        LdotH = jnp.clip(jnp.sum(L * H, axis=-1), 0.0, 1.0)
 
-        DG = brdf.d_ggx(corrected_roughness, NdotH) \
-            * brdf.v_smith_ggx_correlated_fast(corrected_roughness,
-                                               NdotV, NdotL)
-        burley = brdf.burley_diffuse_local_sss(
+        Ks = brdf.f_schlick(F0, LdotH)
+        Kd = (1.0 - metallic[:, None]) * albedo
+
+        rho_s = brdf.cook_torrance_specular(NdotL, NdotV, NdotH,
+                                            corrected_roughness, Ks)
+        rho_d = Kd * brdf.burley_diffuse_local_sss(
             corrected_roughness, NdotV, nc_NdotV, nc_NdotL, LdotH,
-            LOCAL_SSS_RATIO)
+            LOCAL_SSS_RATIO)[..., None]
 
         shadow_attenuation = jnp.ones_like(NdotL)
         wants_shadow = valid & (light["casts_shadows"] > 0) & (nc_NdotL > 0)
         # inactive lanes get tmax=0 -> they leave the BVH on the first step
         t_max = jnp.where(wants_shadow, L_len, 0.0)
-        world_pos = jnp.stack([posx, posy, posz], axis=-1)
-        L = jnp.stack([Lx, Ly, Lz], axis=-1)
         if shadow_trace_fn is not None:
             occluded = shadow_trace_fn(world_pos, L, SHADOW_T_MIN, t_max)
         elif pallas_tables:
@@ -625,30 +476,20 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
         shadow_attenuation = jnp.where(wants_shadow & occluded,
                                        SHADOW_ATTENUATION, shadow_attenuation)
 
-        rad = light_radiance_p(light, posx, posy, posz, Lx, Ly, Lz)
+        radiance = get_light_radiance(light, world_pos, L)
         active = light.get("active", jnp.float32(1.0))
-        s = shadow_attenuation * NdotL * active
-        for c in range(3):
-            Ks_c = brdf.f_schlick(F0[c], LdotH)
-            rho_s_c = DG * Ks_c
-            rho_d_c = one_minus_metal * alb[c] * burley
-            rho[c] = rho[c] + (rho_s_c + rho_d_c) * rad[c] * s
+        rho = rho + ((rho_s + rho_d) * radiance
+                     * (shadow_attenuation * NdotL * active)[..., None])
 
-    out_color = jnp.stack(
-        [jnp.where(valid, rho[c], 0.0) for c in range(3)], axis=-1)
+    out_color = jnp.where(valid[:, None], rho, 0.0)
 
     view = camera["view"]
-    view_z = posx * view[2, 0] + posy * view[2, 1] + posz * view[2, 2] \
-        + view[2, 3]
+    view_z = world_pos @ view[2, :3] + view[2, 3]
     out_depth = jnp.where(valid, -view_z, MISS_DEPTH)
 
-    nvx = view[0, 0] * Nx + view[0, 1] * Ny + view[0, 2] * Nz
-    nvy = -(view[1, 0] * Nx + view[1, 1] * Ny + view[1, 2] * Nz)
-    nvz = -(view[2, 0] * Nx + view[2, 1] * Ny + view[2, 2] * Nz)
-    nvx, nvy, nvz = _norm3_p(nvx, nvy, nvz)
-    out_normal = jnp.stack(
-        [jnp.where(valid, nvx * 0.5 + 0.5, 0.5),
-         jnp.where(valid, nvy * 0.5 + 0.5, 0.5),
-         jnp.where(valid, nvz * 0.5 + 0.5, 0.5)], axis=-1)
+    normal_view = jnp.einsum("ij,nj->ni", view[:3, :3], N)
+    normal_view = normal_view * jnp.array([1.0, -1.0, -1.0])
+    normal_enc = _normalize(normal_view) * 0.5 + 0.5
+    out_normal = jnp.where(valid[:, None], normal_enc, 0.5)
 
     return dict(color=out_color, depth=out_depth, normal_enc=out_normal)
