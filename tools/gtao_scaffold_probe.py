@@ -46,13 +46,13 @@ def main():
         consts = gtao_constants(w, h, 0.1, 100.0, np.pi / 2, w / h)
         cvec = consts_to_vec(consts)
 
-        def make(precision):
+        def make(precision, slices=9):
             def fn(ni):
                 mips = prefilter_depths(depth, consts)
                 ao, e = main_pass_pallas(
                     mips, normal_enc, cvec, noise_maps_64(ni),
-                    width=w, height=h, slice_count=9, steps_per_slice=3,
-                    precision=precision)
+                    width=w, height=h, slice_count=slices,
+                    steps_per_slice=3, precision=precision)
                 return (jnp.sum(ao.astype(jnp.float32))
                         + jnp.sum(e.astype(jnp.float32)))
             return fn
@@ -60,7 +60,45 @@ def main():
         def null_fn(ni):
             return jnp.sum(ni.astype(jnp.float32))
 
+        def prefilter_only(ni):
+            mips = prefilter_depths(depth + ni.astype(jnp.float32) * 1e-6,
+                                    consts)
+            return sum(jnp.sum(m) for m in mips)
+
+        def windows_only(ni):
+            # prefilter + the per-tile window cut main_pass_pallas does
+            # outside the kernel (per-rep depth jitter defeats hoisting —
+            # the plain stages hoist mips+windows out of the scan, so this
+            # cost never showed there)
+            import numpy as np_
+            from tpurt.kernels.gtao_main_pallas import (_cut_windows,
+                                                        _plan_windows)
+            mips = prefilter_depths(depth + ni.astype(jnp.float32) * 1e-6,
+                                    consts)
+            shapes = [(int(m.shape[0]), int(m.shape[1])) for m in mips]
+            plan = _plan_windows(shapes, w, h)
+            tiles_y, tiles_x = -(-h // 32), -(-w // 32)
+            acc = jnp.float32(0)
+            for m, (wy, wx, full) in enumerate(plan):
+                hm, wm = shapes[m]
+                if full:
+                    y0s = np_.zeros(1, np_.int32)
+                    x0s = np_.zeros(1, np_.int32)
+                else:
+                    ty = np_.arange(tiles_y, dtype=np_.int64) * 32
+                    tx = np_.arange(tiles_x, dtype=np_.int64) * 32
+                    y0s = np_.clip((ty >> m) - 16, 0,
+                                   max(hm - wy, 0)).astype(np_.int32)
+                    x0s = np_.clip((tx >> m) - 16, 0,
+                                   max(wm - wx, 0)).astype(np_.int32)
+                acc = acc + jnp.sum(_cut_windows(mips[m], y0s, x0s, wy, wx))
+            return acc
+
         stages = [("null", null_fn),
+                  ("prefilter", prefilter_only),
+                  ("windows", windows_only),
+                  ("nofetch_s1", make("debug_nofetch", slices=1)),
+                  ("nofetch_s3", make("debug_nofetch", slices=3)),
                   ("nofetch", make("debug_nofetch")),
                   ("sharedsel", make("debug_sharedsel")),
                   ("half", make("half")),

@@ -283,6 +283,12 @@ def _kernel(consts_ref, row0_ref,                         # scalar prefetch
         uy_a = jnp.clip(sy_a, 0.0, 1.0)
         ux_b = jnp.clip(sx_b, 0.0, 1.0)
         uy_b = jnp.clip(sy_b, 0.0, 1.0)
+        # TWO vector reduces per step instead of five: the per-level cond
+        # predicates become scalar range tests on [mip_min, mip_max]
+        # (GTAO_SCAFFOLD_PROBE.json: the 135 any()+branch pairs per tile
+        # were ~60% of the whole kernel)
+        mip_min = jnp.min(mip)
+        mip_max = jnp.max(mip)
         for m in range(5):
             hm, wm = mip_shapes[m]
             wy, wx, _ = plan[m]
@@ -337,8 +343,8 @@ def _kernel(consts_ref, row0_ref,                         # scalar prefetch
                 return (jnp.where(use, val_a, sz_a),
                         jnp.where(use, val_b, sz_b))
 
-            sz_a, sz_b = jax.lax.cond(jnp.any(use), fetch, lambda s: s,
-                                      (sz_a, sz_b))
+            sz_a, sz_b = jax.lax.cond((mip_min <= m) & (m <= mip_max),
+                                      fetch, lambda s: s, (sz_a, sz_b))
         return sz_a, sz_b
 
     def slice_body(slice_i, visibility):
