@@ -21,7 +21,9 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 REPS = 16
-W = H = 800
+# optional argv: WIDTH HEIGHT (default 800x800)
+W = int(sys.argv[1]) if len(sys.argv) > 1 else 800
+H = int(sys.argv[2]) if len(sys.argv) > 2 else 800
 
 
 def main():
@@ -123,7 +125,9 @@ def main():
                   timing="min-of-3 device scans, null-stage floor "
                          "subtraction, monotonic clamp")
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "SHADE_BREAKDOWN.json")
+        os.path.abspath(__file__))),
+        "SHADE_BREAKDOWN.json" if (W, H) == (800, 800)
+        else f"SHADE_BREAKDOWN_{W}x{H}.json")
     with open(path, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report))

@@ -176,7 +176,8 @@ def _kernel(consts_ref, row0_ref,                         # scalar prefetch
             w0, w1, w2, w3, w4,                           # mip windows (f32)
             ao_out, edges_out,                            # outputs
             *, plan, mip_shapes, width, height, tiles_x,
-            slice_count: int, steps_per_slice: int, precision: str):
+            slice_count: int, steps_per_slice: int, precision: str,
+            unroll_slices: bool = False):
     i = pl.program_id(0)
     # row0_ref holds the band's first tile row (0 for full frames): tile
     # coordinates — and therefore window origins — are ABSOLUTE image
@@ -449,7 +450,15 @@ def _kernel(consts_ref, row0_ref,                         # scalar prefetch
                  - jnp.cos(2.0 * hh1 - n_angle)) / 4.0
         return visibility + pnl * (iarc0 + iarc1)
 
-    visibility = jax.lax.fori_loop(0, slice_count, slice_body, visibility0)
+    if unroll_slices:
+        # static unroll: drops the loop carry and lets Mosaic overlap
+        # consecutive slices' matmuls (the step loop already unrolls)
+        visibility = visibility0
+        for s in range(slice_count):
+            visibility = slice_body(jnp.int32(s), visibility)
+    else:
+        visibility = jax.lax.fori_loop(0, slice_count, slice_body,
+                                       visibility0)
 
     visibility = visibility / float(slice_count)
     visibility = jnp.power(jnp.maximum(visibility, 0.0),
@@ -463,12 +472,14 @@ def _kernel(consts_ref, row0_ref,                         # scalar prefetch
 
 @partial(jax.jit, static_argnames=("width", "height", "slice_count",
                                    "steps_per_slice", "interpret",
-                                   "precision", "num_rows"))
+                                   "precision", "num_rows",
+                                   "unroll_slices"))
 def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
                      width: int, height: int, slice_count: int,
                      steps_per_slice: int, interpret: bool | None = None,
                      precision: str = "exact", row_start=0,
-                     num_rows: int | None = None):
+                     num_rows: int | None = None,
+                     unroll_slices: bool = False):
     """Pallas main pass over pre-packeted inputs. depth_mips: list of 5
     (H_m, W_m) f32 mips (R16F-quantized values); normal_enc: (H, W, 3);
     consts_vec: (len(_CK),) f32; noise_maps: (nx, ny) each (64, 64) f32.
@@ -569,7 +580,8 @@ def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
                             memory_space=pltpu.VMEM)
     kernel = partial(_kernel, plan=plan, mip_shapes=mip_shapes, width=width,
                      height=height, tiles_x=tiles_x, slice_count=slice_count,
-                     steps_per_slice=steps_per_slice, precision=precision)
+                     steps_per_slice=steps_per_slice, precision=precision,
+                     unroll_slices=unroll_slices)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
