@@ -55,9 +55,12 @@ def main():
             ao = _denoise_chain(ao, e, s)
             return jnp.sum(ao.astype(jnp.float32))
 
+        def st_null(depth, normal, ni):
+            return jnp.sum(ni.astype(jnp.float32)) + jnp.sum(depth[0, :1])
+
         cum = {}
-        for name, fn in [("prefilter", st_prefilter), ("main", st_main),
-                         ("denoise", st_denoise)]:
+        for name, fn in [("null", st_null), ("prefilter", st_prefilter),
+                         ("main", st_main), ("denoise", st_denoise)]:
             @jax.jit
             def run(depth, normal, fn=fn):
                 def body(acc, ni):
@@ -67,17 +70,25 @@ def main():
                 return acc
 
             float(run(depth, normal))
-            t0 = time.perf_counter()
-            float(run(depth, normal))
-            cum[name] = (time.perf_counter() - t0) * 1000 / REPS
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(run(depth, normal))
+                best = min(best, (time.perf_counter() - t0) * 1000 / REPS)
+            cum[name] = best
             print(f"{w}x{h} cum through {name}: {cum[name]:.2f} ms",
                   file=sys.stderr, flush=True)
 
+        prev = cum["null"]
+        per = {}
+        for name in ("prefilter", "main", "denoise"):
+            cur = max(cum[name], prev)   # monotonic clamp
+            per[name] = cur - prev
+            prev = cur
         report[f"{w}x{h}"] = dict(
             cumulative_ms={k: round(v, 2) for k, v in cum.items()},
-            per_pass_ms=dict(prefilter=round(cum["prefilter"], 2),
-                             main=round(cum["main"] - cum["prefilter"], 2),
-                             denoise=round(cum["denoise"] - cum["main"], 2)))
+            per_pass_ms={k: round(v, 2) for k, v in per.items()},
+            timing="min-of-3 device scans, null floor, monotonic clamp")
         print(json.dumps(report[f"{w}x{h}"]), file=sys.stderr, flush=True)
 
     path = os.path.join(os.path.dirname(os.path.dirname(

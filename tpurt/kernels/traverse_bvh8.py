@@ -14,8 +14,16 @@ Step design:
     always-on MT block),
   * both possible next-step fetches are speculatively in flight at all
     times: the node row for stack-top-as-node, the triangle block for
-    stack-top-as-leaf (one of the two is wasted per step; 2.5 KB/step is
+    stack-top-as-leaf (one of the two is wasted per step; the bytes are
     noise next to the latency it hides),
+  * GROUPED traversal (group > 1) interleaves independent packets in one
+    while loop so each packet's fetches are waited behind the others'
+    math. Measured: NO win — g1 8.6 / g4 9.0 / g8 9.5 ms closest at the
+    bench scene (BVH8_GROUP_PROBE.json), i.e. the speculation already
+    hides the DMA and the ~1.28 us/step (BVH8_STEPS.json) is serial
+    scalar+VPU work. Default stays group=1; this also closes the
+    quantized-node-compression question (halving node bytes cannot speed
+    up a kernel that is not DMA-bound),
   * closest-hit pushes are ordered far-to-near by the packet mean
     direction (keys from child AABB centroids, already in the row) through
     a 19-comparator Batcher sorting network on scalars — the near child
@@ -55,80 +63,96 @@ def _kernel_bvh8(nodes_ref, tris_ref,
                  ox, oy, oz, dx, dy, dz, tmn, tmx,
                  t_out, tri_out, u_out, v_out,
                  stack, node_buf, tri_buf, sems,
-                 *, max_leaf: int, any_hit: bool, push_order: str = "sort"):
-    rays = _Rays(ox, oy, oz, dx, dy, dz, tmn, tmx)
-    t_min = rays.t_min
-    t_max0 = rays.t_max0
+                 *, max_leaf: int, any_hit: bool, push_order: str = "sort",
+                 count_steps: bool = False, group: int = 1,
+                 unroll: int = 1):
+    """One grid step traverses `group` INDEPENDENT 8x128 packets,
+    interleaved inside one while loop, so packet g's speculative DMA is
+    waited only after the other G-1 packets' slab/MT math. Measured
+    OUTCOME (BVH8_GROUP_PROBE.json): no win — the speculative fetches
+    already hide the DMA latency and grouping only adds bookkeeping, so
+    the default stays group=1. The mechanism is kept (group-invariant,
+    bit-identical results; finished packets skip their math under a
+    scalar cond) as the recorded experiment for the node-compression
+    question: traversal is compute-bound, not DMA-bound."""
     num_tris = tris_ref.shape[0]
     num_nodes = nodes_ref.shape[0]
     first_cap = max(num_tris - max_leaf, 0)
 
-    stack[0] = jnp.int32(0)
+    def rays_of(g):
+        s = slice(8 * g, 8 * (g + 1))
+        return _Rays(ox[s], oy[s], oz[s], dx[s], dy[s], dz[s],
+                     tmn[s], tmx[s])
 
-    def start_node_fetch(node):
+    grays = [rays_of(g) for g in range(group)]
+
+    def start_node_fetch(g, node):
         pltpu.make_async_copy(
             nodes_ref.at[pl.ds(jnp.clip(node, 0, num_nodes - 1), 1)],
-            node_buf, sems.at[0]).start()
+            node_buf.at[g], sems.at[0, g]).start()
 
-    def wait_node_fetch():
-        pltpu.make_async_copy(nodes_ref.at[pl.ds(0, 1)], node_buf,
-                              sems.at[0]).wait()
+    def wait_node_fetch(g):
+        pltpu.make_async_copy(nodes_ref.at[pl.ds(0, 1)], node_buf.at[g],
+                              sems.at[0, g]).wait()
 
     def leaf_first(top):
         """Decode the clamped DMA window start of a (possibly-)leaf entry."""
         dec = jnp.maximum(-(top + 1), 0)
         return jnp.clip(dec // 32, 0, first_cap)
 
-    def start_tri_fetch(first_c):
+    def start_tri_fetch(g, first_c):
         pltpu.make_async_copy(tris_ref.at[pl.ds(first_c, max_leaf)],
-                              tri_buf, sems.at[1]).start()
+                              tri_buf.at[g], sems.at[1, g]).start()
 
-    def wait_tri_fetch():
-        pltpu.make_async_copy(tris_ref.at[pl.ds(0, max_leaf)], tri_buf,
-                              sems.at[1]).wait()
+    def wait_tri_fetch(g):
+        pltpu.make_async_copy(tris_ref.at[pl.ds(0, max_leaf)],
+                              tri_buf.at[g], sems.at[1, g]).wait()
 
-    start_node_fetch(jnp.int32(0))
-    start_tri_fetch(jnp.int32(0))
+    for g in range(group):
+        stack[g, 0] = jnp.int32(0)
+        start_node_fetch(g, jnp.int32(0))
+        start_tri_fetch(g, jnp.int32(0))
 
-    # packet mean direction for near-child-first ordering
-    md_x = jnp.sum(rays.d_x)
-    md_y = jnp.sum(rays.d_y)
-    md_z = jnp.sum(rays.d_z)
-
-    def node_children(tfar):
+    def node_children(g, tfar):
         """8 slab tests + metas -> per-slot (key, code); key = _NEG when the
-        slot should not be pushed. Reads node_buf only."""
+        slot should not be pushed. Reads node_buf[g] only."""
+        rays = grays[g]
+        # packet mean direction for near-child-first ordering
+        md_x = jnp.sum(rays.d_x)
+        md_y = jnp.sum(rays.d_y)
+        md_z = jnp.sum(rays.d_z)
         keys = []
         codes = []
         for k in range(8):
             b = k * 6
-            hit_k = rays.slab(node_buf[0, b], node_buf[0, b + 1],
-                              node_buf[0, b + 2], node_buf[0, b + 3],
-                              node_buf[0, b + 4], node_buf[0, b + 5], tfar)
+            hit_k = rays.slab(node_buf[g, 0, b], node_buf[g, 0, b + 1],
+                              node_buf[g, 0, b + 2], node_buf[g, 0, b + 3],
+                              node_buf[g, 0, b + 4], node_buf[g, 0, b + 5],
+                              tfar)
             any_k = jnp.any(hit_k)
-            child = node_buf[0, 48 + k]
-            firstf = node_buf[0, 56 + k]
-            countf = node_buf[0, 64 + k]
+            child = node_buf[g, 0, 48 + k]
+            firstf = node_buf[g, 0, 56 + k]
+            countf = node_buf[g, 0, 64 + k]
             is_int = child >= 0.0
             is_lf = countf > 0.0
             code = jnp.where(
                 is_int, child.astype(jnp.int32),
                 -(firstf.astype(jnp.int32) * 32
                   + countf.astype(jnp.int32)) - 1)
-            key = ((node_buf[0, b] + node_buf[0, b + 3]) * md_x
-                   + (node_buf[0, b + 1] + node_buf[0, b + 4]) * md_y
-                   + (node_buf[0, b + 2] + node_buf[0, b + 5]) * md_z)
+            key = ((node_buf[g, 0, b] + node_buf[g, 0, b + 3]) * md_x
+                   + (node_buf[g, 0, b + 1] + node_buf[g, 0, b + 4]) * md_y
+                   + (node_buf[g, 0, b + 2] + node_buf[g, 0, b + 5]) * md_z)
             keys.append(jnp.where(any_k & (is_int | is_lf), key,
                                   jnp.float32(_NEG)))
             codes.append(code)
         return tuple(keys) + tuple(codes)
 
-    def no_children(tfar):
-        del tfar
+    def no_children(g, tfar):
+        del g, tfar
         return (tuple(jnp.float32(_NEG) for _ in range(8))
                 + tuple(jnp.int32(0) for _ in range(8)))
 
-    def push_sorted(sp, keys, codes):
+    def push_sorted(g, sp, keys, codes):
         """Far-to-near pushes: sort descending by key (Batcher-8), then
         write sequentially, advancing sp only for valid entries (_NEG keys
         sort last and write harmlessly above the final top)."""
@@ -143,12 +167,12 @@ def _kernel_bvh8(nodes_ref, tris_ref,
             keys[a], keys[b] = ka, kb
             codes[a], codes[b] = ca, cb
         for k in range(8):
-            stack[jnp.minimum(sp, STACK_DEPTH - 1)] = codes[k]
+            stack[g, jnp.minimum(sp, STACK_DEPTH - 1)] = codes[k]
             sp = jnp.where(keys[k] > jnp.float32(_NEG / 2),
                            jnp.minimum(sp + 1, STACK_DEPTH), sp)
         return sp
 
-    def push_nearlast(sp, keys, codes):
+    def push_nearlast(g, sp, keys, codes):
         """Cheap partial ordering: push in slot order but hold back the
         NEAREST valid child (max key) for the final push so it pops
         first — 7 comparators instead of the 19-comparator full sort;
@@ -166,138 +190,216 @@ def _kernel_bvh8(nodes_ref, tris_ref,
             is_best = (keys[k] == bk) & (codes[k] == bc) & (taken == 0)
             taken = jnp.where(is_best, 1, taken)
             valid = (keys[k] > jnp.float32(_NEG / 2)) & ~is_best
-            stack[jnp.minimum(sp, STACK_DEPTH - 1)] = codes[k]
+            stack[g, jnp.minimum(sp, STACK_DEPTH - 1)] = codes[k]
             sp = jnp.where(valid, jnp.minimum(sp + 1, STACK_DEPTH), sp)
-        stack[jnp.minimum(sp, STACK_DEPTH - 1)] = bc
+        stack[g, jnp.minimum(sp, STACK_DEPTH - 1)] = bc
         sp = jnp.where(bk > jnp.float32(_NEG / 2),
                        jnp.minimum(sp + 1, STACK_DEPTH), sp)
         return sp
 
-    def push_unsorted(sp, keys, codes):
+    def push_unsorted(g, sp, keys, codes):
         """Any-hit: order does not matter; invalid slots write at the
         current top without advancing and are overwritten by later valid
         ones."""
         for k in range(8):
-            stack[jnp.minimum(sp, STACK_DEPTH - 1)] = codes[k]
+            stack[g, jnp.minimum(sp, STACK_DEPTH - 1)] = codes[k]
             sp = jnp.where(keys[k] > jnp.float32(_NEG / 2),
                            jnp.minimum(sp + 1, STACK_DEPTH), sp)
         return sp
 
+    def step_common(g, sp, tfar, alive):
+        """Pop + slab/push + speculative fetches for packet g. Returns
+        (new sp, popped top [0 when dead], next top). The math is gated
+        by `alive` via the cond; the DMA start/wait pairing is
+        UNCONDITIONAL so every wait has a matching start."""
+        # dead packets read slot 0 harmlessly; forcing top=0 routes them
+        # through the (gated-off) node path so no leaf update can fire
+        top = jnp.where(alive, stack[g, jnp.maximum(sp - 1, 0)], 0)
+        sp = jnp.where(alive, jnp.maximum(sp - 1, 0), sp)
+        is_node = top >= 0
+        wait_node_fetch(g)
+        wait_tri_fetch(g)
+        keys_codes = jax.lax.cond(is_node & alive,
+                                  lambda t: node_children(g, t),
+                                  lambda t: no_children(g, t), tfar)
+        push = {"sort": push_sorted, "nearlast": push_nearlast,
+                "none": push_unsorted}[push_order]
+        sp = push(g, sp, keys_codes[:8], keys_codes[8:])
+        nxt = stack[g, jnp.maximum(sp - 1, 0)]
+        start_node_fetch(g, nxt)
+        return sp, top, nxt
 
     if any_hit:
-        init = (jnp.int32(1), jnp.zeros_like(t_min))
+        # occlusion + done carried as f32 0/1 — Mosaic mishandles i1 carries
+        init = tuple(jnp.int32(1) for _ in range(group)) + tuple(
+            jnp.zeros_like(grays[g].t_min) for g in range(group))
+
+        def alive_of(c, g):
+            rays = grays[g]
+            occ = c[group + g]
+            done = jnp.all((occ > 0.0) | (rays.t_max0 <= rays.t_min))
+            return (c[g] > 0) & jnp.logical_not(done)
 
         def cond(c):
-            sp, occ = c
-            return (sp > 0) & jnp.logical_not(
-                jnp.all((occ > 0.0) | (t_max0 <= t_min)))
+            alive = alive_of(c, 0)
+            for g in range(1, group):
+                alive = alive | alive_of(c, g)
+            return alive
 
         def body(c):
-            sp, occ = c
-            top = stack[sp - 1]
-            sp = sp - 1
-            is_node = top >= 0
-            wait_node_fetch()
-            wait_tri_fetch()
-            tfar = jnp.where(occ > 0.0, t_min, t_max0)
+            sps = list(c[:group])
+            occs = list(c[group:])
+            # `unroll` sub-steps per while iteration amortize the Mosaic
+            # loop-boundary overhead (~0.8 us/iteration by subtraction in
+            # BVH8_STEPS.json); each sub-step re-derives aliveness from
+            # the UPDATED state so drained packets skip their math
+            for _ in range(unroll):
+                for g in range(group):
+                    rays = grays[g]
+                    done = jnp.all((occs[g] > 0.0)
+                                   | (rays.t_max0 <= rays.t_min))
+                    alive = (sps[g] > 0) & jnp.logical_not(done)
+                    tfar = jnp.where(occs[g] > 0.0, rays.t_min, rays.t_max0)
+                    sps[g], top, nxt = step_common(g, sps[g], tfar, alive)
 
-            keys_codes = jax.lax.cond(is_node, node_children, no_children,
-                                      tfar)
-            sp = push_unsorted(sp, keys_codes[:8], keys_codes[8:])
-            # node_buf fully consumed -> speculate the next node row now
-            # (overlaps the leaf math); the TRI fetch must wait until
-            # leaf_work has read this step's tri_buf
-            nxt = stack[jnp.maximum(sp - 1, 0)]
-            start_node_fetch(nxt)
+                    dec = jnp.maximum(-(top + 1), 0)
+                    count = dec - (dec // 32) * 32
+                    k_off = (dec // 32) - leaf_first(top)
 
-            dec = jnp.maximum(-(top + 1), 0)
-            count = dec - (dec // 32) * 32
-            k_off = (dec // 32) - leaf_first(top)
+                    def leaf_work(occ, g=g, tfar=tfar, k_off=k_off,
+                                  count=count):
+                        rays = grays[g]
+                        for k in range(max_leaf):
+                            h, _, _, _ = rays.mt(
+                                lambda c_, k=k: tri_buf[g, k, c_], tfar)
+                            in_range = (k >= k_off) & (k < k_off + count)
+                            occ = jnp.where(h & in_range, 1.0, occ)
+                        return occ
 
-            def leaf_work(occ):
-                for k in range(max_leaf):
-                    h, _, _, _ = rays.mt(lambda c_, k=k: tri_buf[k, c_],
-                                         tfar)
-                    in_range = (k >= k_off) & (k < k_off + count)
-                    occ = jnp.where(h & in_range, 1.0, occ)
-                return occ
+                    occs[g] = jax.lax.cond(
+                        jnp.logical_not(top >= 0) & alive, leaf_work,
+                        lambda o: o, occs[g])
+                    start_tri_fetch(g, leaf_first(nxt))
+            return tuple(sps) + tuple(occs)
 
-            occ = jax.lax.cond(jnp.logical_not(is_node), leaf_work,
-                               lambda o: o, occ)
-            start_tri_fetch(leaf_first(nxt))
-            return sp, occ
-
-        _, occluded = jax.lax.while_loop(cond, body, init)
-        wait_node_fetch()
-        wait_tri_fetch()
-        t_out[:] = occluded
+        res = jax.lax.while_loop(cond, body, init)
+        for g in range(group):
+            wait_node_fetch(g)
+            wait_tri_fetch(g)
+            t_out[8 * g:8 * (g + 1)] = res[group + g]
     else:
-        init = (jnp.int32(1), t_max0,
-                jnp.full(t_min.shape, -1, jnp.int32),
-                jnp.zeros_like(t_min), jnp.zeros_like(t_min))
+        init = tuple(jnp.int32(1) for _ in range(group))
+        for g in range(group):
+            rays = grays[g]
+            init = init + (rays.t_max0,
+                           jnp.full(rays.t_min.shape, -1, jnp.int32),
+                           jnp.zeros_like(rays.t_min),
+                           jnp.zeros_like(rays.t_min))
+        if count_steps:
+            # diagnostic mode: per-packet node/leaf pop counters ride the
+            # carry and come back through u_out/v_out (tools/bvh8_steps)
+            init = init + tuple(jnp.int32(0) for _ in range(2 * group))
 
         def cond(c):
-            return c[0] > 0
+            alive = c[0] > 0
+            for g in range(1, group):
+                alive = alive | (c[g] > 0)
+            return alive
 
         def body(c):
-            sp, t, tri, u, v = c
-            top = stack[sp - 1]
-            sp = sp - 1
-            is_node = top >= 0
-            wait_node_fetch()
-            wait_tri_fetch()
+            sps = list(c[:group])
+            states = [list(c[group + 4 * g:group + 4 * (g + 1)])
+                      for g in range(group)]
+            counters = list(c[group * 5:]) if count_steps else []
+            for _ in range(unroll):
+              for g in range(group):
+                alive = sps[g] > 0
+                t = states[g][0]
+                sps[g], top, nxt = step_common(g, sps[g], t, alive)
+                is_node = top >= 0
 
-            keys_codes = jax.lax.cond(is_node, node_children, no_children, t)
-            push = {"sort": push_sorted, "nearlast": push_nearlast,
-                    "none": push_unsorted}[push_order]
-            sp = push(sp, keys_codes[:8], keys_codes[8:])
-            nxt = stack[jnp.maximum(sp - 1, 0)]
-            start_node_fetch(nxt)
+                dec = jnp.maximum(-(top + 1), 0)
+                count = dec - (dec // 32) * 32
+                k_off = (dec // 32) - leaf_first(top)
 
-            dec = jnp.maximum(-(top + 1), 0)
-            count = dec - (dec // 32) * 32
-            k_off = (dec // 32) - leaf_first(top)
+                def leaf_work(carry, g=g, k_off=k_off, count=count):
+                    rays = grays[g]
+                    t, tri, u, v = carry
+                    for k in range(max_leaf):
+                        h, tk, uk, vk = rays.mt(
+                            lambda c_, k=k: tri_buf[g, k, c_], t)
+                        in_range = (k >= k_off) & (k < k_off + count)
+                        upd = h & in_range
+                        t = jnp.where(upd, tk, t)
+                        tri = jnp.where(upd,
+                                        tri_buf[g, k, 9].astype(jnp.int32),
+                                        tri)
+                        u = jnp.where(upd, uk, u)
+                        v = jnp.where(upd, vk, v)
+                    return t, tri, u, v
 
-            def leaf_work(carry):
-                t, tri, u, v = carry
-                for k in range(max_leaf):
-                    h, tk, uk, vk = rays.mt(lambda c_, k=k: tri_buf[k, c_],
-                                            t)
-                    in_range = (k >= k_off) & (k < k_off + count)
-                    upd = h & in_range
-                    t = jnp.where(upd, tk, t)
-                    tri = jnp.where(upd, tri_buf[k, 9].astype(jnp.int32),
-                                    tri)
-                    u = jnp.where(upd, uk, u)
-                    v = jnp.where(upd, vk, v)
-                return t, tri, u, v
+                states[g] = list(jax.lax.cond(
+                    jnp.logical_not(is_node) & alive, leaf_work,
+                    lambda cr: cr, tuple(states[g])))
+                start_tri_fetch(g, leaf_first(nxt))
+                if count_steps:
+                    counters[2 * g] = counters[2 * g] + jnp.where(
+                        is_node & alive, 1, 0)
+                    counters[2 * g + 1] = counters[2 * g + 1] + jnp.where(
+                        jnp.logical_not(is_node) & alive, 1, 0)
+            out = tuple(sps) + tuple(x for s in states for x in s)
+            if count_steps:
+                out = out + tuple(counters)
+            return out
 
-            t, tri, u, v = jax.lax.cond(jnp.logical_not(is_node), leaf_work,
-                                        lambda cr: cr, (t, tri, u, v))
-            start_tri_fetch(leaf_first(nxt))
-            return sp, t, tri, u, v
-
-        _, t, tri, u, v = jax.lax.while_loop(cond, body, init)
-        wait_node_fetch()
-        wait_tri_fetch()
-        t_out[:] = t
-        tri_out[:] = tri
-        u_out[:] = u
-        v_out[:] = v
+        res = jax.lax.while_loop(cond, body, init)
+        for g in range(group):
+            wait_node_fetch(g)
+            wait_tri_fetch(g)
+            t, tri, u, v = res[group + 4 * g:group + 4 * (g + 1)]
+            s = slice(8 * g, 8 * (g + 1))
+            t_out[s] = t
+            tri_out[s] = tri
+            if count_steps:
+                u_out[s] = jnp.full_like(u, res[group * 5 + 2 * g]
+                                         .astype(jnp.float32))
+                v_out[s] = jnp.full_like(v, res[group * 5 + 2 * g + 1]
+                                         .astype(jnp.float32))
+            else:
+                u_out[s] = u
+                v_out[s] = v
 
 
 def _trace_packets_bvh8(nodes8, tris128, rays, max_leaf: int, any_hit: bool,
-                        interpret: bool, push_order: str = "sort"):
+                        interpret: bool, push_order: str = "sort",
+                        count_steps: bool = False, group: int = 1,
+                        unroll: int = 1):
     n_sub = rays["ox"].shape[0]
-    grid = (n_sub // 8,)
+    # pad the packet count to a multiple of `group` with dead packets
+    # (tmin=1 > tmax=0: the root slab test fails, one pop drains them)
+    blk = 8 * group
+    n_pad = -(-n_sub // blk) * blk
+    if n_pad != n_sub:
+        ext = n_pad - n_sub
 
-    ray_spec = pl.BlockSpec((8, PACKET_LANES), lambda i: (i, 0),
+        def pad(a, val):
+            return jnp.concatenate(
+                [a, jnp.full((ext, PACKET_LANES), val, a.dtype)], axis=0)
+
+        rays = dict(
+            ox=pad(rays["ox"], 0.0), oy=pad(rays["oy"], 0.0),
+            oz=pad(rays["oz"], 0.0), dx=pad(rays["dx"], 1.0),
+            dy=pad(rays["dy"], 1.0), dz=pad(rays["dz"], 1.0),
+            tmin=pad(rays["tmin"], 1.0), tmax=pad(rays["tmax"], 0.0))
+    grid = (n_pad // blk,)
+
+    ray_spec = pl.BlockSpec((blk, PACKET_LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out_shapes = [
-        jax.ShapeDtypeStruct((n_sub, PACKET_LANES), jnp.float32),
-        jax.ShapeDtypeStruct((n_sub, PACKET_LANES), jnp.int32),
-        jax.ShapeDtypeStruct((n_sub, PACKET_LANES), jnp.float32),
-        jax.ShapeDtypeStruct((n_sub, PACKET_LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_pad, PACKET_LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_pad, PACKET_LANES), jnp.int32),
+        jax.ShapeDtypeStruct((n_pad, PACKET_LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_pad, PACKET_LANES), jnp.float32),
     ]
     table_spec = pl.BlockSpec(memory_space=pltpu.HBM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -306,15 +408,16 @@ def _trace_packets_bvh8(nodes8, tris128, rays, max_leaf: int, any_hit: bool,
         in_specs=[table_spec] * 2 + [ray_spec] * 8,
         out_specs=[ray_spec] * 4,
         scratch_shapes=[
-            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
-            pltpu.VMEM((1, 128), jnp.float32),         # node row
-            pltpu.VMEM((max_leaf, 128), jnp.float32),  # leaf tri rows
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((group, STACK_DEPTH), jnp.int32),
+            pltpu.VMEM((group, 1, 128), jnp.float32),         # node rows
+            pltpu.VMEM((group, max_leaf, 128), jnp.float32),  # leaf tris
+            pltpu.SemaphoreType.DMA((2, group)),
         ],
     )
     kernel = partial(_kernel_bvh8, max_leaf=max_leaf, any_hit=any_hit,
-                     push_order=push_order)
-    return pl.pallas_call(
+                     push_order=push_order, count_steps=count_steps,
+                     group=group, unroll=unroll)
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
@@ -324,39 +427,53 @@ def _trace_packets_bvh8(nodes8, tris128, rays, max_leaf: int, any_hit: bool,
       rays["ox"], rays["oy"], rays["oz"],
       rays["dx"], rays["dy"], rays["dz"],
       rays["tmin"], rays["tmax"])
+    if n_pad != n_sub:
+        outs = [o[:n_sub] for o in outs]
+    return outs
 
 
 @partial(jax.jit, static_argnames=("height", "width", "max_leaf",
-                                   "interpret", "push_order"))
+                                   "interpret", "push_order",
+                                   "count_steps", "group", "unroll"))
 def trace_closest_bvh8(bvh: dict, geom: dict, origin, direction,
                        t_min, t_max, *, height: int, width: int,
                        max_leaf: int = LEAF8_MAX,
                        interpret: bool | None = None,
-                       push_order: str = "sort"):
+                       push_order: str = "sort",
+                       count_steps: bool = False, group: int = 1,
+                       unroll: int = 1):
     """Closest-hit BVH8 packet trace. bvh must carry 'nodes8'
-    (bvh/wide.collapse8). Contract matches trace_closest."""
+    (bvh/wide.collapse8). Contract matches trace_closest.
+    count_steps=True is a diagnostic: u/v return the packet's node/leaf
+    pop counts instead of barycentrics (t/tri stay correct).
+    group = packets interleaved per kernel instance (DMA-latency hiding,
+    see _kernel_bvh8; results are group-invariant)."""
     interpret = _resolve_interpret(interpret)
     tris128 = pack_tris_hbm(geom)
     rays = _rays_to_packets(origin, direction, t_min, t_max, height, width)
     t, tri, u, v = _trace_packets_bvh8(bvh["nodes8"], tris128, rays,
                                        max_leaf, any_hit=False,
                                        interpret=interpret,
-                                       push_order=push_order)
+                                       push_order=push_order,
+                                       count_steps=count_steps,
+                                       group=group, unroll=unroll)
     g = partial(_from_packets, height=height, width=width)
     return dict(t=g(t), tri=g(tri), u=g(u), v=g(v))
 
 
 @partial(jax.jit, static_argnames=("height", "width", "max_leaf",
-                                   "interpret"))
+                                   "interpret", "group", "unroll"))
 def trace_any_bvh8(bvh: dict, geom: dict, origin, direction,
                    t_min, t_max, *, height: int, width: int,
                    max_leaf: int = LEAF8_MAX,
-                   interpret: bool | None = None):
+                   interpret: bool | None = None, group: int = 1,
+                   unroll: int = 1):
     """Any-hit BVH8 packet trace; returns boolean occlusion mask (H*W,)."""
     interpret = _resolve_interpret(interpret)
     tris128 = pack_tris_hbm(geom)
     rays = _rays_to_packets(origin, direction, t_min, t_max, height, width)
     occ, _, _, _ = _trace_packets_bvh8(bvh["nodes8"], tris128, rays,
                                        max_leaf, any_hit=True,
-                                       interpret=interpret)
+                                       interpret=interpret, group=group,
+                                       unroll=unroll)
     return _from_packets(occ, height, width) > 0.5
