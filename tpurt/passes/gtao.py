@@ -197,9 +197,15 @@ def prefilter_depths(view_depth, consts):
         prev = mips[-1]
         h, w = prev.shape
         h2, w2 = max(h // 2, 1), max(w // 2, 1)
-        q = prev[:h2 * 2, :w2 * 2].reshape(h2, 2, w2, 2)
-        m = _depth_mip_filter(q[:, 0, :, 0], q[:, 0, :, 1],
-                              q[:, 1, :, 0], q[:, 1, :, 1], consts)
+        # 2x2 grouping as row split (sublane stride) THEN column strides on
+        # the half-height arrays — 6x faster than the 4D-reshape + strided
+        # slice pattern on TPU (2.66 -> 0.45 ms at 1080p, bit-exact;
+        # PREFILTER_PROBE.json)
+        x = prev[:h2 * 2, :w2 * 2]
+        top = x[0::2]
+        bot = x[1::2]
+        m = _depth_mip_filter(top[:, 0::2], top[:, 1::2],
+                              bot[:, 0::2], bot[:, 1::2], consts)
         mips.append(quantize_r16f(m))
     return mips
 
