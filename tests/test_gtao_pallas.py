@@ -153,3 +153,26 @@ def test_compute_ao_pallas_main_matches_xla():
     d = np.abs(np.asarray(got).astype(int) - np.asarray(ref).astype(int))
     assert d.max() <= 2
     assert (d > 0).mean() <= 2e-2
+
+
+def test_main_pass_unroll_slices_bit_identical():
+    """unroll_slices (measured slower on TPU, GTAO_UNROLL_PROBE.json —
+    kept as a recorded experiment) must stay bit-identical to the fori
+    default."""
+    from tpurt.kernels.gtao_main_pallas import consts_to_vec, main_pass_pallas
+    from tpurt.passes.gtao import gtao_constants, noise_maps_64, \
+        prefilter_depths
+
+    h, w = 64, 128
+    depth, normal_enc = _gbuffer(h, w)
+    consts = gtao_constants(w, h, 0.1, 100.0, np.pi / 2, w / h)
+    mips = prefilter_depths(depth, consts)
+    kw = dict(width=w, height=h, slice_count=3, steps_per_slice=2,
+              interpret=True, precision="exact")
+    ao_f, e_f = main_pass_pallas(mips, normal_enc, consts_to_vec(consts),
+                                 noise_maps_64(jnp.int32(5)), **kw)
+    ao_u, e_u = main_pass_pallas(mips, normal_enc, consts_to_vec(consts),
+                                 noise_maps_64(jnp.int32(5)),
+                                 unroll_slices=True, **kw)
+    np.testing.assert_array_equal(np.asarray(ao_f), np.asarray(ao_u))
+    np.testing.assert_array_equal(np.asarray(e_f), np.asarray(e_u))
