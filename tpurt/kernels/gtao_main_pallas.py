@@ -129,6 +129,11 @@ def _plan_windows(mip_shapes, width, height):
             wy, wx, full = _round_up(hm, 16), _round_up(wm, 128), True
         else:
             wy = min(_round_up(ext + 2 * HALO, 16), _round_up(hm, 16))
+            # columns: one 128-lane row. The footprint (tile extent +
+            # 2*HALO) fits 64 for every non-top level, but wx=64 measured
+            # a WASH (scene main 17.6->18.2 ms @800², 62.6->60.5 @1080p) —
+            # the MXU pads K to 128 anyway, so halving the contraction
+            # dim buys nothing; keep the simple full-row window
             wx = 128
             full = False
         plan.append((wy, wx, full))
