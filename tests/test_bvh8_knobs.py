@@ -1,0 +1,88 @@
+"""BVH8 experiment-knob invariance (group / unroll / count_steps).
+
+Own file (and own small scene) rather than appended to
+test_traverse_pallas.py: as the alphabetically-last tests of a full
+40-minute suite run these once hit a native segfault inside XLA:CPU
+that no file-level or pairwise combination reproduces; keeping them
+early in the order with a fresh module fixture sidesteps that
+state-accumulation while testing the same contracts.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpurt.bvh import build_bvh_sah
+from tpurt.bvh.flat import tri_aabbs
+from tpurt.bvh.wide import collapse8
+from tpurt.kernels.traverse import make_traversal_geom
+from tpurt.kernels.traverse_bvh8 import trace_any_bvh8, trace_closest_bvh8
+from tpurt.passes.rays import camera_rays
+from tpurt.scene.camera import Camera
+
+from test_bvh import random_tris
+
+H = W = 64
+
+
+@pytest.fixture(scope="module")
+def setup8():
+    v0, v1, v2 = random_tris(200, seed=7, spread=3.0, size=1.5)
+    amin, amax = tri_aabbs(v0, v1, v2)
+    bvh = build_bvh_sah(amin, amax)
+    geom = make_traversal_geom(v0, v1, v2, bvh.tri_order)
+    tree = jax.tree.map(jnp.asarray, bvh.as_pytree())
+    nodes8, depth = collapse8(jax.tree.map(np.asarray, bvh.as_pytree()))
+    assert depth >= 2
+    tree8 = dict(tree, nodes8=jnp.asarray(nodes8))
+
+    cam = Camera(aspect=1.0)
+    cam.set_pos([0.0, 0.0, -10.0])
+    cam.set_dir([0.0, 0.0, 1.0])
+    o, d = camera_rays(cam.uniform(), W, H)
+    return tree8, geom, o, d
+
+@pytest.mark.parametrize("g_u", [(2, 1), (1, 2), (2, 2), (3, 1)])
+def test_bvh8_group_unroll_invariant(setup8, g_u):
+    """The latency-hiding experiment knobs (packet grouping, step unroll —
+    measured neutral, BVH8_GROUP_PROBE.json) must stay bit-identical to
+    the default path, including the dead-packet padding when the packet
+    count does not divide the group."""
+    from tpurt.kernels.traverse_bvh8 import trace_any_bvh8, trace_closest_bvh8
+
+    group, unroll = g_u
+    tree8, geom, o, d = setup8
+    ref = trace_closest_bvh8(tree8, geom, o, d, 1e-3, 1e4,
+                             height=H, width=W, interpret=True)
+    got = trace_closest_bvh8(tree8, geom, o, d, 1e-3, 1e4,
+                             height=H, width=W, interpret=True,
+                             group=group, unroll=unroll)
+    for k in ("t", "tri", "u", "v"):
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(ref[k]))
+    ref_occ = trace_any_bvh8(tree8, geom, o, d, 1e-3, 1e4,
+                             height=H, width=W, interpret=True)
+    got_occ = trace_any_bvh8(tree8, geom, o, d, 1e-3, 1e4,
+                             height=H, width=W, interpret=True,
+                             group=group, unroll=unroll)
+    np.testing.assert_array_equal(np.asarray(got_occ), np.asarray(ref_occ))
+
+
+def test_bvh8_count_steps_diagnostic(setup8):
+    """count_steps returns per-packet node/leaf pop counts through u/v
+    while t/tri stay correct (tools/bvh8_steps_probe.py contract)."""
+    from tpurt.kernels.traverse_bvh8 import trace_closest_bvh8
+
+    tree8, geom, o, d = setup8
+    ref = trace_closest_bvh8(tree8, geom, o, d, 1e-3, 1e4,
+                             height=H, width=W, interpret=True)
+    got = trace_closest_bvh8(tree8, geom, o, d, 1e-3, 1e4,
+                             height=H, width=W, interpret=True,
+                             count_steps=True)
+    np.testing.assert_array_equal(np.asarray(got["tri"]),
+                                  np.asarray(ref["tri"]))
+    np.testing.assert_array_equal(np.asarray(got["t"]), np.asarray(ref["t"]))
+    counts = np.asarray(got["u"]).reshape(H, W)
+    # counters are per 32x32-tile packets, replicated across the tile
+    tiles = counts.reshape(H // 32, 32, W // 32, 32)
+    assert (tiles == tiles[:, :1, :, :1]).all()
+    assert (tiles >= 1).all()

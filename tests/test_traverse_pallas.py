@@ -217,48 +217,3 @@ def test_bvh8_tiny_scene():
     np.testing.assert_array_equal(np.asarray(got["tri"]),
                                   np.asarray(ref["tri"]))
 
-
-@pytest.mark.parametrize("g_u", [(2, 1), (1, 2), (2, 2), (3, 1)])
-def test_bvh8_group_unroll_invariant(setup8, g_u):
-    """The latency-hiding experiment knobs (packet grouping, step unroll —
-    measured neutral, BVH8_GROUP_PROBE.json) must stay bit-identical to
-    the default path, including the dead-packet padding when the packet
-    count does not divide the group."""
-    from tpurt.kernels.traverse_bvh8 import trace_any_bvh8, trace_closest_bvh8
-
-    group, unroll = g_u
-    tree8, geom, o, d = setup8
-    ref = trace_closest_bvh8(tree8, geom, o, d, 1e-3, 1e4,
-                             height=H, width=W, interpret=True)
-    got = trace_closest_bvh8(tree8, geom, o, d, 1e-3, 1e4,
-                             height=H, width=W, interpret=True,
-                             group=group, unroll=unroll)
-    for k in ("t", "tri", "u", "v"):
-        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(ref[k]))
-    ref_occ = trace_any_bvh8(tree8, geom, o, d, 1e-3, 1e4,
-                             height=H, width=W, interpret=True)
-    got_occ = trace_any_bvh8(tree8, geom, o, d, 1e-3, 1e4,
-                             height=H, width=W, interpret=True,
-                             group=group, unroll=unroll)
-    np.testing.assert_array_equal(np.asarray(got_occ), np.asarray(ref_occ))
-
-
-def test_bvh8_count_steps_diagnostic(setup8):
-    """count_steps returns per-packet node/leaf pop counts through u/v
-    while t/tri stay correct (tools/bvh8_steps_probe.py contract)."""
-    from tpurt.kernels.traverse_bvh8 import trace_closest_bvh8
-
-    tree8, geom, o, d = setup8
-    ref = trace_closest_bvh8(tree8, geom, o, d, 1e-3, 1e4,
-                             height=H, width=W, interpret=True)
-    got = trace_closest_bvh8(tree8, geom, o, d, 1e-3, 1e4,
-                             height=H, width=W, interpret=True,
-                             count_steps=True)
-    np.testing.assert_array_equal(np.asarray(got["tri"]),
-                                  np.asarray(ref["tri"]))
-    np.testing.assert_array_equal(np.asarray(got["t"]), np.asarray(ref["t"]))
-    counts = np.asarray(got["u"]).reshape(H, W)
-    # counters are per 32x32-tile packets, replicated across the tile
-    tiles = counts.reshape(H // 32, 32, W // 32, 32)
-    assert (tiles == tiles[:, :1, :, :1]).all()
-    assert (tiles >= 1).all()
