@@ -59,6 +59,249 @@ _BATCHER8 = [(0, 1), (2, 3), (4, 5), (6, 7),
              (1, 2), (3, 4), (5, 6)]
 
 
+# The round-2-proven single-packet kernel. The grouped/unrolled kernel
+# below is bit-identical and measured perf-neutral (BVH8_GROUP_PROBE.json)
+# but intermittently segfaults XLA:CPU's interpret path late in a full
+# test-suite run (never reproducible at file level) - so the DEFAULT
+# (group=1, unroll=1, no diagnostics) dispatches to this one, and the
+# grouped kernel serves only the experiment knobs and probes.
+
+def _kernel_bvh8_single(nodes_ref, tris_ref,
+                 ox, oy, oz, dx, dy, dz, tmn, tmx,
+                 t_out, tri_out, u_out, v_out,
+                 stack, node_buf, tri_buf, sems,
+                 *, max_leaf: int, any_hit: bool, push_order: str = "sort"):
+    rays = _Rays(ox, oy, oz, dx, dy, dz, tmn, tmx)
+    t_min = rays.t_min
+    t_max0 = rays.t_max0
+    num_tris = tris_ref.shape[0]
+    num_nodes = nodes_ref.shape[0]
+    first_cap = max(num_tris - max_leaf, 0)
+
+    stack[0] = jnp.int32(0)
+
+    def start_node_fetch(node):
+        pltpu.make_async_copy(
+            nodes_ref.at[pl.ds(jnp.clip(node, 0, num_nodes - 1), 1)],
+            node_buf, sems.at[0]).start()
+
+    def wait_node_fetch():
+        pltpu.make_async_copy(nodes_ref.at[pl.ds(0, 1)], node_buf,
+                              sems.at[0]).wait()
+
+    def leaf_first(top):
+        """Decode the clamped DMA window start of a (possibly-)leaf entry."""
+        dec = jnp.maximum(-(top + 1), 0)
+        return jnp.clip(dec // 32, 0, first_cap)
+
+    def start_tri_fetch(first_c):
+        pltpu.make_async_copy(tris_ref.at[pl.ds(first_c, max_leaf)],
+                              tri_buf, sems.at[1]).start()
+
+    def wait_tri_fetch():
+        pltpu.make_async_copy(tris_ref.at[pl.ds(0, max_leaf)], tri_buf,
+                              sems.at[1]).wait()
+
+    start_node_fetch(jnp.int32(0))
+    start_tri_fetch(jnp.int32(0))
+
+    # packet mean direction for near-child-first ordering
+    md_x = jnp.sum(rays.d_x)
+    md_y = jnp.sum(rays.d_y)
+    md_z = jnp.sum(rays.d_z)
+
+    def node_children(tfar):
+        """8 slab tests + metas -> per-slot (key, code); key = _NEG when the
+        slot should not be pushed. Reads node_buf only."""
+        keys = []
+        codes = []
+        for k in range(8):
+            b = k * 6
+            hit_k = rays.slab(node_buf[0, b], node_buf[0, b + 1],
+                              node_buf[0, b + 2], node_buf[0, b + 3],
+                              node_buf[0, b + 4], node_buf[0, b + 5], tfar)
+            any_k = jnp.any(hit_k)
+            child = node_buf[0, 48 + k]
+            firstf = node_buf[0, 56 + k]
+            countf = node_buf[0, 64 + k]
+            is_int = child >= 0.0
+            is_lf = countf > 0.0
+            code = jnp.where(
+                is_int, child.astype(jnp.int32),
+                -(firstf.astype(jnp.int32) * 32
+                  + countf.astype(jnp.int32)) - 1)
+            key = ((node_buf[0, b] + node_buf[0, b + 3]) * md_x
+                   + (node_buf[0, b + 1] + node_buf[0, b + 4]) * md_y
+                   + (node_buf[0, b + 2] + node_buf[0, b + 5]) * md_z)
+            keys.append(jnp.where(any_k & (is_int | is_lf), key,
+                                  jnp.float32(_NEG)))
+            codes.append(code)
+        return tuple(keys) + tuple(codes)
+
+    def no_children(tfar):
+        del tfar
+        return (tuple(jnp.float32(_NEG) for _ in range(8))
+                + tuple(jnp.int32(0) for _ in range(8)))
+
+    def push_sorted(sp, keys, codes):
+        """Far-to-near pushes: sort descending by key (Batcher-8), then
+        write sequentially, advancing sp only for valid entries (_NEG keys
+        sort last and write harmlessly above the final top)."""
+        keys = list(keys)
+        codes = list(codes)
+        for a, b in _BATCHER8:
+            swap = keys[a] < keys[b]
+            ka = jnp.where(swap, keys[b], keys[a])
+            kb = jnp.where(swap, keys[a], keys[b])
+            ca = jnp.where(swap, codes[b], codes[a])
+            cb = jnp.where(swap, codes[a], codes[b])
+            keys[a], keys[b] = ka, kb
+            codes[a], codes[b] = ca, cb
+        for k in range(8):
+            stack[jnp.minimum(sp, STACK_DEPTH - 1)] = codes[k]
+            sp = jnp.where(keys[k] > jnp.float32(_NEG / 2),
+                           jnp.minimum(sp + 1, STACK_DEPTH), sp)
+        return sp
+
+    def push_nearlast(sp, keys, codes):
+        """Cheap partial ordering: push in slot order but hold back the
+        NEAREST valid child (max key) for the final push so it pops
+        first — 7 comparators instead of the 19-comparator full sort;
+        the shrinking t bound still culls most far children."""
+        keys = list(keys)
+        codes = list(codes)
+        bk = keys[0]
+        bc = codes[0]
+        for k in range(1, 8):
+            better = keys[k] > bk
+            bk = jnp.where(better, keys[k], bk)
+            bc = jnp.where(better, codes[k], bc)
+        taken = jnp.int32(0)  # skip ONE slot equal to the best
+        for k in range(8):
+            is_best = (keys[k] == bk) & (codes[k] == bc) & (taken == 0)
+            taken = jnp.where(is_best, 1, taken)
+            valid = (keys[k] > jnp.float32(_NEG / 2)) & ~is_best
+            stack[jnp.minimum(sp, STACK_DEPTH - 1)] = codes[k]
+            sp = jnp.where(valid, jnp.minimum(sp + 1, STACK_DEPTH), sp)
+        stack[jnp.minimum(sp, STACK_DEPTH - 1)] = bc
+        sp = jnp.where(bk > jnp.float32(_NEG / 2),
+                       jnp.minimum(sp + 1, STACK_DEPTH), sp)
+        return sp
+
+    def push_unsorted(sp, keys, codes):
+        """Any-hit: order does not matter; invalid slots write at the
+        current top without advancing and are overwritten by later valid
+        ones."""
+        for k in range(8):
+            stack[jnp.minimum(sp, STACK_DEPTH - 1)] = codes[k]
+            sp = jnp.where(keys[k] > jnp.float32(_NEG / 2),
+                           jnp.minimum(sp + 1, STACK_DEPTH), sp)
+        return sp
+
+
+    if any_hit:
+        init = (jnp.int32(1), jnp.zeros_like(t_min))
+
+        def cond(c):
+            sp, occ = c
+            return (sp > 0) & jnp.logical_not(
+                jnp.all((occ > 0.0) | (t_max0 <= t_min)))
+
+        def body(c):
+            sp, occ = c
+            top = stack[sp - 1]
+            sp = sp - 1
+            is_node = top >= 0
+            wait_node_fetch()
+            wait_tri_fetch()
+            tfar = jnp.where(occ > 0.0, t_min, t_max0)
+
+            keys_codes = jax.lax.cond(is_node, node_children, no_children,
+                                      tfar)
+            sp = push_unsorted(sp, keys_codes[:8], keys_codes[8:])
+            # node_buf fully consumed -> speculate the next node row now
+            # (overlaps the leaf math); the TRI fetch must wait until
+            # leaf_work has read this step's tri_buf
+            nxt = stack[jnp.maximum(sp - 1, 0)]
+            start_node_fetch(nxt)
+
+            dec = jnp.maximum(-(top + 1), 0)
+            count = dec - (dec // 32) * 32
+            k_off = (dec // 32) - leaf_first(top)
+
+            def leaf_work(occ):
+                for k in range(max_leaf):
+                    h, _, _, _ = rays.mt(lambda c_, k=k: tri_buf[k, c_],
+                                         tfar)
+                    in_range = (k >= k_off) & (k < k_off + count)
+                    occ = jnp.where(h & in_range, 1.0, occ)
+                return occ
+
+            occ = jax.lax.cond(jnp.logical_not(is_node), leaf_work,
+                               lambda o: o, occ)
+            start_tri_fetch(leaf_first(nxt))
+            return sp, occ
+
+        _, occluded = jax.lax.while_loop(cond, body, init)
+        wait_node_fetch()
+        wait_tri_fetch()
+        t_out[:] = occluded
+    else:
+        init = (jnp.int32(1), t_max0,
+                jnp.full(t_min.shape, -1, jnp.int32),
+                jnp.zeros_like(t_min), jnp.zeros_like(t_min))
+
+        def cond(c):
+            return c[0] > 0
+
+        def body(c):
+            sp, t, tri, u, v = c
+            top = stack[sp - 1]
+            sp = sp - 1
+            is_node = top >= 0
+            wait_node_fetch()
+            wait_tri_fetch()
+
+            keys_codes = jax.lax.cond(is_node, node_children, no_children, t)
+            push = {"sort": push_sorted, "nearlast": push_nearlast,
+                    "none": push_unsorted}[push_order]
+            sp = push(sp, keys_codes[:8], keys_codes[8:])
+            nxt = stack[jnp.maximum(sp - 1, 0)]
+            start_node_fetch(nxt)
+
+            dec = jnp.maximum(-(top + 1), 0)
+            count = dec - (dec // 32) * 32
+            k_off = (dec // 32) - leaf_first(top)
+
+            def leaf_work(carry):
+                t, tri, u, v = carry
+                for k in range(max_leaf):
+                    h, tk, uk, vk = rays.mt(lambda c_, k=k: tri_buf[k, c_],
+                                            t)
+                    in_range = (k >= k_off) & (k < k_off + count)
+                    upd = h & in_range
+                    t = jnp.where(upd, tk, t)
+                    tri = jnp.where(upd, tri_buf[k, 9].astype(jnp.int32),
+                                    tri)
+                    u = jnp.where(upd, uk, u)
+                    v = jnp.where(upd, vk, v)
+                return t, tri, u, v
+
+            t, tri, u, v = jax.lax.cond(jnp.logical_not(is_node), leaf_work,
+                                        lambda cr: cr, (t, tri, u, v))
+            start_tri_fetch(leaf_first(nxt))
+            return sp, t, tri, u, v
+
+        _, t, tri, u, v = jax.lax.while_loop(cond, body, init)
+        wait_node_fetch()
+        wait_tri_fetch()
+        t_out[:] = t
+        tri_out[:] = tri
+        u_out[:] = u
+        v_out[:] = v
+
+
+
 def _kernel_bvh8(nodes_ref, tris_ref,
                  ox, oy, oz, dx, dy, dz, tmn, tmx,
                  t_out, tri_out, u_out, v_out,
@@ -402,21 +645,35 @@ def _trace_packets_bvh8(nodes8, tris128, rays, max_leaf: int, any_hit: bool,
         jax.ShapeDtypeStruct((n_pad, PACKET_LANES), jnp.float32),
     ]
     table_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    plain = group == 1 and unroll == 1 and not count_steps
+    if plain:
+        # default path: the round-2-proven single-packet kernel (see the
+        # note above _kernel_bvh8_single)
+        scratch = [
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.VMEM((1, 128), jnp.float32),         # node row
+            pltpu.VMEM((max_leaf, 128), jnp.float32),  # leaf tri rows
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        kernel = partial(_kernel_bvh8_single, max_leaf=max_leaf,
+                         any_hit=any_hit, push_order=push_order)
+    else:
+        scratch = [
+            pltpu.SMEM((group, STACK_DEPTH), jnp.int32),
+            pltpu.VMEM((group, 1, 128), jnp.float32),         # node rows
+            pltpu.VMEM((group, max_leaf, 128), jnp.float32),  # leaf tris
+            pltpu.SemaphoreType.DMA((2, group)),
+        ]
+        kernel = partial(_kernel_bvh8, max_leaf=max_leaf, any_hit=any_hit,
+                         push_order=push_order, count_steps=count_steps,
+                         group=group, unroll=unroll)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=grid,
         in_specs=[table_spec] * 2 + [ray_spec] * 8,
         out_specs=[ray_spec] * 4,
-        scratch_shapes=[
-            pltpu.SMEM((group, STACK_DEPTH), jnp.int32),
-            pltpu.VMEM((group, 1, 128), jnp.float32),         # node rows
-            pltpu.VMEM((group, max_leaf, 128), jnp.float32),  # leaf tris
-            pltpu.SemaphoreType.DMA((2, group)),
-        ],
+        scratch_shapes=scratch,
     )
-    kernel = partial(_kernel_bvh8, max_leaf=max_leaf, any_hit=any_hit,
-                     push_order=push_order, count_steps=count_steps,
-                     group=group, unroll=unroll)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
