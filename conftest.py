@@ -12,7 +12,13 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES", "all")
+# Do NOT enable JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES here: with "all",
+# warm-cache full-suite runs intermittently SEGFAULT inside reloaded
+# interpret-mode Pallas executables (XLA:CPU custom-call/callback state
+# does not survive reload across processes) — observed 3/3 warm runs
+# crashing at varying BVH8 tests while the cold run and every file-level
+# run stayed green. The HLO-level cache above is kept (safe, recompiles
+# the backend locally).
 
 # The axon harness pins JAX_PLATFORMS=axon in a way that wins over env vars;
 # jax.config.update is authoritative.
