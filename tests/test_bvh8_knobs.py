@@ -86,3 +86,59 @@ def test_bvh8_count_steps_diagnostic(setup8):
     tiles = counts.reshape(H // 32, 32, W // 32, 32)
     assert (tiles == tiles[:, :1, :, :1]).all()
     assert (tiles >= 1).all()
+
+
+@pytest.mark.parametrize("dd", ["slab", "reduce", "sort", "leaf"])
+def test_bvh8_debug_double_bit_identical(setup8, dd):
+    """The step-cost attribution knob (tools/bvh8_step_ablate.py) doubles
+    one per-step component without changing the traversal path — every
+    variant must stay (bit-)identical to the default kernel. The "leaf"
+    variant is exempt from exact equality on t/u/v: the duplicated MT
+    expression is a separate code site the compiler may FMA-contract
+    differently (observed 2.4e-6 max diff); tri ids must still match."""
+    from tpurt.kernels.traverse_bvh8 import trace_any_bvh8, trace_closest_bvh8
+
+    tree8, geom, o, d = setup8
+    ref = trace_closest_bvh8(tree8, geom, o, d, 1e-3, 1e4,
+                             height=H, width=W, interpret=True)
+    got = trace_closest_bvh8(tree8, geom, o, d, 1e-3, 1e4,
+                             height=H, width=W, interpret=True,
+                             debug_double=dd)
+    for k in ("t", "tri", "u", "v"):
+        if dd == "leaf" and k != "tri":
+            np.testing.assert_allclose(np.asarray(got[k]),
+                                       np.asarray(ref[k]), rtol=1e-5,
+                                       atol=1e-5)
+        else:
+            np.testing.assert_array_equal(np.asarray(got[k]),
+                                          np.asarray(ref[k]))
+    if dd != "sort":  # any-hit pushes unsorted
+        ref_occ = trace_any_bvh8(tree8, geom, o, d, 1e-3, 1e4,
+                                 height=H, width=W, interpret=True)
+        got_occ = trace_any_bvh8(tree8, geom, o, d, 1e-3, 1e4,
+                                 height=H, width=W, interpret=True,
+                                 debug_double=dd)
+        np.testing.assert_array_equal(np.asarray(got_occ),
+                                      np.asarray(ref_occ))
+
+
+def test_bvh8_reduce_pair_bit_identical(setup8):
+    """reduce_mode="pair" (2 children per any-reduce via exact f32 count
+    packing) must be bit-identical to the default 8-reduce kernel on both
+    closest and any-hit paths."""
+    from tpurt.kernels.traverse_bvh8 import trace_any_bvh8, trace_closest_bvh8
+
+    tree8, geom, o, d = setup8
+    ref = trace_closest_bvh8(tree8, geom, o, d, 1e-3, 1e4,
+                             height=H, width=W, interpret=True)
+    got = trace_closest_bvh8(tree8, geom, o, d, 1e-3, 1e4,
+                             height=H, width=W, interpret=True,
+                             reduce_mode="pair")
+    for k in ("t", "tri", "u", "v"):
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(ref[k]))
+    ref_occ = trace_any_bvh8(tree8, geom, o, d, 1e-3, 1e4,
+                             height=H, width=W, interpret=True)
+    got_occ = trace_any_bvh8(tree8, geom, o, d, 1e-3, 1e4,
+                             height=H, width=W, interpret=True,
+                             reduce_mode="pair")
+    np.testing.assert_array_equal(np.asarray(got_occ), np.asarray(ref_occ))

@@ -168,5 +168,6 @@ def test_quad48_matches_stack12_bilinear():
     ref = sample_bilinear(jnp.asarray(fs.tex_stack12),
                           jnp.asarray(fs.tex_size), prim, 0, uv,
                           images_per_prim=1)
-    got = sample_bilinear_quad(jnp.asarray(fs.tex_quad48), hw, prim, uv)
+    img = jnp.asarray(fs.tex_img_of_prim)[prim]
+    got = sample_bilinear_quad(jnp.asarray(fs.tex_quad48), hw, img, uv)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

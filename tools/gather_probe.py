@@ -56,6 +56,12 @@ def main():
     add("quad_u8_w64", table(Q, 64, np.uint8), idx_q)
     add("quad_i32_w12", table(Q, 12, np.int32), idx_q)
     add("quad_i32_w16", table(Q, 16, np.int32), idx_q)
+    # disentangle dtype vs table size: GATHER_PROBE r2 compared f32 on the
+    # SMALL tri table vs u8/i32 on the BIG quad table. quad_f32_w16 is the
+    # tex_quad48 bit-view case (same 64 B rows as quad_u8_w64, f32 dtype);
+    # tri_u8_w64 is the u8 control on the small table.
+    add("quad_f32_w16", table(Q, 16, np.float32), idx_q)
+    add("tri_u8_w64", table(T, 64, np.uint8), idx_t)
     # random (incoherent) variant of the winner candidates
     ridx_t = jnp.asarray(rng.integers(0, T, N).astype(np.int32))
     add("tri_f32_w39_rand", cases["tri_f32_w39"][0], ridx_t)

@@ -54,6 +54,8 @@ def main():
         return jnp.full((prim.shape[0], 12), 0.5, jnp.float32) \
             + hw[:, :1] * 0.0
 
+    from tpurt.passes.shade import _quad_rows_to_bytes
+
     def tex_nolerp(quad, hw, prim, uv):
         # real row gather, ONE corner slice, no bilinear lerp: separates
         # the gather cost from the 4-slice + cast + lerp tail
@@ -65,8 +67,8 @@ def main():
         y0i = jnp.mod(jnp.floor(py).astype(jnp.int32), h.astype(jnp.int32))
         P, Hh, Ww, C = quad.shape
         flat = (prim * Hh + y0i) * Ww + x0i
-        row = quad.reshape(P * Hh * Ww, C)[flat]
-        return row[:, 0:12].astype(jnp.float32) / 255.0
+        row = _quad_rows_to_bytes(quad.reshape(P * Hh * Ww, C)[flat])
+        return row[:, 0:12] / 255.0
 
     r = build_scene(W, H)
     cam = r._cached("camera", r.camera.uniform())
@@ -115,7 +117,7 @@ def main():
             row = quad.reshape(P * Hh * Ww, C)[flat]
             if barrier in ("row", "both"):
                 row = lax.optimization_barrier(row)
-            rowf = row.astype(jnp.float32)
+            rowf = _quad_rows_to_bytes(row)
             t00, t10, t01, t11 = (rowf[:, 0:12], rowf[:, 12:24],
                                   rowf[:, 24:36], rowf[:, 36:48])
             out = ((t00 * (1 - fx) + t10 * fx) * (1 - fy)

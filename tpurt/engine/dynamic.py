@@ -38,11 +38,12 @@ def _normalize(v):
 
 
 def _tri_attr(tv, tri_prim, vtx_pos, vtx_uv, vtx_normal, vtx_tangent,
-              tex_size):
-    """In-jit rebuild of the gather-packed (T, 39) shading table
-    (scene.py tri_attr layout) from the transformed vertex tables —
-    43k-row gathers, cheap next to per-pixel work; restores the
-    2-wide-gather shade path for the dynamic modes."""
+              tex_size, img_of_prim):
+    """In-jit rebuild of the gather-packed (T, 40) shading table
+    (scene.py tri_attr layout, incl. the unique-image slot column) from
+    the transformed vertex tables — 43k-row gathers, cheap next to
+    per-pixel work; restores the 2-wide-gather shade path for the dynamic
+    modes."""
     cs = []
     for k in range(3):
         vid = tv[:, k]
@@ -51,7 +52,8 @@ def _tri_attr(tv, tri_prim, vtx_pos, vtx_uv, vtx_normal, vtx_tangent,
             axis=1))
     return jnp.concatenate(
         cs + [tri_prim[:, None].astype(jnp.float32),
-              tex_size[tri_prim].astype(jnp.float32)], axis=1)
+              tex_size[tri_prim].astype(jnp.float32),
+              img_of_prim[tri_prim][:, None].astype(jnp.float32)], axis=1)
 
 
 # transform-independent texture tables forwarded verbatim so the dynamic
@@ -102,7 +104,8 @@ def build_world_tables(obj_scene: dict, transforms):
     if "tex_quad48" in obj_scene:
         out["tri_attr"] = _tri_attr(
             tv, obj_scene["tri_prim"], vtx_pos, obj_scene["vtx_uv"],
-            vtx_normal, vtx_tangent, obj_scene["tex_size"])
+            vtx_normal, vtx_tangent, obj_scene["tex_size"],
+            obj_scene["tex_img_of_prim"])
         out["tex_quad48"] = obj_scene["tex_quad48"]
     _forward_mip_tables(out, obj_scene)
     return out
@@ -238,7 +241,8 @@ def render_frame_dynamic_refit(obj_scene: dict, refit: dict, transforms,
     if "tex_quad48" in obj_scene:
         scene["tri_attr"] = _tri_attr(
             tv, obj_scene["tri_prim"], vtx_pos, obj_scene["vtx_uv"],
-            vtx_normal, vtx_tangent, obj_scene["tex_size"])
+            vtx_normal, vtx_tangent, obj_scene["tex_size"],
+            obj_scene["tex_img_of_prim"])
         scene["tex_quad48"] = obj_scene["tex_quad48"]
     _forward_mip_tables(scene, obj_scene)
 

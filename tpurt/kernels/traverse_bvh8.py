@@ -70,7 +70,24 @@ def _kernel_bvh8_single(nodes_ref, tris_ref,
                  ox, oy, oz, dx, dy, dz, tmn, tmx,
                  t_out, tri_out, u_out, v_out,
                  stack, node_buf, tri_buf, sems,
-                 *, max_leaf: int, any_hit: bool, push_order: str = "sort"):
+                 *, max_leaf: int, any_hit: bool, push_order: str = "sort",
+                 debug_double: str = "", reduce_mode: str = "each"):
+    # reduce_mode: how the 8 per-child any-lane-hit scalars are computed.
+    #   "each" - one jnp.any lane reduce per child (8 reduces/node step)
+    #   "pair" - 2 children share one sum reduce: lane hit counts (<= 1024
+    #            = 2^10 each) pack exactly into one f32 as a + 4096*b, and
+    #            the scalar decodes both anys (4 reduces/node step).
+    #            Bit-identical traversal (the packing is exact integers).
+    # debug_double: step-cost attribution knob (tools/bvh8_step_ablate.py).
+    # Doubles ONE per-step component without changing the traversal path,
+    # so (t_doubled - t_base) = that component's share of the step cost:
+    #   "slab"   - every child slab test runs twice (ORed, identical hits)
+    #   "reduce" - every per-child any() reduce runs twice (ORed)
+    #   "sort"   - the Batcher push sort runs twice (sort of sorted = same)
+    #   "leaf"   - the unrolled MT loop runs twice (idempotent updates)
+    # Variants are bit-identical to the default except "leaf", whose
+    # duplicated MT expression is a separate code site the compiler may
+    # FMA-contract differently (~2e-6 on t; tri ids unchanged).
     rays = _Rays(ox, oy, oz, dx, dy, dz, tmn, tmx)
     t_min = rays.t_min
     t_max0 = rays.t_max0
@@ -113,14 +130,44 @@ def _kernel_bvh8_single(nodes_ref, tris_ref,
     def node_children(tfar):
         """8 slab tests + metas -> per-slot (key, code); key = _NEG when the
         slot should not be pushed. Reads node_buf only."""
-        keys = []
-        codes = []
+        hits = []
         for k in range(8):
             b = k * 6
             hit_k = rays.slab(node_buf[0, b], node_buf[0, b + 1],
                               node_buf[0, b + 2], node_buf[0, b + 3],
                               node_buf[0, b + 4], node_buf[0, b + 5], tfar)
-            any_k = jnp.any(hit_k)
+            if debug_double == "slab":
+                # identical test with an opaque (uncomputable-at-compile)
+                # tfar expression so it cannot be CSE'd away
+                hit_k = hit_k | rays.slab(
+                    node_buf[0, b], node_buf[0, b + 1], node_buf[0, b + 2],
+                    node_buf[0, b + 3], node_buf[0, b + 4], node_buf[0, b + 5],
+                    jnp.minimum(tfar, jnp.float32(3.0e38)))
+            hits.append(hit_k)
+
+        anys = []
+        if reduce_mode == "pair":
+            # lane-hit counts are <= 1024 = 2^10 < 4096, so a + 4096*b is
+            # exact in f32 (< 2^23) and one reduce answers two children
+            for p in range(4):
+                s = jnp.sum(hits[2 * p].astype(jnp.float32)
+                            + 4096.0 * hits[2 * p + 1].astype(jnp.float32))
+                b_cnt = jnp.floor(s * (1.0 / 4096.0))
+                anys.append((s - b_cnt * 4096.0) > 0.0)
+                anys.append(b_cnt > 0.0)
+        else:
+            for k in range(8):
+                any_k = jnp.any(hits[k])
+                if debug_double == "reduce":
+                    # (t_max0 > -3e38) is always true; the & blocks CSE
+                    any_k = any_k | jnp.any(
+                        hits[k] & (rays.t_max0 > jnp.float32(-3e38)))
+                anys.append(any_k)
+
+        keys = []
+        codes = []
+        for k in range(8):
+            b = k * 6
             child = node_buf[0, 48 + k]
             firstf = node_buf[0, 56 + k]
             countf = node_buf[0, 64 + k]
@@ -133,7 +180,7 @@ def _kernel_bvh8_single(nodes_ref, tris_ref,
             key = ((node_buf[0, b] + node_buf[0, b + 3]) * md_x
                    + (node_buf[0, b + 1] + node_buf[0, b + 4]) * md_y
                    + (node_buf[0, b + 2] + node_buf[0, b + 5]) * md_z)
-            keys.append(jnp.where(any_k & (is_int | is_lf), key,
+            keys.append(jnp.where(anys[k] & (is_int | is_lf), key,
                                   jnp.float32(_NEG)))
             codes.append(code)
         return tuple(keys) + tuple(codes)
@@ -149,14 +196,15 @@ def _kernel_bvh8_single(nodes_ref, tris_ref,
         sort last and write harmlessly above the final top)."""
         keys = list(keys)
         codes = list(codes)
-        for a, b in _BATCHER8:
-            swap = keys[a] < keys[b]
-            ka = jnp.where(swap, keys[b], keys[a])
-            kb = jnp.where(swap, keys[a], keys[b])
-            ca = jnp.where(swap, codes[b], codes[a])
-            cb = jnp.where(swap, codes[a], codes[b])
-            keys[a], keys[b] = ka, kb
-            codes[a], codes[b] = ca, cb
+        for _ in range(2 if debug_double == "sort" else 1):
+            for a, b in _BATCHER8:
+                swap = keys[a] < keys[b]
+                ka = jnp.where(swap, keys[b], keys[a])
+                kb = jnp.where(swap, keys[a], keys[b])
+                ca = jnp.where(swap, codes[b], codes[a])
+                cb = jnp.where(swap, codes[a], codes[b])
+                keys[a], keys[b] = ka, kb
+                codes[a], codes[b] = ca, cb
         for k in range(8):
             stack[jnp.minimum(sp, STACK_DEPTH - 1)] = codes[k]
             sp = jnp.where(keys[k] > jnp.float32(_NEG / 2),
@@ -230,11 +278,12 @@ def _kernel_bvh8_single(nodes_ref, tris_ref,
             k_off = (dec // 32) - leaf_first(top)
 
             def leaf_work(occ):
-                for k in range(max_leaf):
-                    h, _, _, _ = rays.mt(lambda c_, k=k: tri_buf[k, c_],
-                                         tfar)
-                    in_range = (k >= k_off) & (k < k_off + count)
-                    occ = jnp.where(h & in_range, 1.0, occ)
+                for _ in range(2 if debug_double == "leaf" else 1):
+                    for k in range(max_leaf):
+                        h, _, _, _ = rays.mt(lambda c_, k=k: tri_buf[k, c_],
+                                             tfar)
+                        in_range = (k >= k_off) & (k < k_off + count)
+                        occ = jnp.where(h & in_range, 1.0, occ)
                 return occ
 
             occ = jax.lax.cond(jnp.logical_not(is_node), leaf_work,
@@ -275,16 +324,19 @@ def _kernel_bvh8_single(nodes_ref, tris_ref,
 
             def leaf_work(carry):
                 t, tri, u, v = carry
-                for k in range(max_leaf):
-                    h, tk, uk, vk = rays.mt(lambda c_, k=k: tri_buf[k, c_],
-                                            t)
-                    in_range = (k >= k_off) & (k < k_off + count)
-                    upd = h & in_range
-                    t = jnp.where(upd, tk, t)
-                    tri = jnp.where(upd, tri_buf[k, 9].astype(jnp.int32),
-                                    tri)
-                    u = jnp.where(upd, uk, u)
-                    v = jnp.where(upd, vk, v)
+                # re-running the loop is idempotent: the MT hit test is
+                # strict (tk < t), so no second-pass update can fire
+                for _ in range(2 if debug_double == "leaf" else 1):
+                    for k in range(max_leaf):
+                        h, tk, uk, vk = rays.mt(
+                            lambda c_, k=k: tri_buf[k, c_], t)
+                        in_range = (k >= k_off) & (k < k_off + count)
+                        upd = h & in_range
+                        t = jnp.where(upd, tk, t)
+                        tri = jnp.where(upd, tri_buf[k, 9].astype(jnp.int32),
+                                        tri)
+                        u = jnp.where(upd, uk, u)
+                        v = jnp.where(upd, vk, v)
                 return t, tri, u, v
 
             t, tri, u, v = jax.lax.cond(jnp.logical_not(is_node), leaf_work,
@@ -616,7 +668,8 @@ def _kernel_bvh8(nodes_ref, tris_ref,
 def _trace_packets_bvh8(nodes8, tris128, rays, max_leaf: int, any_hit: bool,
                         interpret: bool, push_order: str = "sort",
                         count_steps: bool = False, group: int = 1,
-                        unroll: int = 1):
+                        unroll: int = 1, debug_double: str = "",
+                        reduce_mode: str = "each"):
     n_sub = rays["ox"].shape[0]
     # pad the packet count to a multiple of `group` with dead packets
     # (tmin=1 > tmax=0: the root slab test fails, one pop drains them)
@@ -656,7 +709,8 @@ def _trace_packets_bvh8(nodes8, tris128, rays, max_leaf: int, any_hit: bool,
             pltpu.SemaphoreType.DMA((2,)),
         ]
         kernel = partial(_kernel_bvh8_single, max_leaf=max_leaf,
-                         any_hit=any_hit, push_order=push_order)
+                         any_hit=any_hit, push_order=push_order,
+                         debug_double=debug_double, reduce_mode=reduce_mode)
     else:
         scratch = [
             pltpu.SMEM((group, STACK_DEPTH), jnp.int32),
@@ -691,14 +745,16 @@ def _trace_packets_bvh8(nodes8, tris128, rays, max_leaf: int, any_hit: bool,
 
 @partial(jax.jit, static_argnames=("height", "width", "max_leaf",
                                    "interpret", "push_order",
-                                   "count_steps", "group", "unroll"))
+                                   "count_steps", "group", "unroll",
+                                   "debug_double", "reduce_mode"))
 def trace_closest_bvh8(bvh: dict, geom: dict, origin, direction,
                        t_min, t_max, *, height: int, width: int,
                        max_leaf: int = LEAF8_MAX,
                        interpret: bool | None = None,
                        push_order: str = "sort",
                        count_steps: bool = False, group: int = 1,
-                       unroll: int = 1):
+                       unroll: int = 1, debug_double: str = "",
+                       reduce_mode: str = "each"):
     """Closest-hit BVH8 packet trace. bvh must carry 'nodes8'
     (bvh/wide.collapse8). Contract matches trace_closest.
     count_steps=True is a diagnostic: u/v return the packet's node/leaf
@@ -713,18 +769,22 @@ def trace_closest_bvh8(bvh: dict, geom: dict, origin, direction,
                                        interpret=interpret,
                                        push_order=push_order,
                                        count_steps=count_steps,
-                                       group=group, unroll=unroll)
+                                       group=group, unroll=unroll,
+                                       debug_double=debug_double,
+                                       reduce_mode=reduce_mode)
     g = partial(_from_packets, height=height, width=width)
     return dict(t=g(t), tri=g(tri), u=g(u), v=g(v))
 
 
 @partial(jax.jit, static_argnames=("height", "width", "max_leaf",
-                                   "interpret", "group", "unroll"))
+                                   "interpret", "group", "unroll",
+                                   "debug_double", "reduce_mode"))
 def trace_any_bvh8(bvh: dict, geom: dict, origin, direction,
                    t_min, t_max, *, height: int, width: int,
                    max_leaf: int = LEAF8_MAX,
                    interpret: bool | None = None, group: int = 1,
-                   unroll: int = 1):
+                   unroll: int = 1, debug_double: str = "",
+                   reduce_mode: str = "each"):
     """Any-hit BVH8 packet trace; returns boolean occlusion mask (H*W,)."""
     interpret = _resolve_interpret(interpret)
     tris128 = pack_tris_hbm(geom)
@@ -732,5 +792,7 @@ def trace_any_bvh8(bvh: dict, geom: dict, origin, direction,
     occ, _, _, _ = _trace_packets_bvh8(bvh["nodes8"], tris128, rays,
                                        max_leaf, any_hit=True,
                                        interpret=interpret, group=group,
-                                       unroll=unroll)
+                                       unroll=unroll,
+                                       debug_double=debug_double,
+                                       reduce_mode=reduce_mode)
     return _from_packets(occ, height, width) > 0.5

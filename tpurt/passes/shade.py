@@ -20,6 +20,7 @@ single step (the compaction analogue for this 1-bounce pipeline).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -77,13 +78,25 @@ def sample_bilinear(tex_stack, tex_size, prim, layer: int, uv,
     return out / 255.0
 
 
-def sample_bilinear_quad(quad, hw, prim, uv):
-    """Bilinear REPEAT fetch in ONE gather: quad (P, H, W, 64) u8 rows carry
-    the full 2x2 footprint of their texel across the 3 packed layers in
-    bytes 0..47 (REPEAT wrap baked in at scene-flatten time, scene.py; rows
-    padded to 64 for the fast power-of-two gather path), so the fetch is
-    a single flat row gather + the standard lerp. hw: (N, 2) f32 valid
-    (h, w) extents. Bit-identical to 4x sample_bilinear on the 12-stack."""
+def _quad_rows_to_bytes(row):
+    """Gathered quad rows -> (N, 64) byte values as f32. u8 is the right
+    storage dtype: GATHER_PROBE.json measured f32/i32 bit-views of the
+    same 64 B rows gathering ~2x SLOWER from big tables (14.8/14.9 ms vs
+    8.1 per 640k rows); the fast lever is table SIZE (dedup_images)."""
+    return row.astype(jnp.float32)
+
+
+def sample_bilinear_quad(quad, hw, img, uv):
+    """Bilinear REPEAT fetch in ONE gather: quad (U, H, W, 64) u8 rows
+    carry the full 2x2 footprint of their texel across the 3 packed layers
+    in bytes 0..47 (REPEAT wrap baked in at scene-flatten time, scene.py;
+    rows padded to 64 for the fast power-of-two gather path), so the fetch
+    is a single flat row gather + the standard lerp. The leading axis is
+    UNIQUE images (scene.dedup_images) — `img` is the per-hit unique-image
+    slot (tri_attr column 39), which keeps the table at content size: TPU
+    row-gather cost grows with table size (~4.9 ns/row at 2.7 MB vs ~12.2
+    at 268 MB, GATHER_PROBE.json). hw: (N, 2) f32 valid (h, w) extents.
+    Bit-identical to 4x sample_bilinear on the 12-stack."""
     h = hw[:, 0]
     w = hw[:, 1]
     px = uv[:, 0] * w - 0.5
@@ -94,9 +107,9 @@ def sample_bilinear_quad(quad, hw, prim, uv):
     fy = (py - y0)[:, None]
     x0i = jnp.mod(x0.astype(jnp.int32), w.astype(jnp.int32))
     y0i = jnp.mod(y0.astype(jnp.int32), h.astype(jnp.int32))
-    P, H, W, C = quad.shape
-    flat = (prim * H + y0i) * W + x0i
-    row = quad.reshape(P * H * W, C)[flat].astype(jnp.float32)
+    U, H, W, C = quad.shape
+    flat = (img * H + y0i) * W + x0i
+    row = _quad_rows_to_bytes(quad.reshape(U * H * W, C)[flat])
     t00, t10, t01, t11 = (row[:, 0:12], row[:, 12:24],
                           row[:, 24:36], row[:, 36:48])
     out = ((t00 * (1 - fx) + t10 * fx) * (1 - fy)
@@ -151,9 +164,10 @@ def sample_trilinear(atlas, offsets, sizes, prim, layer: int, uv, lod):
 def _sample_mip_bilinear_quad(qatlas, qoffsets, sizes, prim, uv, level):
     """Bilinear REPEAT fetch of ALL THREE layers at an integer mip `level`
     in ONE row gather: qatlas (N, 64) u8 quad rows (scene.py
-    build_mip_quad_atlas), qoffsets (P, L) i32, sizes (P, L, 2).
-    Returns (N, 12) floats [albedo4 | orm4 | normal4]. Bit-identical to
-    3x _sample_mip_bilinear."""
+    build_mip_quad_atlas — rows stored once per unique image; the per-prim
+    qoffsets (P, L) i32 alias shared rows), sizes (P, L, 2). Returns
+    (N, 12) floats [albedo4 | orm4 | normal4]. Bit-identical to 3x
+    _sample_mip_bilinear."""
     hw = sizes[prim, level]                  # (N, 2)
     h = hw[:, 0]
     w = hw[:, 1]
@@ -165,7 +179,7 @@ def _sample_mip_bilinear_quad(qatlas, qoffsets, sizes, prim, uv, level):
     fy = (py - y0)[:, None]
     x0i = jnp.mod(x0.astype(jnp.int32), w)
     y0i = jnp.mod(y0.astype(jnp.int32), h)
-    row = qatlas[qoffsets[prim, level] + y0i * w + x0i].astype(jnp.float32)
+    row = _quad_rows_to_bytes(qatlas[qoffsets[prim, level] + y0i * w + x0i])
     t00, t10, t01, t11 = (row[:, 0:12], row[:, 12:24],
                           row[:, 24:36], row[:, 36:48])
     out = ((t00 * (1 - fx) + t10 * fx) * (1 - fy)
@@ -319,13 +333,17 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
         # corners' attributes plus [prim, tex_h, tex_w] (TPU gather cost
         # scales with rows, not row width) — the values are byte-identical
         # to the per-table path
-        attr = scene["tri_attr"][tidx]        # (N, 39)
+        attr = scene["tri_attr"][tidx]        # (N, 40)
         p0, p1, p2 = attr[:, 0:3], attr[:, 12:15], attr[:, 24:27]
         uv0, uv1, uv2 = attr[:, 3:5], attr[:, 15:17], attr[:, 27:29]
         n0, n1, n2 = attr[:, 5:8], attr[:, 17:20], attr[:, 29:32]
         t0, t1, t2 = attr[:, 8:12], attr[:, 20:24], attr[:, 32:36]
         prim = attr[:, 36].astype(jnp.int32)  # exact small floats
         tex_hw = attr[:, 37:39]               # (N, 2) f32 (h, w)
+        # unique-image slot for the deduped quad table (legacy 39-column
+        # tables predate dedup: image axis == prim axis there)
+        img = (attr[:, 39].astype(jnp.int32) if attr.shape[1] > 39
+               else prim)
     else:
         prim = scene["tri_prim"][tidx]        # (N,)
         vids = scene["tri_vertex"][tidx]      # (N, 3)
@@ -399,7 +417,7 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
     elif "tex_quad48" in scene and tex_hw is not None:
         # quad rows: ONE gather fetches the whole 2x2 bilinear footprint of
         # albedo+ORM+normal at once
-        packed = sample_bilinear_quad(scene["tex_quad48"], tex_hw, prim,
+        packed = sample_bilinear_quad(scene["tex_quad48"], tex_hw, img,
                                       tex_coord)
 
         def fetch(layer):

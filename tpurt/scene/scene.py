@@ -61,15 +61,18 @@ class FlatScene:
     tex_atlas: Any = None        # (N, 4) u8 — all images, all mip levels
     tex_mip_offsets: Any = None  # (P*3, L) i32 texel offset into the atlas
     tex_mip_sizes: Any = None    # (P, L, 2) i32 per-level (h, w)
-    tex_mip_quad: Any = None     # (N, 64) u8 quad-packed mip rows (2x2
-    #                              footprint x 3 layers; 48 data + 16 pad)
+    tex_mip_quad: Any = None     # (N, 16) f32 bit-view of 64 B u8 quad rows
+    #                              (2x2 footprint x 3 layers; 48 data + 16
+    #                              pad) — float rows gather ~2.3x faster
     tex_mip_quad_offsets: Any = None  # (P, L) i32 row offsets
     # gather-optimized tables (see flatten_scene): one wide row per hit
-    tri_attr: Any = None         # (T, 39) f32 3x[pos, uv, normal, tangent]
-    #                              + [prim, tex_h, tex_w]
+    tri_attr: Any = None         # (T, 40) f32 3x[pos, uv, normal, tangent]
+    #                              + [prim, tex_h, tex_w, unique-image id]
     tex_stack12: Any = None      # (P, H, W, 12) u8 packed layers
-    tex_quad48: Any = None       # (P, H, W, 64) u8 2x2-footprint quad rows
-                                 # (48 data + 16 pad for the fast gather)
+    tex_quad48: Any = None       # (U, H, W, 64) u8 2x2-footprint quad rows
+                                 # (48 data + 16 pad for the fast gather),
+                                 # one slab per UNIQUE image (dedup_images)
+    tex_img_of_prim: Any = None  # (P,) i32 prim -> unique-image slot
     # object-space tables for the dynamic (per-frame-rebuild) mode
     vtx_instance: Any = None   # (V,) i32 instance id per vertex
     obj_vtx_pos: Any = None    # (V, 3) f32 object space
@@ -95,6 +98,9 @@ class FlatScene:
                        tex_quad48=self.tex_quad48)
         return out
 
+    # (tex_img_of_prim intentionally not in as_pytree: shade reads the
+    # unique-image id from tri_attr column 39)
+
     def as_object_pytree(self) -> dict:
         """Inputs for the dynamic mode: object-space geometry + instance ids
         (transforms are passed separately per frame)."""
@@ -110,6 +116,7 @@ class FlatScene:
             # transform-independent: the dynamic modes reuse the packed
             # quad texture rows and rebuild only tri_attr in-jit
             out["tex_quad48"] = self.tex_quad48
+            out["tex_img_of_prim"] = self.tex_img_of_prim
         if self.tex_atlas is not None:
             # mip atlas is transform-independent too — forward it so the
             # dynamic modes keep mipmaps/trilinear/aniso (round-2 dropped
@@ -158,54 +165,95 @@ def _box_mip(arr: np.ndarray) -> np.ndarray:
     return ((s + n // 2) // n).astype(np.uint8)
 
 
-def build_mip_atlas(tex_stack: np.ndarray, tex_size: np.ndarray):
+def build_mip_atlas(tex_stack: np.ndarray, tex_size: np.ndarray,
+                    img_of_prim: np.ndarray | None = None,
+                    uniq_prims=None):
     """Full mip chains for every image in the stack, packed into one flat
-    texel atlas. Returns (atlas (N,4) u8, offsets (P*3, L) i32,
+    texel atlas. Texels are stored once per UNIQUE image (dedup_images)
+    when img_of_prim is given; duplicate prims' offsets alias the shared
+    texels. Returns (atlas (N,4) u8, offsets (P*3, L) i32,
     sizes (P, L, 2) i32). Level count L covers the largest extent."""
     n_img = tex_stack.shape[0]
     n_prims = tex_size.shape[0]
     hmax = int(tex_size[:, 0].max(initial=1))
     wmax = int(tex_size[:, 1].max(initial=1))
     levels = max(int(np.ceil(np.log2(max(hmax, wmax, 1)))) + 1, 1)
+    if img_of_prim is None:
+        img_of_prim = np.arange(n_prims, dtype=np.int32)
+        uniq_prims = list(range(n_prims))
 
     chunks = []
-    offsets = np.zeros((n_img, levels), np.int64)
-    sizes = np.zeros((n_prims, levels, 2), np.int32)
+    offsets_u = np.zeros((len(uniq_prims) * 3, levels), np.int64)
+    sizes_u = np.zeros((len(uniq_prims), levels, 2), np.int32)
     cursor = 0
-    for img in range(n_img):
-        prim = img // 3
-        h, w = int(tex_size[prim, 0]), int(tex_size[prim, 1])
-        cur = tex_stack[img, :h, :w].copy()
-        for lv in range(levels):
-            offsets[img, lv] = cursor
-            sizes[prim, lv] = cur.shape[:2]
-            chunks.append(cur.reshape(-1, 4))
-            cursor += cur.shape[0] * cur.shape[1]
-            if cur.shape[0] > 1 or cur.shape[1] > 1:
-                cur = _box_mip(cur)
-            # 1x1 repeats for remaining levels (sampler clamp at max lod)
+    for ui, uprim in enumerate(uniq_prims):
+        for layer in range(3):
+            h, w = int(tex_size[uprim, 0]), int(tex_size[uprim, 1])
+            cur = tex_stack[uprim * 3 + layer, :h, :w].copy()
+            for lv in range(levels):
+                offsets_u[ui * 3 + layer, lv] = cursor
+                sizes_u[ui, lv] = cur.shape[:2]
+                chunks.append(cur.reshape(-1, 4))
+                cursor += cur.shape[0] * cur.shape[1]
+                if cur.shape[0] > 1 or cur.shape[1] > 1:
+                    cur = _box_mip(cur)
+                # 1x1 repeats for remaining levels (clamp at max lod)
     atlas = np.concatenate(chunks, axis=0)
-    return atlas, offsets.astype(np.int32), sizes
+    # per-prim (P*3, L) offsets alias the unique images' chunks
+    offsets = np.zeros((n_img, levels), np.int64)
+    for p in range(n_prims):
+        for layer in range(3):
+            offsets[p * 3 + layer] = offsets_u[img_of_prim[p] * 3 + layer]
+    return atlas, offsets.astype(np.int32), sizes_u[img_of_prim]
 
 
-def build_mip_quad_atlas(tex_stack: np.ndarray, tex_size: np.ndarray):
-    """Quad-packed mip atlas: one 64-byte row per (prim, level, y, x) texel
-    carrying the full 2x2 bilinear footprint (REPEAT wrap at that level)
-    across the 3 packed layers (albedo|orm|normal, 12 B x 4 corners = 48 B
-    + 16 pad for the power-of-two gather fast path — see tex_quad48).
-    A trilinear fetch of all three layers becomes TWO row gathers instead
-    of 24. Returns (atlas (N, 64) u8, offsets (P, L) i32 row offsets,
+def dedup_images(tex_stack12: np.ndarray, tex_size: np.ndarray):
+    """Map each primitive to a unique-image slot by content hash (glTF
+    scenes commonly bind the same images to many primitives — the bench
+    scene has 2 unique textures across 151 prims, so the per-prim quad
+    table was 75x bigger than its content). Returns (img_of_prim (P,) i32,
+    uniq_prims: list of representative prim indices). TPU row-gather cost
+    grows with TABLE size (GATHER_PROBE.json: 64 B u8 rows gather at
+    ~4.9 ns/row from a 2.7 MB table vs ~12.2 from 268 MB), so shrinking
+    the table IS the gather optimization."""
+    seen = {}
+    img_of_prim = np.zeros(tex_size.shape[0], np.int32)
+    uniq = []
+    for p in range(tex_size.shape[0]):
+        key = (tex_stack12[p].tobytes(), int(tex_size[p, 0]),
+               int(tex_size[p, 1]))
+        if key not in seen:
+            seen[key] = len(uniq)
+            uniq.append(p)
+        img_of_prim[p] = seen[key]
+    return img_of_prim, uniq
+
+
+def build_mip_quad_atlas(tex_stack: np.ndarray, tex_size: np.ndarray,
+                         img_of_prim: np.ndarray | None = None,
+                         uniq_prims=None):
+    """Quad-packed mip atlas: one 64-byte row per (image, level, y, x)
+    texel carrying the full 2x2 bilinear footprint (REPEAT wrap at that
+    level) across the 3 packed layers (albedo|orm|normal, 12 B x 4 corners
+    = 48 B + 16 pad for the power-of-two gather fast path — see
+    tex_quad48). A trilinear fetch of all three layers becomes TWO row
+    gathers instead of 24. Rows are stored per UNIQUE image
+    (dedup_images); the per-prim offsets of duplicates point at the shared
+    rows. Returns (atlas (N, 64) u8, offsets (P, L) i32 row offsets,
     sizes (P, L, 2) i32)."""
     n_prims = tex_size.shape[0]
     hmax = int(tex_size[:, 0].max(initial=1))
     wmax = int(tex_size[:, 1].max(initial=1))
     levels = max(int(np.ceil(np.log2(max(hmax, wmax, 1)))) + 1, 1)
+    if img_of_prim is None:
+        img_of_prim = np.arange(n_prims, dtype=np.int32)
+        uniq_prims = list(range(n_prims))
 
     chunks = []
-    offsets = np.zeros((n_prims, levels), np.int64)
-    sizes = np.zeros((n_prims, levels, 2), np.int32)
+    offsets_u = np.zeros((len(uniq_prims), levels), np.int64)
+    sizes_u = np.zeros((len(uniq_prims), levels, 2), np.int32)
     cursor = 0
-    for prim in range(n_prims):
+    for ui, prim in enumerate(uniq_prims):
         h, w = int(tex_size[prim, 0]), int(tex_size[prim, 1])
         mips = [tex_stack[prim * 3 + l, :h, :w].copy() for l in range(3)]
         for lv in range(levels):
@@ -216,14 +264,15 @@ def build_mip_quad_atlas(tex_stack: np.ndarray, tex_size: np.ndarray):
                  np.roll(arr12, -1, axis=1),
                  np.roll(arr12, -1, axis=0),
                  np.roll(np.roll(arr12, -1, 0), -1, 1)], axis=2)
-            offsets[prim, lv] = cursor
-            sizes[prim, lv] = arr12.shape[:2]
+            offsets_u[ui, lv] = cursor
+            sizes_u[ui, lv] = arr12.shape[:2]
             chunks.append(quad.reshape(-1, 64))
             cursor += quad.shape[0] * quad.shape[1]
             if mips[0].shape[0] > 1 or mips[0].shape[1] > 1:
                 mips = [_box_mip(m) for m in mips]
     atlas = np.concatenate(chunks, axis=0)
-    return atlas, offsets.astype(np.int32), sizes
+    return (atlas, offsets_u[img_of_prim].astype(np.int32),
+            sizes_u[img_of_prim])
 
 
 def flatten_scene(models: List[Model], mipmaps: bool = False) -> FlatScene:
@@ -328,13 +377,19 @@ def flatten_scene(models: List[Model], mipmaps: bool = False) -> FlatScene:
     geom = dict(v0=v0o, e1=(v1[order] - v0o), e2=(v2[order] - v0o),
                 tri_id=order.astype(np.int32))
 
+    # dedup prims sharing texture content: the gather tables below are
+    # sized by UNIQUE images, which is what their gather cost scales with
+    tex_stack12 = np.concatenate(
+        [tex_stack[0::3], tex_stack[1::3], tex_stack[2::3]], axis=3)
+    img_of_prim, uniq_prims = dedup_images(tex_stack12, tex_size)
+
     tex_atlas = tex_mip_offsets = tex_mip_sizes = None
     tex_mip_quad = tex_mip_quad_offsets = None
     if mipmaps:
         tex_atlas, tex_mip_offsets, tex_mip_sizes = build_mip_atlas(
-            tex_stack, tex_size)
+            tex_stack, tex_size, img_of_prim, uniq_prims)
         tex_mip_quad, tex_mip_quad_offsets, _ = build_mip_quad_atlas(
-            tex_stack, tex_size)
+            tex_stack, tex_size, img_of_prim, uniq_prims)
 
     # Gather-optimized tables. TPU gather cost scales with the number of
     # gathered ROWS, not row width, so the shading pass is designed around
@@ -353,18 +408,21 @@ def flatten_scene(models: List[Model], mipmaps: bool = False) -> FlatScene:
                for k in range(3)]
     tri_attr = np.concatenate(
         corners + [tri_prim[:, None].astype(np.float32),
-                   tex_size[tri_prim].astype(np.float32)],
+                   tex_size[tri_prim].astype(np.float32),
+                   img_of_prim[tri_prim][:, None].astype(np.float32)],
         axis=1).astype(np.float32)
-    tex_stack12 = np.concatenate(
-        [tex_stack[0::3], tex_stack[1::3], tex_stack[2::3]], axis=3)
     # rows are PADDED 48 -> 64 bytes: XLA's TPU row gather has a fast path
     # only for power-of-two byte widths >= 64 (measured 18.0 ms vs 8.1 ms
-    # for 640k rows, GATHER_PROBE.json) — 33% more HBM for a 2.2x gather
-    tex_quad48 = np.zeros((prim_idx, hmax, wmax, 64), np.uint8)
-    for p in range(prim_idx):
+    # for 640k rows, GATHER_PROBE.json) — 33% more HBM for a 2.2x gather.
+    # u8 is the right dtype (f32/i32 bit-views of the same 64 B rows
+    # gather ~2x SLOWER from big tables); the axis is UNIQUE images, not
+    # prims, because gather cost grows with table size (dedup_images).
+    n_uniq = len(uniq_prims)
+    tex_quad48 = np.zeros((n_uniq, hmax, wmax, 64), np.uint8)
+    for ui, p in enumerate(uniq_prims):
         h, w = int(tex_size[p, 0]), int(tex_size[p, 1])
         reg = tex_stack12[p, :h, :w]
-        tex_quad48[p, :h, :w, :48] = np.concatenate(
+        tex_quad48[ui, :h, :w, :48] = np.concatenate(
             [reg,
              np.roll(reg, -1, axis=1),            # (y,   x+1 mod w)
              np.roll(reg, -1, axis=0),            # (y+1 mod h, x)
@@ -383,4 +441,5 @@ def flatten_scene(models: List[Model], mipmaps: bool = False) -> FlatScene:
         tex_mip_sizes=tex_mip_sizes, tex_mip_quad=tex_mip_quad,
         tex_mip_quad_offsets=tex_mip_quad_offsets,
         tri_attr=tri_attr, tex_stack12=tex_stack12, tex_quad48=tex_quad48,
+        tex_img_of_prim=img_of_prim,
     )
