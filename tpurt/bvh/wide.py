@@ -28,7 +28,8 @@ Row layout (f32 lanes; indices stored as exact small floats < 2^24):
   [56 + k]        leaf first-triangle index (0 if not leaf)
   [64 + k]        leaf triangle count (0 if internal/empty)
 Empty slots carry an inverted box (always misses the slab test).
-Leaf counts go up to LEAF8_MAX (the kernel packs stack codes base-32).
+Leaf counts go up to LEAF8_MAX (the kernel packs stack codes base
+LEAF_CODE_BASE=128, so leaf_max must stay < 128).
 """
 from __future__ import annotations
 
@@ -36,7 +37,7 @@ import numpy as np
 
 BRANCHING = 8
 # max triangles in one BVH8 leaf slot (kernel unrolls this many MT tests
-# per leaf pop; stack codes pack count base-32, so must stay < 32)
+# per leaf pop; stack codes pack count base-128, so must stay < 128)
 LEAF8_MAX = 16
 _EMPTY_MIN = 3.0e37
 _EMPTY_MAX = -3.0e37

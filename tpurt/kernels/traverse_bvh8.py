@@ -8,7 +8,8 @@ BVH8 kernel amortizes all three: one row DMA brings EIGHT child AABBs
 
 Step design:
   * the SMEM stack holds MIXED entries: wide-node ids (>= 0) and encoded
-    leaf ranges (-(first * 8 + count) - 1) — a popped leaf runs ONLY its
+    leaf ranges (-(first * LEAF_CODE_BASE + count) - 1) — a popped leaf
+    runs ONLY its
     Moller-Trumbore tests, a popped node ONLY its slab tests + pushes,
     each under lax.cond (no masked-dead work like the binary kernel's
     always-on MT block),
@@ -50,6 +51,10 @@ from .traverse_pallas import (PACKET_LANES, STACK_DEPTH, _Rays,
                               _resolve_interpret, pack_tris_hbm)
 
 _NEG = -3.0e38
+# Stack leaf codes pack -(first * LEAF_CODE_BASE + count) - 1; the base
+# bounds leaf_max (< LEAF_CODE_BASE) and keeps first exact in i32 for
+# scenes up to 2^31/base triangles.
+LEAF_CODE_BASE = 128
 # Batcher odd-even mergesort network for 8 elements (19 comparators)
 _BATCHER8 = [(0, 1), (2, 3), (4, 5), (6, 7),
              (0, 2), (1, 3), (4, 6), (5, 7),
@@ -109,7 +114,7 @@ def _kernel_bvh8_single(nodes_ref, tris_ref,
     def leaf_first(top):
         """Decode the clamped DMA window start of a (possibly-)leaf entry."""
         dec = jnp.maximum(-(top + 1), 0)
-        return jnp.clip(dec // 32, 0, first_cap)
+        return jnp.clip(dec // LEAF_CODE_BASE, 0, first_cap)
 
     def start_tri_fetch(first_c):
         pltpu.make_async_copy(tris_ref.at[pl.ds(first_c, max_leaf)],
@@ -175,7 +180,7 @@ def _kernel_bvh8_single(nodes_ref, tris_ref,
             is_lf = countf > 0.0
             code = jnp.where(
                 is_int, child.astype(jnp.int32),
-                -(firstf.astype(jnp.int32) * 32
+                -(firstf.astype(jnp.int32) * LEAF_CODE_BASE
                   + countf.astype(jnp.int32)) - 1)
             key = ((node_buf[0, b] + node_buf[0, b + 3]) * md_x
                    + (node_buf[0, b + 1] + node_buf[0, b + 4]) * md_y
@@ -274,8 +279,8 @@ def _kernel_bvh8_single(nodes_ref, tris_ref,
             start_node_fetch(nxt)
 
             dec = jnp.maximum(-(top + 1), 0)
-            count = dec - (dec // 32) * 32
-            k_off = (dec // 32) - leaf_first(top)
+            count = dec - (dec // LEAF_CODE_BASE) * LEAF_CODE_BASE
+            k_off = (dec // LEAF_CODE_BASE) - leaf_first(top)
 
             def leaf_work(occ):
                 for _ in range(2 if debug_double == "leaf" else 1):
@@ -319,8 +324,8 @@ def _kernel_bvh8_single(nodes_ref, tris_ref,
             start_node_fetch(nxt)
 
             dec = jnp.maximum(-(top + 1), 0)
-            count = dec - (dec // 32) * 32
-            k_off = (dec // 32) - leaf_first(top)
+            count = dec - (dec // LEAF_CODE_BASE) * LEAF_CODE_BASE
+            k_off = (dec // LEAF_CODE_BASE) - leaf_first(top)
 
             def leaf_work(carry):
                 t, tri, u, v = carry
@@ -393,7 +398,7 @@ def _kernel_bvh8(nodes_ref, tris_ref,
     def leaf_first(top):
         """Decode the clamped DMA window start of a (possibly-)leaf entry."""
         dec = jnp.maximum(-(top + 1), 0)
-        return jnp.clip(dec // 32, 0, first_cap)
+        return jnp.clip(dec // LEAF_CODE_BASE, 0, first_cap)
 
     def start_tri_fetch(g, first_c):
         pltpu.make_async_copy(tris_ref.at[pl.ds(first_c, max_leaf)],
@@ -432,7 +437,7 @@ def _kernel_bvh8(nodes_ref, tris_ref,
             is_lf = countf > 0.0
             code = jnp.where(
                 is_int, child.astype(jnp.int32),
-                -(firstf.astype(jnp.int32) * 32
+                -(firstf.astype(jnp.int32) * LEAF_CODE_BASE
                   + countf.astype(jnp.int32)) - 1)
             key = ((node_buf[g, 0, b] + node_buf[g, 0, b + 3]) * md_x
                    + (node_buf[g, 0, b + 1] + node_buf[g, 0, b + 4]) * md_y
@@ -558,8 +563,9 @@ def _kernel_bvh8(nodes_ref, tris_ref,
                     sps[g], top, nxt = step_common(g, sps[g], tfar, alive)
 
                     dec = jnp.maximum(-(top + 1), 0)
-                    count = dec - (dec // 32) * 32
-                    k_off = (dec // 32) - leaf_first(top)
+                    count = (dec - (dec // LEAF_CODE_BASE)
+                             * LEAF_CODE_BASE)
+                    k_off = (dec // LEAF_CODE_BASE) - leaf_first(top)
 
                     def leaf_work(occ, g=g, tfar=tfar, k_off=k_off,
                                   count=count):
@@ -614,8 +620,8 @@ def _kernel_bvh8(nodes_ref, tris_ref,
                 is_node = top >= 0
 
                 dec = jnp.maximum(-(top + 1), 0)
-                count = dec - (dec // 32) * 32
-                k_off = (dec // 32) - leaf_first(top)
+                count = dec - (dec // LEAF_CODE_BASE) * LEAF_CODE_BASE
+                k_off = (dec // LEAF_CODE_BASE) - leaf_first(top)
 
                 def leaf_work(carry, g=g, k_off=k_off, count=count):
                     rays = grays[g]
