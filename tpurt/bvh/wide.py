@@ -37,8 +37,12 @@ import numpy as np
 
 BRANCHING = 8
 # max triangles in one BVH8 leaf slot (kernel unrolls this many MT tests
-# per leaf pop; stack codes pack count base-128, so must stay < 128)
-LEAF8_MAX = 16
+# per leaf pop; stack codes pack count base-128, so must stay < 128).
+# 32 is the measured sweet spot on the bench scene (BVH8_LEAF_PROBE.json:
+# closest 5.24/5.09/5.53/5.76/6.51 ms at 16/32/48/64/96): per-step serial
+# overhead dominates traversal, so fatter leaves trade nearly-free VPU MT
+# tests for fewer steps — until 48+, where the MT work stops being free.
+LEAF8_MAX = 32
 _EMPTY_MIN = 3.0e37
 _EMPTY_MAX = -3.0e37
 

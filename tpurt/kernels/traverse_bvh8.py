@@ -21,10 +21,17 @@ Step design:
     while loop so each packet's fetches are waited behind the others'
     math. Measured: NO win — g1 8.6 / g4 9.0 / g8 9.5 ms closest at the
     bench scene (BVH8_GROUP_PROBE.json), i.e. the speculation already
-    hides the DMA and the ~1.28 us/step (BVH8_STEPS.json) is serial
-    scalar+VPU work. Default stays group=1; this also closes the
+    hides the DMA and the per-step cost is serial scalar+VPU work.
+    Default stays group=1; this also closes the
     quantized-node-compression question (halving node bytes cannot speed
     up a kernel that is not DMA-bound),
+  * EMISSION ORDER matters more than op count: issuing all 8 slab tests
+    before the any() reduces and the scalar meta decode (instead of
+    slab/reduce/meta interleaved per child) dropped closest 8.6 ->
+    5.26 ms; doubling any single component afterwards costs < 0.35 ms
+    (BVH8_STEP_ABLATE.json) — the step is bound by its serial scalar
+    chain, which is also why fatter leaves win (BVH8_LEAF_PROBE.json:
+    LEAF8_MAX 16 -> 32 trades free VPU MT tests for fewer steps),
   * closest-hit pushes are ordered far-to-near by the packet mean
     direction (keys from child AABB centroids, already in the row) through
     a 19-comparator Batcher sorting network on scalars — the near child
@@ -415,21 +422,28 @@ def _kernel_bvh8(nodes_ref, tris_ref,
 
     def node_children(g, tfar):
         """8 slab tests + metas -> per-slot (key, code); key = _NEG when the
-        slot should not be pushed. Reads node_buf[g] only."""
+        slot should not be pushed. Reads node_buf[g] only. Same
+        batched-slabs-first emission order as the single kernel: issuing
+        all 8 VPU slab tests before the reduces and scalar meta decode let
+        Mosaic overlap them (closest trace 8.6 -> 5.26 ms,
+        BVH8_STEP_ABLATE.json)."""
         rays = grays[g]
         # packet mean direction for near-child-first ordering
         md_x = jnp.sum(rays.d_x)
         md_y = jnp.sum(rays.d_y)
         md_z = jnp.sum(rays.d_z)
+        hits = []
+        for k in range(8):
+            b = k * 6
+            hits.append(rays.slab(
+                node_buf[g, 0, b], node_buf[g, 0, b + 1],
+                node_buf[g, 0, b + 2], node_buf[g, 0, b + 3],
+                node_buf[g, 0, b + 4], node_buf[g, 0, b + 5], tfar))
+        anys = [jnp.any(h) for h in hits]
         keys = []
         codes = []
         for k in range(8):
             b = k * 6
-            hit_k = rays.slab(node_buf[g, 0, b], node_buf[g, 0, b + 1],
-                              node_buf[g, 0, b + 2], node_buf[g, 0, b + 3],
-                              node_buf[g, 0, b + 4], node_buf[g, 0, b + 5],
-                              tfar)
-            any_k = jnp.any(hit_k)
             child = node_buf[g, 0, 48 + k]
             firstf = node_buf[g, 0, 56 + k]
             countf = node_buf[g, 0, 64 + k]
@@ -442,7 +456,7 @@ def _kernel_bvh8(nodes_ref, tris_ref,
             key = ((node_buf[g, 0, b] + node_buf[g, 0, b + 3]) * md_x
                    + (node_buf[g, 0, b + 1] + node_buf[g, 0, b + 4]) * md_y
                    + (node_buf[g, 0, b + 2] + node_buf[g, 0, b + 5]) * md_z)
-            keys.append(jnp.where(any_k & (is_int | is_lf), key,
+            keys.append(jnp.where(anys[k] & (is_int | is_lf), key,
                                   jnp.float32(_NEG)))
             codes.append(code)
         return tuple(keys) + tuple(codes)
