@@ -176,3 +176,26 @@ def test_main_pass_unroll_slices_bit_identical():
                                  unroll_slices=True, **kw)
     np.testing.assert_array_equal(np.asarray(ao_f), np.asarray(ao_u))
     np.testing.assert_array_equal(np.asarray(e_f), np.asarray(e_u))
+
+
+def test_main_pass_batch_schedule_bit_identical():
+    """schedule="batch" reorders the slice body (all steps' vector math +
+    range reduces before the cond chains, horizons last) without changing
+    any value — must stay bit-identical to the step schedule."""
+    from tpurt.kernels.gtao_main_pallas import consts_to_vec, main_pass_pallas
+    from tpurt.passes.gtao import gtao_constants, noise_maps_64, \
+        prefilter_depths
+
+    h, w = 64, 128
+    depth, normal_enc = _gbuffer(h, w)
+    consts = gtao_constants(w, h, 0.1, 100.0, np.pi / 2, w / h)
+    mips = prefilter_depths(depth, consts)
+    kw = dict(width=w, height=h, slice_count=3, steps_per_slice=2,
+              interpret=True, precision="exact")
+    ao_s, e_s = main_pass_pallas(mips, normal_enc, consts_to_vec(consts),
+                                 noise_maps_64(jnp.int32(5)), **kw)
+    ao_b, e_b = main_pass_pallas(mips, normal_enc, consts_to_vec(consts),
+                                 noise_maps_64(jnp.int32(5)),
+                                 schedule="batch", **kw)
+    np.testing.assert_array_equal(np.asarray(ao_s), np.asarray(ao_b))
+    np.testing.assert_array_equal(np.asarray(e_s), np.asarray(e_b))

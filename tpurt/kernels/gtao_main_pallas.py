@@ -182,7 +182,7 @@ def _kernel(consts_ref, row0_ref,                         # scalar prefetch
             ao_out, edges_out,                            # outputs
             *, plan, mip_shapes, width, height, tiles_x,
             slice_count: int, steps_per_slice: int, precision: str,
-            unroll_slices: bool = False):
+            unroll_slices: bool = False, schedule: str = "step"):
     i = pl.program_id(0)
     # row0_ref holds the band's first tile row (0 for full frames): tile
     # coordinates — and therefore window origins — are ABSOLUTE image
@@ -276,13 +276,15 @@ def _kernel(consts_ref, row0_ref,                         # scalar prefetch
 
     mip_off = c("depth_mip_sampling_offset")
 
-    def sample_depth2(sx_a, sy_a, sx_b, sy_b, mip):
+    def sample_depth2(sx_a, sy_a, sx_b, sy_b, mip, mip_min=None,
+                      mip_max=None):
         """_sample_mip_point for BOTH horizon samples of one step at once:
         the mip selector depends only on the step's offset length, so the
         two fetches share it exactly — one lax.cond per level per STEP
         (instead of two) and one hi/lo window split per taken branch.
         Per-level predication skips the matmuls for untouched levels
-        (typical tiles touch 1-2 levels per step)."""
+        (typical tiles touch 1-2 levels per step). The batch schedule
+        passes mip_min/mip_max precomputed (same values, hoisted)."""
         sz_a = jnp.zeros_like(sx_a)
         sz_b = jnp.zeros_like(sx_b)
         ux_a = jnp.clip(sx_a, 0.0, 1.0)
@@ -293,8 +295,9 @@ def _kernel(consts_ref, row0_ref,                         # scalar prefetch
         # predicates become scalar range tests on [mip_min, mip_max]
         # (GTAO_SCAFFOLD_PROBE.json: the 135 any()+branch pairs per tile
         # were ~60% of the whole kernel)
-        mip_min = jnp.min(mip)
-        mip_max = jnp.max(mip)
+        if mip_min is None:
+            mip_min = jnp.min(mip)
+            mip_max = jnp.max(mip)
         for m in range(5):
             hm, wm = mip_shapes[m]
             wy, wx, _ = plan[m]
@@ -393,8 +396,9 @@ def _kernel(consts_ref, row0_ref,                         # scalar prefetch
         low0 = jnp.cos(n_angle + PI_HALF)
         low1 = jnp.cos(n_angle - PI_HALF)
 
-        def step_body(step, carry):
-            h0, h1 = carry
+        def step_coords(step):
+            """Per-step sample coordinates + per-pixel mip (pure vector
+            math, no reduces/branches — batchable across steps)."""
             stf = step.astype(jnp.float32)
             step_base_noise = ((sf + stf * float(steps_per_slice))
                                * 0.6180339887498948482)
@@ -414,36 +418,58 @@ def _kernel(consts_ref, row0_ref,                         # scalar prefetch
 
             so_x = jnp.round(so_x0) * pix_x
             so_y = jnp.round(so_y0) * pix_y
+            return (sp_x + so_x, sp_y + so_y,
+                    sp_x - so_x, sp_y - so_y, mip)
 
-            sz0, sz1 = sample_depth2(sp_x + so_x, sp_y + so_y,
-                                     sp_x - so_x, sp_y - so_y, mip)
+        def _horizon(sx, sy, sz, low, h):
+            qx, qy, qz = view_pos(sx, sy, sz)
+            dx_ = qx - px
+            dy_ = qy - py
+            dz_ = qz - pz
+            dist = jnp.sqrt(dx_ * dx_ + dy_ * dy_ + dz_ * dz_)
+            inv = 1.0 / jnp.maximum(dist, 1e-20)
+            falloff_base = jnp.sqrt(
+                dx_ * dx_ + dy_ * dy_
+                + (dz_ * (1.0 + thin)) ** 2)
+            weight = jnp.clip(falloff_base * falloff_mul + falloff_add,
+                              0.0, 1.0)
+            shc = (dx_ * vx + dy_ * vy + dz_ * vz) * inv
+            shc = low + (shc - low) * weight
+            return jnp.maximum(h, shc)
 
-            def horizon(sx, sy, sz, low, h):
-                qx, qy, qz = view_pos(sx, sy, sz)
-                dx_ = qx - px
-                dy_ = qy - py
-                dz_ = qz - pz
-                dist = jnp.sqrt(dx_ * dx_ + dy_ * dy_ + dz_ * dz_)
-                inv = 1.0 / jnp.maximum(dist, 1e-20)
-                falloff_base = jnp.sqrt(
-                    dx_ * dx_ + dy_ * dy_
-                    + (dz_ * (1.0 + thin)) ** 2)
-                weight = jnp.clip(falloff_base * falloff_mul + falloff_add,
-                                  0.0, 1.0)
-                shc = (dx_ * vx + dy_ * vy + dz_ * vz) * inv
-                shc = low + (shc - low) * weight
-                return jnp.maximum(h, shc)
-
-            h0 = horizon(sp_x + so_x, sp_y + so_y, sz0, low0, h0)
-            h1 = horizon(sp_x - so_x, sp_y - so_y, sz1, low1, h1)
+        def step_body(step, carry):
+            h0, h1 = carry
+            sxa, sya, sxb, syb, mip = step_coords(step)
+            sz0, sz1 = sample_depth2(sxa, sya, sxb, syb, mip)
+            h0 = _horizon(sxa, sya, sz0, low0, h0)
+            h1 = _horizon(sxb, syb, sz1, low1, h1)
             return h0, h1
 
-        # steps unroll (static count, typically 3): no loop-carry overhead
-        # and Mosaic can overlap consecutive steps' matmuls
-        carry = (low0, low1)
-        for step in range(steps_per_slice):
-            carry = step_body(jnp.int32(step), carry)
-        h0, h1 = carry
+        if schedule == "batch":
+            # traversal-kernel lesson (BVH8_STEP_ABLATE.json): emission
+            # ORDER beats op count. Phase A issues every step's vector
+            # math AND its two range reduces back-to-back (they pipeline
+            # instead of each stalling a scalar branch); phase B runs the
+            # cond chains on ready scalars; phase C applies the horizons
+            # in the original step order. Bit-identical values.
+            pre = []
+            for step in range(steps_per_slice):
+                sxa, sya, sxb, syb, mip = step_coords(jnp.int32(step))
+                pre.append((sxa, sya, sxb, syb, mip,
+                            jnp.min(mip), jnp.max(mip)))
+            szs = [sample_depth2(sxa, sya, sxb, syb, mip, mn, mx)
+                   for (sxa, sya, sxb, syb, mip, mn, mx) in pre]
+            h0, h1 = low0, low1
+            for (sxa, sya, sxb, syb, _, _, _), (sz0, sz1) in zip(pre, szs):
+                h0 = _horizon(sxa, sya, sz0, low0, h0)
+                h1 = _horizon(sxb, syb, sz1, low1, h1)
+        else:
+            # steps unroll (static count, typically 3): no loop-carry
+            # overhead and Mosaic can overlap consecutive steps' matmuls
+            carry = (low0, low1)
+            for step in range(steps_per_slice):
+                carry = step_body(jnp.int32(step), carry)
+            h0, h1 = carry
 
         pnl = projected_normal_len + (1.0 - projected_normal_len) * 0.05
         hh0 = -_fast_acos(jnp.clip(h1, -1.0, 1.0))
@@ -478,13 +504,13 @@ def _kernel(consts_ref, row0_ref,                         # scalar prefetch
 @partial(jax.jit, static_argnames=("width", "height", "slice_count",
                                    "steps_per_slice", "interpret",
                                    "precision", "num_rows",
-                                   "unroll_slices"))
+                                   "unroll_slices", "schedule"))
 def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
                      width: int, height: int, slice_count: int,
                      steps_per_slice: int, interpret: bool | None = None,
                      precision: str = "exact", row_start=0,
                      num_rows: int | None = None,
-                     unroll_slices: bool = False):
+                     unroll_slices: bool = False, schedule: str = "step"):
     """Pallas main pass over pre-packeted inputs. depth_mips: list of 5
     (H_m, W_m) f32 mips (R16F-quantized values); normal_enc: (H, W, 3);
     consts_vec: (len(_CK),) f32; noise_maps: (nx, ny) each (64, 64) f32.
@@ -586,7 +612,7 @@ def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
     kernel = partial(_kernel, plan=plan, mip_shapes=mip_shapes, width=width,
                      height=height, tiles_x=tiles_x, slice_count=slice_count,
                      steps_per_slice=steps_per_slice, precision=precision,
-                     unroll_slices=unroll_slices)
+                     unroll_slices=unroll_slices, schedule=schedule)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,

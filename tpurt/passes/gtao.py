@@ -89,6 +89,15 @@ class GtaoSettings:
     #    measured mean |dAO| ~5 u8 steps on smooth scenes. Opt-in only.
     # The XLA path ignores this flag (always f32).
     precision: str = "exact"
+    # Pallas main-pass slice-body schedule (bit-identical reordering):
+    #  * "step"  — per step: vector math -> range reduces -> cond chain ->
+    #    horizon (the round-3 layout).
+    #  * "batch" — all steps' vector math + range reduces issue first,
+    #    then the cond chains, then the horizons (the BVH8 emission-order
+    #    lesson, BVH8_STEP_ABLATE.json). Default: measured 18.2 -> 15.2 ms
+    #    @800² and 62.7 -> 52.6 @1080p in-scene, parity exact
+    #    (GTAO_SCHEDULE_PROBE.json).
+    schedule: str = "batch"
 
     @property
     def denoise_blur_beta(self) -> float:
@@ -645,7 +654,7 @@ def compute_ao_band(view_depth, normal_enc, consts, settings: GtaoSettings,
             noise_maps_64(noise_index), width=w, height=h,
             slice_count=settings.slice_count,
             steps_per_slice=settings.steps_per_slice,
-            precision=settings.precision,
+            precision=settings.precision, schedule=settings.schedule,
             row_start=lo32, num_rows=r_static)
         idx = jnp.clip(lo_abs + jnp.arange(main_rows), 0, h - 1) - lo32
         ao, edges = ao_r[idx], ed_r[idx]
@@ -659,7 +668,7 @@ def compute_ao_band(view_depth, normal_enc, consts, settings: GtaoSettings,
             noise_maps_64(noise_index), width=w, height=h,
             slice_count=settings.slice_count,
             steps_per_slice=settings.steps_per_slice,
-            precision=settings.precision)
+            precision=settings.precision, schedule=settings.schedule)
         idx = jnp.clip(jnp.asarray(row_start, jnp.int32) - halo
                        + jnp.arange(main_rows), 0, h - 1)
         ao, edges = ao_f[idx], ed_f[idx]
@@ -713,7 +722,7 @@ def _main_pass_any(depth_mips, normal_enc, consts, settings: GtaoSettings,
             noise_maps_64(noise_index), width=w, height=h,
             slice_count=settings.slice_count,
             steps_per_slice=settings.steps_per_slice,
-            precision=settings.precision)
+            precision=settings.precision, schedule=settings.schedule)
     return main_pass(depth_mips, normal_enc, consts, settings, noise_index,
                      row_start=row_start, num_rows=num_rows)
 
