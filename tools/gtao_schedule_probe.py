@@ -41,6 +41,7 @@ def main():
                                 r.camera.fovy, r.camera.aspect)
         s = r._effective_gtao()
         import dataclasses
+        s_step = dataclasses.replace(s, schedule="step")
         s_batch = dataclasses.replace(s, schedule="batch")
 
         def st_main(settings):
@@ -52,7 +53,7 @@ def main():
                         + jnp.sum(e.astype(jnp.float32)))
             return fn
 
-        def st_main_raw(schedule, unroll_slices):
+        def st_main_raw(schedule, unroll_slices, precision=None):
             # direct kernel call: unroll_slices is a main_pass_pallas-only
             # knob (batch + unrolled slices: no fori carry, so Mosaic may
             # interleave phase A of slice k+1 behind slice k's conds)
@@ -68,7 +69,7 @@ def main():
                     noise_maps_64(ni), width=w, height=h,
                     slice_count=s.slice_count,
                     steps_per_slice=s.steps_per_slice,
-                    precision=s.precision, schedule=schedule,
+                    precision=precision or s.precision, schedule=schedule,
                     unroll_slices=unroll_slices)
                 return (jnp.sum(ao.astype(jnp.float32))
                         + jnp.sum(e.astype(jnp.float32)))
@@ -96,9 +97,12 @@ def main():
             return best
 
         null_ms = timed(st_null)
-        ms_step = timed(st_main(s)) - null_ms
+        ms_step = timed(st_main(s_step)) - null_ms
         ms_batch = timed(st_main(s_batch)) - null_ms
         ms_bu = timed(st_main_raw("batch", True)) - null_ms
+        # pure vector scaffold (no conds/reduces/fetch, wrong AO): what
+        # remains of the batch main pass is conds+reduces+fetch
+        ms_nc = timed(st_main_raw("batch", False, "debug_noconds")) - null_ms
 
         # on-device parity (bit-identical reordering)
         mips = prefilter_depths(depth, consts)
@@ -114,11 +118,12 @@ def main():
                     main_step_ms=round(ms_step, 3),
                     main_batch_ms=round(ms_batch, 3),
                     main_batch_unroll_ms=round(ms_bu, 3),
+                    main_noconds_ms=round(ms_nc, 3),
                     parity=ok)
         report["cases"].append(case)
         print(f"{w}x{h}: step {ms_step:.2f} ms, batch {ms_batch:.2f} ms, "
-              f"batch+unroll {ms_bu:.2f} ms, parity {ok}",
-              file=sys.stderr, flush=True)
+              f"batch+unroll {ms_bu:.2f} ms, noconds {ms_nc:.2f}, "
+              f"parity {ok}", file=sys.stderr, flush=True)
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "GTAO_SCHEDULE_PROBE.json"), "w") as f:

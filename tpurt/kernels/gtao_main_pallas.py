@@ -287,6 +287,11 @@ def _kernel(consts_ref, row0_ref,                         # scalar prefetch
         passes mip_min/mip_max precomputed (same values, hoisted)."""
         sz_a = jnp.zeros_like(sx_a)
         sz_b = jnp.zeros_like(sx_b)
+        if precision == "debug_noconds":
+            # diagnostic (wrong AO): skip the per-level cond chain AND the
+            # range reduces entirely — isolates the pure vector scaffold
+            # (slice/step math + horizons) from conds+reduces+fetch
+            return sz_a, sz_b
         ux_a = jnp.clip(sx_a, 0.0, 1.0)
         uy_a = jnp.clip(sy_a, 0.0, 1.0)
         ux_b = jnp.clip(sx_b, 0.0, 1.0)
