@@ -76,28 +76,30 @@ def _fast_acos(x):
     return jnp.where(x >= 0, res, PI - res)
 
 
-def _split_hi_lo(win):
-    """f32 window -> (hi, lo) bf16 pair with hi + lo == win exactly for
-    R16F-quantized depths (11 mantissa bits <= 8 + 8). The MXU truncates
-    f32 matmul inputs to bf16 (measured: gathered depths came back
-    bf16-rounded), so the exact gather runs as TWO default-precision
-    matmuls on the split instead of one 3-pass HIGHEST matmul (~2x
-    cheaper)."""
-    hi = win.astype(jnp.bfloat16)
-    lo = (win - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
+def _bf16_rn(x):
+    """f32 -> f32-holding-a-bf16-value via integer-domain round-to-
+    nearest-even. Used for the hi/lo split so the single-plane
+    (recentered) fast path's exactness proof rests on arithmetic Mosaic
+    cannot legally transform: the split point is pinned by bit ops
+    instead of relying on the semantics of the f32->bf16 cast (verified
+    on-chip: with this split, one-plane and two-plane fetches are
+    bit-identical over the whole bench frame)."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+    rnd = jax.lax.shift_right_logical(bits, 16) & 1
+    hib = (bits + rnd + 0x7FFF) & jnp.int32(-65536)
+    return jax.lax.bitcast_convert_type(hib, jnp.float32)
 
 
-def _gather_window(parts, rely, relx, wy: int, wx: int):
+def _gather_window(stacked, nparts, rely, relx, wy: int, wx: int):
     """Per-pixel fetch win[rely, relx] for an (8, 128) packet via one-hot
-    MXU matmuls + mask-reduce per sublane row. `parts` is a tuple of bf16
-    row-planes that SUM to the fetched value: the exact mode passes the
-    (hi, lo) split pair (two stacked planes, reconstructing R16F depths
-    bit-exactly — each one-hot output is a single product, so the matmul
-    copies bf16 parts exactly and the f32 sum is lossless); the half mode
-    passes a single bf16 plane. Planes stack along rows so each sublane
-    costs ONE (len(parts)*wy, wx) @ (wx, 128) matmul."""
-    stacked = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    MXU matmuls + mask-reduce per sublane row. `stacked` is (nparts*wy, wx)
+    bf16 row-planes that SUM to the fetched value: the exact mode passes
+    the (hi, lo) split pair (two stacked planes, reconstructing R16F
+    depths bit-exactly — each one-hot output is a single product, so the
+    matmul copies bf16 parts exactly and the f32 sum is lossless); the
+    recentered-fast and half modes pass a single plane. Planes pre-stack
+    along rows (hoisted once per level) so each sublane costs ONE
+    (nparts*wy, wx) @ (wx, 128) matmul."""
     dims = (((1,), (0,)), ((), ()))
     rows = []
     for s in range(8):
@@ -106,7 +108,7 @@ def _gather_window(parts, rely, relx, wy: int, wx: int):
         cs = jax.lax.dot_general(stacked, onehot_c, dims,
                                  preferred_element_type=jnp.float32)
         val = cs[:wy]
-        for k in range(1, len(parts)):
+        for k in range(1, nparts):
             val = val + cs[k * wy:(k + 1) * wy]
         mask_r = (jax.lax.broadcasted_iota(jnp.int32, (wy, 128), 0)
                   == rely[s:s + 1]).astype(jnp.float32)
@@ -175,7 +177,51 @@ def _cut_windows(mip, y0s, x0s, wy: int, wx: int):
     return w.transpose(0, 2, 1, 3).reshape(-1, wy, wx)
 
 
-def _kernel(consts_ref, row0_ref,                         # scalar prefetch
+def _window_minmax(mip, y0s, x0s, wy: int, wx: int):
+    """Per-tile (min, max) over the SAME texels _cut_windows would cut
+    (identical clip semantics), computed separably — two small gathers
+    instead of materializing the (T, wy, wx) windows twice. Returns
+    row-major (Ty*Tx,) arrays matching the window/tile order."""
+    hm, wm = mip.shape
+    cols = np.clip(np.asarray(x0s)[:, None] + np.arange(wx), 0, wm - 1)
+    byx = mip[:, jnp.asarray(cols.reshape(-1))].reshape(hm, -1, wx)
+    cmin = byx.min(axis=2)                          # (hm, Tx)
+    cmax = byx.max(axis=2)
+    rows = jnp.clip(jnp.asarray(y0s)[:, None] + jnp.arange(wy), 0, hm - 1)
+    n_ty = rows.shape[0]
+    rmin = cmin[rows.reshape(-1)].reshape(n_ty, wy, -1).min(axis=1)
+    rmax = cmax[rows.reshape(-1)].reshape(n_ty, wy, -1).max(axis=1)
+    return rmin.reshape(-1), rmax.reshape(-1)
+
+
+def _recenter_scalars(mn, mx):
+    """Per-(tile, level) recentering constant + single-plane eligibility.
+
+    With c = bf16(midrange) and the conservative flag below, every window
+    texel v satisfies bf16(v - c) + c == v EXACTLY, so a single-bf16-plane
+    gather of (win - c) plus the f32 add-back reconstructs the R16F depth
+    bit-for-bit — half the one-hot matmul rows of the (hi, lo) pair.
+
+    Proof sketch: mips are R16F-quantized, so every v in [mn, mx] is a
+    multiple of the R16F quantum g = 2^(floor(log2 mn) - 10) > mn * 2^-11
+    (mn kept above the half-float normal range). c is bf16 with exponent
+    >= mn's, so ulp(c) >= 8g and c is a multiple of g too. Then v - c is a
+    multiple of g with |v - c| <= (mx - mn)/2 + ulp(c)/2; the flag bounds
+    that by 255 * mn * 2^-11 < 255g, i.e. at most 8 significand bits ->
+    exact in bf16 (and exact as an f32 subtraction). The add-back v =
+    (v - c) + c is a sum whose exact value is v itself (representable),
+    so round-to-nearest returns it. Ineligible tiles get c = 0 (the
+    classic exact split pair). GTAO_MIP_STATS.json: ~44% (800²) / 57%
+    (1080p) of executed fetch rows are eligible on the bench scene;
+    verified on-chip bit-identical to the two-plane path."""
+    c = ((mn + mx) * 0.5).astype(jnp.bfloat16).astype(jnp.float32)
+    ok = (((mx - mn) * 0.5 + jnp.abs(c) * (2.0 ** -8)
+           <= 255.0 * mn * (2.0 ** -11))
+          & (mn >= 6.2e-5))
+    return jnp.where(ok, c, 0.0), ok.astype(jnp.int32)
+
+
+def _kernel(consts_ref, row0_ref, flags_ref, centers_ref,  # scalar prefetch
             spx_r, spy_r, vz_r, pl_r, pr_r, pt_r, pb_r,
             nx_r, ny_r, nz_r, nsl_r, nsm_r,               # packeted inputs
             w0, w1, w2, w3, w4,                           # mip windows (f32)
@@ -203,6 +249,36 @@ def _kernel(consts_ref, row0_ref,                         # scalar prefetch
             win_offs.append((
                 jnp.clip((ty >> m) - HALO, 0, max(hm - wy, 0)),
                 jnp.clip((tx >> m) - HALO, 0, max(wm - wx, 0))))
+
+    # hoisted per-LEVEL recentering + bf16 planes: every step touching
+    # level m reuses them (the per-body hi/lo split redid this ~8x —
+    # bodies/levels ~= 39/5 on the bench scene). The (hi, lo) bf16 pair
+    # reconstructs R16F depths exactly (11 mantissa bits <= 8 + 8; the
+    # MXU truncates f32 matmul inputs to bf16, so the exact gather runs
+    # as stacked default-precision rows instead of one 3-pass HIGHEST
+    # matmul). Recentering (subtracting the per-tile scalar c) costs one
+    # VPU pass per level and makes the single-plane gather bit-exact
+    # wherever flags_ref says so (see _recenter_scalars); ineligible
+    # tiles ride c = 0, i.e. the classic exact (hi, lo) pair.
+    planes = [None] * 5
+    planes_hi = [None] * 5
+    flags = [None] * 5
+    centers = [None] * 5
+    if precision in ("exact", "half", "debug_sharedsel"):
+        for m in range(5):
+            wy, _, _ = plan[m]
+            cm = centers_ref[i * 5 + m]
+            rec = wins[m][0] - cm
+            if precision == "half":
+                planes[m] = rec.astype(jnp.bfloat16)
+            else:
+                hi_f32 = _bf16_rn(rec)
+                hi = hi_f32.astype(jnp.bfloat16)
+                lo = _bf16_rn(rec - hi_f32).astype(jnp.bfloat16)
+                planes[m] = jnp.concatenate([hi, lo], axis=0)
+                planes_hi[m] = hi
+            flags[m] = flags_ref[i * 5 + m]
+            centers[m] = cm
 
     # ---- dense per-pixel setup (identical math to passes/gtao.main_pass)
     c = lambda k: consts_ref[_CK.index(k)]  # noqa: E731
@@ -311,15 +387,16 @@ def _kernel(consts_ref, row0_ref,                         # scalar prefetch
             use = mip == m
 
             def fetch(carry, win_ref=win_ref, y0=y0, x0=x0, hm=hm, wm=wm,
-                      wy=wy, wx=wx, use=use):
-                # ALL per-level work lives inside the cond — round 3 found
-                # the texel/window coordinate math for every level of
-                # every step (eagerly hoisted out of the conds) was ~60%
-                # of the whole kernel; typical tiles take 1-2 of 5 levels.
-                # splits/casts happen in-kernel too: bf16 *operands*
-                # mis-lower under Mosaic (measured: ~12-20% of pixels
-                # wrong while the interpreter was exact) — f32 windows +
-                # a cast (half) or 3-op split (exact) per fetch are safe
+                      wy=wy, wx=wx, use=use, m=m):
+                # per-STEP work lives inside the cond — round 3 found the
+                # texel/window coordinate math for every level of every
+                # step (eagerly hoisted out of the conds) was ~60% of the
+                # whole kernel; typical tiles take 1-2 of 5 levels. The
+                # per-LEVEL bf16 planes are hoisted (5 instances, not 39)
+                # — still built in-kernel: bf16 *operands* mis-lower under
+                # Mosaic (measured: ~12-20% of pixels wrong while the
+                # interpreter was exact); f32 windows + in-kernel casts
+                # are safe
                 sz_a, sz_b = carry
 
                 def rel(ux, uy):
@@ -341,10 +418,6 @@ def _kernel(consts_ref, row0_ref,                         # scalar prefetch
                          ) * 1e-6
                     return (jnp.where(use, sz_a + v, sz_a),
                             jnp.where(use, sz_b + v, sz_b))
-                if precision == "half":
-                    parts = (win_ref[0].astype(jnp.bfloat16),)
-                else:
-                    parts = _split_hi_lo(win_ref[0])
                 if precision == "debug_sharedsel":
                     # diagnostic: one shared selector for all sublanes
                     # (wrong AO) — isolates one-hot-construction cost
@@ -352,10 +425,39 @@ def _kernel(consts_ref, row0_ref,                         # scalar prefetch
                     rely_a = jnp.broadcast_to(rely_a[:1], rely_a.shape)
                     relx_b = relx_a
                     rely_b = rely_a
-                val_a = _gather_window(parts, rely_a, relx_a, wy, wx)
-                val_b = _gather_window(parts, rely_b, relx_b, wy, wx)
-                return (jnp.where(use, val_a, sz_a),
-                        jnp.where(use, val_b, sz_b))
+                cm = centers[m]      # zeros for half/sharedsel modes
+                if precision == "half":
+                    val_a = _gather_window(planes[m], 1, rely_a, relx_a,
+                                           wy, wx)
+                    val_b = _gather_window(planes[m], 1, rely_b, relx_b,
+                                           wy, wx)
+                elif precision == "debug_sharedsel":
+                    val_a = _gather_window(planes[m], 2, rely_a, relx_a,
+                                           wy, wx)
+                    val_b = _gather_window(planes[m], 2, rely_b, relx_b,
+                                           wy, wx)
+                else:
+                    # recentered fast path: where _recenter_scalars proved
+                    # single-plane exactness, spend HALF the matmul rows
+                    # (~44-57% of executed fetch rows on the bench scene)
+                    def one_plane(_):
+                        return (
+                            _gather_window(planes_hi[m], 1, rely_a,
+                                           relx_a, wy, wx),
+                            _gather_window(planes_hi[m], 1, rely_b,
+                                           relx_b, wy, wx))
+
+                    def two_plane(_):
+                        return (
+                            _gather_window(planes[m], 2, rely_a, relx_a,
+                                           wy, wx),
+                            _gather_window(planes[m], 2, rely_b, relx_b,
+                                           wy, wx))
+
+                    val_a, val_b = jax.lax.cond(flags[m] == 1, one_plane,
+                                                two_plane, 0)
+                return (jnp.where(use, val_a + cm, sz_a),
+                        jnp.where(use, val_b + cm, sz_b))
 
             sz_a, sz_b = jax.lax.cond((mip_min <= m) & (m <= mip_max),
                                       fetch, lambda s: s, (sz_a, sz_b))
@@ -555,6 +657,8 @@ def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
     # index). Band origins are traced; _cut_windows handles both.
     win_ops = []
     win_specs = []
+    centers_l = []
+    flags_l = []
     for m, (wy, wx, full) in enumerate(plan):
         hm, wm = mip_shapes[m]
         if full:
@@ -572,6 +676,28 @@ def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
         win_ops.append(w)
         win_specs.append(pl.BlockSpec((1, wy, wx), idx,
                                       memory_space=pltpu.VMEM))
+        # per-(tile, level) recentering scalars (exact mode): cheap
+        # separable min/max over the SAME texels the window cut takes;
+        # other modes read zeros (no recentering)
+        n_tiles = tiles_y * tiles_x
+        if precision == "exact":
+            if full:
+                mn = depth_mips[m].min().reshape(1)
+                mx = depth_mips[m].max().reshape(1)
+            else:
+                mn, mx = _window_minmax(depth_mips[m], y0s, x0s, wy, wx)
+            c, fl = _recenter_scalars(mn, mx)
+            if full:
+                c = jnp.broadcast_to(c, (n_tiles,))
+                fl = jnp.broadcast_to(fl, (n_tiles,))
+        else:
+            c = jnp.zeros((n_tiles,), jnp.float32)
+            fl = jnp.zeros((n_tiles,), jnp.int32)
+        centers_l.append(c)
+        flags_l.append(fl)
+
+    flags5 = jnp.stack(flags_l, axis=1).reshape(-1)      # (T*5,) i32
+    centers5 = jnp.stack(centers_l, axis=1).reshape(-1)  # (T*5,) f32
 
     pk = partial(_to_packets, height=rows_out, width=width)
 
@@ -619,7 +745,7 @@ def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
                      steps_per_slice=steps_per_slice, precision=precision,
                      unroll_slices=unroll_slices, schedule=schedule)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=grid,
         in_specs=[ray_spec] * 12 + win_specs,
         out_specs=[
@@ -635,7 +761,8 @@ def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
         out_shape=[jax.ShapeDtypeStruct((n_sub, 128), jnp.uint8),
                    jax.ShapeDtypeStruct((n_sub, 128), jnp.uint8)],
         interpret=interpret,
-    )(consts_vec, row0_tiles.reshape(1), *packeted, *win_ops)
+    )(consts_vec, row0_tiles.reshape(1), flags5, centers5,
+      *packeted, *win_ops)
 
     unpk = partial(_from_packets, height=rows_out, width=width)
     return (unpk(ao_pk).reshape(rows_out, width),
