@@ -349,6 +349,7 @@ def scale_main():
         metric="Mrays/s, Sponza-scale triangle count, 800x800 ULTRA",
         value=round(rays / burst_ms / 1e3, 2), unit="Mrays/s",
         ms_per_frame=round(burst_ms, 3),
+        rays_per_frame=rays, lights=2,
         tris=int(r.scene.geom["v0"].shape[0]),
         tracer_tier=r._pallas_tables(),
         device=str(jax.devices()[0]),

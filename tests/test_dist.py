@@ -136,50 +136,21 @@ def test_sharded_pallas_gtao_matches_single_chip():
     """The banded Pallas GTAO main pass under shard_map (traced band
     origins) matches the single-chip Pallas frame (round-3 fix: sharded
     frames previously fell back to the XLA main pass — 7x slower on real
-    Mosaic)."""
-    from dataclasses import replace
-
-    r = _scene()
-    cfg = r.config
-    gtao_p = replace(cfg.gtao, pallas_main=True, pallas_denoise=True)
-    cam = r.camera.uniform()
-    lights = r.lights.shader_arrays()
-    consts = gtao_constants(W, H, r.camera.znear, r.camera.zfar,
-                            r.camera.fovy, r.camera.aspect)
-    scene = jax.tree.map(jnp.asarray, r.scene.as_pytree())
-
-    single = render_frame(scene, cam, lights, consts, r._lpm_derived,
-                          np.int32(3), width=W, height=H,
-                          gtao_settings=gtao_p)
-    mesh = make_mesh(4)
-    sharded = render_frame_sharded(scene, cam, lights, consts,
-                                   r._lpm_derived, np.int32(3), width=W,
-                                   height=H, gtao_settings=gtao_p, mesh=mesh)
-    for key in ("image", "ao"):
-        a = np.asarray(single[key]).astype(np.int64)
-        b = np.asarray(sharded[key]).astype(np.int64)
-        diff = np.abs(a - b)
-        assert (diff <= 1).mean() > 0.999, \
-            f"{key}: {(diff > 1).mean():.4%} px differ by >1 (max {diff.max()})"
-
-
-def test_sharded_pallas_gtao_matches_single_chip():
-    """The banded Pallas GTAO main pass under shard_map (traced band
-    origins) matches the single-chip Pallas frame (round-3 fix: sharded
-    frames previously fell back to the XLA main pass — 7x slower on real
-    Mosaic)."""
+    Mosaic). Pallas GTAO on both sides; FMA contraction under shard_map
+    allows <=0.1% of pixels off by >1 ulp of u8."""
     from dataclasses import replace
 
     r = make_renderer()
+    gtao_p = replace(r.config.gtao, pallas_main=True, pallas_denoise=True)
+    r.config.gtao = gtao_p
     single = r.render()
 
     r2 = make_renderer()
-    gtao_p = replace(r2.config.gtao, pallas_main=True, pallas_denoise=True)
     r2.config.gtao = gtao_p
     out = _sharded_out(r2, make_mesh(4))
     for key in ("image", "ao"):
         a = np.asarray(single[key]).astype(np.int64)
         b = np.asarray(out[key]).astype(np.int64)
         diff = np.abs(a - b)
-        assert (diff <= 1).mean() > 0.995, \
+        assert (diff <= 1).mean() > 0.999, \
             f"{key}: {(diff > 1).mean():.4%} px differ by >1 (max {diff.max()})"
