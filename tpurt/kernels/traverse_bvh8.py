@@ -366,6 +366,235 @@ def _kernel_bvh8_single(nodes_ref, tris_ref,
 
 
 
+def _kernel_bvh8_any_multi(nodes_ref, tris_ref,
+                           ox, oy, oz, dx, dy, dz, tmn, tmx,
+                           occ_out,
+                           stack, node_buf, tri_buf, sems,
+                           *, max_leaf: int, n_sets: int):
+    """Fused multi-set any-hit traversal: S independent shadow-ray sets for
+    the SAME pixel tile (one per shadow-casting light — identical origins,
+    different directions) traverse ONE shared stack. A child is pushed when
+    any lane of ANY set hits it, so the loop walks the UNION of the S
+    footprints instead of their sum: near the common origin the footprints
+    coincide, which is where most steps happen. Per-step cost rises only by
+    the extra slab/MT VPU work — the serial scalar chain that dominates the
+    step (BVH8_STEP_ABLATE.json) is paid ONCE for all S sets, which is the
+    win the XLA-level launch merge (measured cost-neutral in round 2) could
+    not reach.
+
+    Occlusion per set is bit-identical to S separate any-hit launches: a
+    set visiting extra leaves (pushed for another set) cannot gain hits —
+    a triangle hit inside (t_min, tfar) implies the ray passes through the
+    enclosing child AABB in that interval, so the set's own launch would
+    have pushed that child too; and occ updates are sticky ORs, so visit
+    order is irrelevant.
+
+    Replaces the reference's per-light shadow traceRayEXT loop
+    (raytrace.rgen.glsl:164-182) at one launch per frame."""
+    rays = [_Rays(ox[8 * s:8 * (s + 1)], oy[8 * s:8 * (s + 1)],
+                  oz[8 * s:8 * (s + 1)], dx[8 * s:8 * (s + 1)],
+                  dy[8 * s:8 * (s + 1)], dz[8 * s:8 * (s + 1)],
+                  tmn[8 * s:8 * (s + 1)], tmx[8 * s:8 * (s + 1)])
+            for s in range(n_sets)]
+    num_tris = tris_ref.shape[0]
+    num_nodes = nodes_ref.shape[0]
+    first_cap = max(num_tris - max_leaf, 0)
+
+    stack[0] = jnp.int32(0)
+
+    def start_node_fetch(node):
+        pltpu.make_async_copy(
+            nodes_ref.at[pl.ds(jnp.clip(node, 0, num_nodes - 1), 1)],
+            node_buf, sems.at[0]).start()
+
+    def wait_node_fetch():
+        pltpu.make_async_copy(nodes_ref.at[pl.ds(0, 1)], node_buf,
+                              sems.at[0]).wait()
+
+    def leaf_first(top):
+        dec = jnp.maximum(-(top + 1), 0)
+        return jnp.clip(dec // LEAF_CODE_BASE, 0, first_cap)
+
+    def start_tri_fetch(first_c):
+        pltpu.make_async_copy(tris_ref.at[pl.ds(first_c, max_leaf)],
+                              tri_buf, sems.at[1]).start()
+
+    def wait_tri_fetch():
+        pltpu.make_async_copy(tris_ref.at[pl.ds(0, max_leaf)], tri_buf,
+                              sems.at[1]).wait()
+
+    start_node_fetch(jnp.int32(0))
+    start_tri_fetch(jnp.int32(0))
+
+    def node_children(tfars):
+        """Same batched emission order as the single kernel: ALL S*8 slab
+        tests first (independent VPU work), then the OR-merged any()
+        reduces (8 reduces total, same count as one set), then the scalar
+        meta decode."""
+        hits = []
+        for k in range(8):
+            b = k * 6
+            hits.append([rays[s].slab(
+                node_buf[0, b], node_buf[0, b + 1], node_buf[0, b + 2],
+                node_buf[0, b + 3], node_buf[0, b + 4], node_buf[0, b + 5],
+                tfars[s]) for s in range(n_sets)])
+        anys = []
+        for k in range(8):
+            m = hits[k][0]
+            for s in range(1, n_sets):
+                m = m | hits[k][s]
+            anys.append(jnp.any(m))
+        keys = []
+        codes = []
+        for k in range(8):
+            child = node_buf[0, 48 + k]
+            firstf = node_buf[0, 56 + k]
+            countf = node_buf[0, 64 + k]
+            is_int = child >= 0.0
+            is_lf = countf > 0.0
+            code = jnp.where(
+                is_int, child.astype(jnp.int32),
+                -(firstf.astype(jnp.int32) * LEAF_CODE_BASE
+                  + countf.astype(jnp.int32)) - 1)
+            keys.append(jnp.where(anys[k] & (is_int | is_lf),
+                                  jnp.float32(1.0), jnp.float32(_NEG)))
+            codes.append(code)
+        return tuple(keys) + tuple(codes)
+
+    def no_children(tfars):
+        del tfars
+        return (tuple(jnp.float32(_NEG) for _ in range(8))
+                + tuple(jnp.int32(0) for _ in range(8)))
+
+    def push_unsorted(sp, keys, codes):
+        for k in range(8):
+            stack[jnp.minimum(sp, STACK_DEPTH - 1)] = codes[k]
+            sp = jnp.where(keys[k] > jnp.float32(_NEG / 2),
+                           jnp.minimum(sp + 1, STACK_DEPTH), sp)
+        return sp
+
+    init = (jnp.int32(1),) + tuple(jnp.zeros_like(rays[s].t_min)
+                                   for s in range(n_sets))
+
+    def set_done(occ, s):
+        return jnp.all((occ > 0.0) | (rays[s].t_max0 <= rays[s].t_min))
+
+    def cond(c):
+        sp = c[0]
+        done = set_done(c[1], 0)
+        for s in range(1, n_sets):
+            done = done & set_done(c[1 + s], s)
+        return (sp > 0) & jnp.logical_not(done)
+
+    def body(c):
+        sp = c[0]
+        occs = list(c[1:])
+        top = stack[sp - 1]
+        sp = sp - 1
+        is_node = top >= 0
+        wait_node_fetch()
+        wait_tri_fetch()
+        tfars = tuple(jnp.where(occs[s] > 0.0, rays[s].t_min,
+                                rays[s].t_max0) for s in range(n_sets))
+
+        keys_codes = jax.lax.cond(is_node, node_children, no_children, tfars)
+        sp = push_unsorted(sp, keys_codes[:8], keys_codes[8:])
+        nxt = stack[jnp.maximum(sp - 1, 0)]
+        start_node_fetch(nxt)
+
+        dec = jnp.maximum(-(top + 1), 0)
+        count = dec - (dec // LEAF_CODE_BASE) * LEAF_CODE_BASE
+        k_off = (dec // LEAF_CODE_BASE) - leaf_first(top)
+
+        def leaf_work(occs):
+            occs = list(occs)
+            for k in range(max_leaf):
+                in_range = (k >= k_off) & (k < k_off + count)
+                for s in range(n_sets):
+                    h, _, _, _ = rays[s].mt(lambda c_, k=k: tri_buf[k, c_],
+                                            tfars[s])
+                    occs[s] = jnp.where(h & in_range, 1.0, occs[s])
+            return tuple(occs)
+
+        occs = jax.lax.cond(jnp.logical_not(is_node), leaf_work,
+                            lambda o: o, tuple(occs))
+        start_tri_fetch(leaf_first(nxt))
+        return (sp,) + occs
+
+    res = jax.lax.while_loop(cond, body, init)
+    wait_node_fetch()
+    wait_tri_fetch()
+    for s in range(n_sets):
+        occ_out[8 * s:8 * (s + 1)] = res[1 + s]
+
+
+def _trace_packets_bvh8_any_multi(nodes8, tris128, rays_list,
+                                  max_leaf: int, interpret: bool):
+    """Fused any-hit over S per-set packet dicts (each (P*8, 128)).
+    Interleaves the sets per packet so one grid step sees all S ray sets
+    of the same 32x32 pixel tile as a (S*8, 128) block."""
+    n_sets = len(rays_list)
+    n_sub = rays_list[0]["ox"].shape[0]
+    n_pk = n_sub // 8
+
+    def fuse(c):
+        parts = [r[c].reshape(n_pk, 1, 8, PACKET_LANES) for r in rays_list]
+        return jnp.concatenate(parts, axis=1).reshape(-1, PACKET_LANES)
+
+    fused = {c: fuse(c) for c in ("ox", "oy", "oz", "dx", "dy", "dz",
+                                  "tmin", "tmax")}
+    blk = 8 * n_sets
+    ray_spec = pl.BlockSpec((blk, PACKET_LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_pk,),
+        in_specs=[table_spec] * 2 + [ray_spec] * 8,
+        out_specs=[ray_spec],
+        scratch_shapes=[
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.VMEM((1, 128), jnp.float32),         # node row
+            pltpu.VMEM((max_leaf, 128), jnp.float32),  # leaf tri rows
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    (occ,) = pl.pallas_call(
+        partial(_kernel_bvh8_any_multi, max_leaf=max_leaf, n_sets=n_sets),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_sub * n_sets, PACKET_LANES),
+                                        jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(nodes8, tris128,
+      fused["ox"], fused["oy"], fused["oz"],
+      fused["dx"], fused["dy"], fused["dz"],
+      fused["tmin"], fused["tmax"])
+    occ = occ.reshape(n_pk, n_sets, 8, PACKET_LANES)
+    return [occ[:, s].reshape(n_sub, PACKET_LANES) for s in range(n_sets)]
+
+
+@partial(jax.jit, static_argnames=("height", "width", "max_leaf",
+                                   "interpret"))
+def trace_any_bvh8_multi(bvh: dict, geom: dict, origin, dirs,
+                         t_min, t_maxs, *, height: int, width: int,
+                         max_leaf: int = LEAF8_MAX,
+                         interpret: bool | None = None):
+    """Fused any-hit BVH8 trace of S ray sets sharing origins: dirs
+    (S, N, 3), t_maxs (S, N) -> (S, H*W) bool occlusion. Bit-identical to
+    S separate trace_any_bvh8 calls at ~the cost of the union footprint
+    (one launch per frame instead of one per shadow-casting light)."""
+    interpret = _resolve_interpret(interpret)
+    tris128 = pack_tris_hbm(geom)
+    n_sets = dirs.shape[0]
+    rays_list = [
+        _rays_to_packets(origin, dirs[s], t_min, t_maxs[s], height, width)
+        for s in range(n_sets)]
+    occs = _trace_packets_bvh8_any_multi(bvh["nodes8"], tris128, rays_list,
+                                         max_leaf, interpret)
+    return jnp.stack([_from_packets(o, height, width) > 0.5 for o in occs])
+
+
 def _kernel_bvh8(nodes_ref, tris_ref,
                  ox, oy, oz, dx, dy, dz, tmn, tmx,
                  t_out, tri_out, u_out, v_out,

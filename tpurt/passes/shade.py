@@ -454,15 +454,47 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
     NdotV = jnp.clip(nc_NdotV, 1e-5, 1.0)
 
     num_lights = lights["pos"].shape[0]
-    rho = jnp.zeros_like(albedo)
+
+    # Pre-pass: per-light L vectors + shadow wants (the inputs the shadow
+    # traversal needs). Keeping this separate lets ALL shadow rays go out
+    # in ONE fused BVH8 launch (below) instead of one per light — which
+    # also removes the pallas_call barriers that used to split the
+    # per-light BRDF math into unfusable islands.
+    pre = []
     for i in range(num_lights):
         light = {k: arr[i] for k, arr in lights.items()}
         nn_L = get_unnormalized_L_vec(light, world_pos)
         L_len = jnp.linalg.norm(nn_L, axis=-1)
         L = nn_L / jnp.maximum(L_len, 1e-20)[..., None]
+        nc_NdotL = jnp.sum(N * L, axis=-1)
+        wants_shadow = valid & (light["casts_shadows"] > 0) & (nc_NdotL > 0)
+        # inactive lanes get tmax=0 -> they leave the BVH on the first step
+        t_max = jnp.where(wants_shadow, L_len, 0.0)
+        pre.append(dict(light=light, L=L, nc_NdotL=nc_NdotL,
+                        wants_shadow=wants_shadow, t_max=t_max))
+
+    occ_all = None
+    if (shadow_trace_fn is None and pallas_tables == "bvh8"
+            and num_lights > 1):
+        from ..bvh.wide import LEAF8_MAX
+        from ..kernels.traverse_bvh8 import trace_any_bvh8_multi
+
+        occ_all = trace_any_bvh8_multi(
+            scene["bvh"], scene["geom"], world_pos,
+            jnp.stack([p["L"] for p in pre]), SHADOW_T_MIN,
+            jnp.stack([p["t_max"] for p in pre]),
+            height=height, width=width,
+            max_leaf=max(max_leaf, LEAF8_MAX))
+
+    rho = jnp.zeros_like(albedo)
+    for i, p in enumerate(pre):
+        light = p["light"]
+        L = p["L"]
+        nc_NdotL = p["nc_NdotL"]
+        wants_shadow = p["wants_shadow"]
+        t_max = p["t_max"]
         H = _normalize(V + L)
 
-        nc_NdotL = jnp.sum(N * L, axis=-1)
         NdotL = jnp.clip(nc_NdotL, 0.0, 1.0)
         NdotH = jnp.clip(jnp.sum(N * H, axis=-1), 0.0, 1.0)
         LdotH = jnp.clip(jnp.sum(L * H, axis=-1), 0.0, 1.0)
@@ -477,10 +509,9 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
             LOCAL_SSS_RATIO)[..., None]
 
         shadow_attenuation = jnp.ones_like(NdotL)
-        wants_shadow = valid & (light["casts_shadows"] > 0) & (nc_NdotL > 0)
-        # inactive lanes get tmax=0 -> they leave the BVH on the first step
-        t_max = jnp.where(wants_shadow, L_len, 0.0)
-        if shadow_trace_fn is not None:
+        if occ_all is not None:
+            occluded = occ_all[i]
+        elif shadow_trace_fn is not None:
             occluded = shadow_trace_fn(world_pos, L, SHADOW_T_MIN, t_max)
         elif pallas_tables:
             occluded = trace_any_packets(scene["bvh"], scene["geom"],
