@@ -15,9 +15,25 @@ triangle tables, and rays visit every shard by rotating around the ICI ring
 
 After D rotations every ray is back on its origin chip with the global
 result — the classic distributed-ray-tracing ring schedule, mapped onto
-XLA collectives instead of explicit sends. Shading-attribute tables
-(vertices/uv/normals/textures) stay replicated in this prototype; the
-traversal tables (the dominant memory) are what shard.
+XLA collectives instead of explicit sends.
+
+Two tiers share the schedule:
+
+* tables="xla" — the original prototype: flat-BVH XLA tracer, shading
+  attribute/texture tables replicated.
+* tables="bvh8" — the flagship tier: the Pallas BVH8 packet kernels trace
+  each local shard (rays stay in packet-swizzled form for the whole tour;
+  ppermute is layout-preserving so the 32x32 tile coherence survives the
+  rotations), ALL shadow rays ride ONE tour through the fused multi-light
+  kernel (trace_any_bvh8_multi's kernel), and the shading tables shard
+  too: per-triangle attribute rows and texture quad rows live row-sharded
+  across chips and are served by `ring_gather` — a D-step gather tour that
+  is the table analogue of the ray ring. Hits carry GLOBAL triangle ids
+  (pack_tris_hbm bakes them into the rows), so table sharding is fully
+  decoupled from the spatial BVH partition.
+
+Per-chip HBM for every component drops ~D× (hbm_accounting() reports the
+exact bytes; test_dist_geometry.py asserts the ceiling drop).
 """
 from __future__ import annotations
 
@@ -38,22 +54,25 @@ from ..bvh.flat import tri_aabbs
 from ..passes.encodings import pack_unorm8, quantize_r11g11b10f, quantize_r16f
 from ..passes.gtao import (GtaoSettings, ao_visibility_u8, compute_ao_band)
 from ..passes.rays import T_MAX, T_MIN, camera_rays
-from ..passes.shade import shade
+from ..passes.shade import SHADOW_T_MIN, shade
 from ..passes.tonemap import tonemap_frame
 from ..kernels.traverse import trace_any, trace_closest
 
 MAX_LEAF = 4
 
 
-def shard_geometry(scene: dict, n_shards: int) -> dict:
+def shard_geometry(scene: dict, n_shards: int, tables: str = "xla") -> dict:
     """Host-side: partition the flattened scene's triangles into n_shards
     contiguous runs of the global BVH's depth-first order (spatially
     coherent), build one SAH BVH per shard, pad all shards to equal shapes,
     and stack with a leading shard axis.
 
-    Returns dict(bvh={... (D, Mmax, ...)}, geom={... (D, Tmax, ...)}) whose
-    tri_id entries stay GLOBAL triangle indices, so hits shade against the
-    replicated attribute tables unchanged."""
+    tables="xla" returns dict(bvh={... (D, Mmax, ...)},
+    geom={... (D, Tmax, ...)}) for the flat XLA ring tracer;
+    tables="bvh8" returns dict(nodes8 (D, M8max, 128),
+    tris128 (D, Tp, 128)) — each shard's binary build collapsed to BVH8
+    rows + HBM triangle rows (kernels/traverse_bvh8). Either way the
+    triangle ids baked into the rows stay GLOBAL indices."""
     geom = {k: np.asarray(v) for k, v in scene["geom"].items()}
     order = geom["tri_id"]                       # global ids in BVH order
     t = len(order)
@@ -71,6 +90,27 @@ def shard_geometry(scene: dict, n_shards: int) -> dict:
         ro = np.asarray(bvh.tri_order)
         shards.append((bvh, dict(v0=v0[ro], e1=e1[ro], e2=e2[ro],
                                  tri_id=gid[ro].astype(np.int32))))
+
+    if tables == "bvh8":
+        from ..bvh.wide import collapse8
+        from ..kernels.traverse_pallas import pack_tris_hbm
+
+        nodes8_l = [collapse8(bvh.as_pytree())[0] for bvh, _ in shards]
+        tris_l = [np.asarray(pack_tris_hbm(g)) for _, g in shards]
+        m8 = max(n.shape[0] for n in nodes8_l)
+        tp = max(tr.shape[0] for tr in tris_l)
+
+        def pad_rows0(a, rows):
+            out = np.zeros((rows,) + a.shape[1:], a.dtype)
+            out[:len(a)] = a
+            return out
+
+        # padded node rows are unreachable (only pushed child ids are ever
+        # visited); padded tri rows are degenerate (e1 = e2 = 0 -> no hit)
+        return dict(
+            nodes8=np.stack([pad_rows0(n, m8) for n in nodes8_l]),
+            tris128=np.stack([pad_rows0(tr, tp) for tr in tris_l]),
+        )
 
     m_max = max(s[0].num_nodes for s in shards)
     t_max = max(max(len(s[1]["v0"]) for s in shards), 1)
@@ -98,6 +138,167 @@ def shard_geometry(scene: dict, n_shards: int) -> dict:
         bvh={k: np.stack(v) for k, v in bvh_stack.items()},
         geom={k: np.stack(v) for k, v in geom_stack.items()},
     )
+
+
+def shard_tables(scene: dict, n_shards: int):
+    """Host-side: row-shard the shading tables (per-triangle attribute rows
+    + the texture quad table) into n_shards equal chunks, padded. Returns
+    (tables, meta): tables = dict of (D, chunk, ...) arrays for shard_map
+    in_specs P(axis); meta = dict of static ints the per-chip code needs
+    (chunk sizes + the full quad table's logical shape). Row sharding is
+    independent of the spatial BVH partition — rows are served to any chip
+    by ring_gather keyed on GLOBAL indices."""
+    def chunked(a, d):
+        a = np.asarray(a)
+        rows = a.shape[0]
+        chunk = -(-rows // d)
+        out = np.zeros((d * chunk,) + a.shape[1:], a.dtype)
+        out[:rows] = a
+        return out.reshape(d, chunk, *a.shape[1:]), chunk
+
+    attr, attr_chunk = chunked(scene["tri_attr"], n_shards)
+    tables = dict(tri_attr=attr)
+    meta = dict(attr_chunk=attr_chunk, quad_shape=None, mip_rows=None)
+    if scene.get("tex_mip_quad") is not None:
+        q, qc = chunked(scene["tex_mip_quad"], n_shards)
+        tables["quad_rows"] = q
+        meta["quad_chunk"] = qc
+        meta["mip_rows"] = int(np.asarray(scene["tex_mip_quad"]).shape[0])
+    elif scene.get("tex_quad48") is not None:
+        full = np.asarray(scene["tex_quad48"])
+        U, H, W, C = full.shape
+        q, qc = chunked(full.reshape(U * H * W, C), n_shards)
+        tables["quad_rows"] = q
+        meta["quad_chunk"] = qc
+        meta["quad_shape"] = (U, H, W, C)
+    return tables, meta
+
+
+def ring_gather(table, chunk: int, idx, axis: str, n: int):
+    """Distributed row gather over the ICI ring: `table` is this chip's
+    (chunk, ...) slice of a row-sharded global table (chip c owns rows
+    [c*chunk, (c+1)*chunk)); `idx` are GLOBAL row indices. The (idx, acc)
+    block tours the ring; at each stop the resident chip serves the rows
+    it owns; after n steps the block is home with every row filled.
+
+    One tour costs n local gathers of |idx| rows + n ppermutes of the
+    (idx + rows) payload — the table-lookup analogue of the ray ring, and
+    what lets the shading tables shard with the geometry instead of being
+    replicated (SURVEY §2.4)."""
+    me = jax.lax.axis_index(axis)
+    acc = jnp.zeros(idx.shape + table.shape[1:], table.dtype)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    carry = (idx, acc)
+    for _ in range(n):
+        idx_c, acc = carry
+        local = idx_c - me * chunk
+        ok = (local >= 0) & (local < chunk)
+        rows = table[jnp.clip(local, 0, chunk - 1)]
+        acc = jnp.where(ok.reshape(ok.shape + (1,) * (rows.ndim - ok.ndim)),
+                        rows, acc)
+        carry = jax.tree.map(lambda x: jax.lax.ppermute(x, axis, perm),
+                             (idx_c, acc))
+    return carry[1]
+
+
+def _rotate(axis, n, tree):
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    return jax.tree.map(lambda x: jax.lax.ppermute(x, axis, perm), tree)
+
+
+def _ring_closest_bvh8(nodes8, tris128, origin, direction, t_min, t_max,
+                       axis, n, band, width, max_leaf, interpret):
+    """BVH8 packet ray-ring closest hit. Rays are packet-swizzled ONCE at
+    tour start and stay in packet layout for every rotation (ppermute is
+    a pure transport — the 32x32 tile coherence the kernel needs survives);
+    the running-best (t, tri, u, v) planes ride along, with t fed back as
+    each stop's tmax so the shrinking bound culls remote subtrees exactly
+    like the single-chip kernel's own t bound."""
+    from ..kernels.traverse_bvh8 import _trace_packets_bvh8
+    from ..kernels.traverse_pallas import _from_packets, _rays_to_packets
+
+    rays = _rays_to_packets(origin, direction, t_min, t_max, band, width)
+    t = rays["tmax"]
+    tri = jnp.full_like(t, -1.0).astype(jnp.int32)
+    u = jnp.zeros_like(t)
+    v = jnp.zeros_like(t)
+    carry = (rays, t, tri, u, v)
+    for _ in range(n):
+        rays_c, t, tri, u, v = carry
+        t_n, tri_n, u_n, v_n = _trace_packets_bvh8(
+            nodes8, tris128, dict(rays_c, tmax=t), max_leaf,
+            any_hit=False, interpret=interpret)
+        better = t_n < t
+        t = jnp.where(better, t_n, t)
+        tri = jnp.where(better, tri_n, tri)
+        u = jnp.where(better, u_n, u)
+        v = jnp.where(better, v_n, v)
+        carry = _rotate(axis, n, (rays_c, t, tri, u, v))
+    _, t, tri, u, v = carry
+    g = partial(_from_packets, height=band, width=width)
+    return dict(t=g(t), tri=g(tri), u=g(u), v=g(v))
+
+
+def _ring_any_multi_bvh8(nodes8, tris128, origin, dirs, t_min, t_maxs,
+                         axis, n, band, width, max_leaf, interpret):
+    """Fused multi-light any-hit ray ring: ONE tour serves ALL S shadow-ray
+    sets — each stop runs the fused multi-set kernel (all sets share the
+    pixel tile's traversal stack, kernels/traverse_bvh8), and lanes that
+    occlude park with tmax=0 for the rest of the tour. Returns (S, band*W)
+    bool, bit-identical to S separate single-set tours."""
+    from ..kernels.traverse_bvh8 import _trace_packets_bvh8_any_multi
+    from ..kernels.traverse_pallas import _from_packets, _rays_to_packets
+
+    n_sets = len(dirs)
+    sets = [_rays_to_packets(origin, dirs[s], t_min, t_maxs[s], band, width)
+            for s in range(n_sets)]
+    occs = [jnp.zeros_like(sets[s]["tmax"]) for s in range(n_sets)]
+    carry = (sets, occs)
+    for _ in range(n):
+        sets, occs = carry
+        live = [dict(sets[s], tmax=jnp.where(occs[s] > 0.0, 0.0,
+                                             sets[s]["tmax"]))
+                for s in range(n_sets)]
+        hit = _trace_packets_bvh8_any_multi(nodes8, tris128, live,
+                                            max_leaf, interpret)
+        occs = [jnp.maximum(occs[s], hit[s]) for s in range(n_sets)]
+        carry = _rotate(axis, n, (sets, occs))
+    _, occs = carry
+    g = partial(_from_packets, height=band, width=width)
+    return jnp.stack([g(o) > 0.5 for o in occs])
+
+
+def hbm_accounting(scene: dict, shards: dict, tables: dict | None,
+                   n_shards: int) -> dict:
+    """Bytes-per-chip report: replicated single-chip residency vs the
+    sharded-geometry mode's per-chip residency (one shard of the traversal
+    tables + one chunk of each shading table + the replicated smalls).
+    The headline is ceiling_ratio: how much bigger a scene fits per chip."""
+    def nbytes(a):
+        return int(np.asarray(a).nbytes) if a is not None else 0
+
+    big_keys = ("tri_attr", "tex_quad48", "tex_mip_quad")
+    replicated = {k: nbytes(scene.get(k)) for k in big_keys}
+    replicated["traversal"] = sum(
+        nbytes(v) for v in scene["bvh"].values()) + sum(
+        nbytes(v) for v in scene["geom"].values())
+    small = sum(nbytes(v) for k, v in scene.items()
+                if k not in big_keys + ("bvh", "geom"))
+    replicated["small_replicated"] = small
+
+    per_chip = dict(small_replicated=small)
+    per_chip["traversal"] = sum(
+        nbytes(v) // n_shards for v in shards.values())
+    if tables is not None:
+        per_chip["tri_attr"] = nbytes(tables["tri_attr"]) // n_shards
+        per_chip["texture_rows"] = nbytes(
+            tables.get("quad_rows")) // n_shards
+    rep_total = sum(replicated.values())
+    shard_total = sum(per_chip.values())
+    return dict(n_shards=n_shards,
+                replicated_bytes=replicated, replicated_total=rep_total,
+                sharded_per_chip=per_chip, sharded_total=shard_total,
+                ceiling_ratio=rep_total / max(shard_total, 1))
 
 
 def _ring_trace_closest(bvh, geom, origin, direction, t_min, t_max, axis, n):
@@ -145,43 +346,49 @@ def _ring_trace_any(bvh, geom, origin, direction, t_min, t_max, axis, n):
     return carry[3]
 
 
+def freeze_meta(meta: dict) -> tuple:
+    """shard_tables meta dict -> hashable static arg for the jitted frame."""
+    return (meta["attr_chunk"], meta.get("quad_chunk"),
+            meta.get("quad_shape"), meta.get("mip_rows"))
+
+
 @partial(jax.jit, static_argnames=("width", "height", "gtao_settings",
                                    "mesh", "axis", "enable_gtao",
-                                   "enable_tonemap"))
+                                   "enable_tonemap", "tables", "meta"))
 def render_frame_sharded_geometry(scene: dict, shards: dict, camera: dict,
                                   lights: dict, gtao_consts: dict,
                                   lpm_derived: dict, noise_index, *,
                                   width: int, height: int,
                                   gtao_settings: GtaoSettings, mesh: Mesh,
                                   axis: str = "x", enable_gtao: bool = True,
-                                  enable_tonemap: bool = True):
+                                  enable_tonemap: bool = True,
+                                  tables: str = "xla",
+                                  shade_tables: dict | None = None,
+                                  meta: tuple | None = None):
     """One frame with geometry sharded across the mesh: primary AND shadow
     rays ride the ICI ring; G-buffer post passes run like the replicated
-    mode. `scene` carries the replicated attribute tables (its bvh/geom are
-    unused here); `shards` comes from shard_geometry()."""
+    mode. `shards` comes from shard_geometry(scene, n, tables).
+
+    tables="xla": the prototype tier — flat-BVH XLA ring tracer, shading
+    tables replicated (scene carries them; its bvh/geom are unused).
+    tables="bvh8": the flagship tier — Pallas BVH8 packet ring + ONE fused
+    multi-light shadow tour + row-sharded shading tables served by
+    ring_gather. Pass shade_tables/meta from shard_tables()/freeze_meta();
+    the big tables in `scene` are replaced by 1-row placeholders here, so
+    per-chip HBM is ~1/D of every large component (hbm_accounting)."""
     n = mesh.shape[axis]
     assert height % n == 0, f"height {height} not divisible by mesh size {n}"
     band = height // n
     shards = jax.tree.map(jnp.asarray, shards)
 
-    def per_chip(scene, shards, camera, lights, gtao_consts, lpm_derived,
-                 noise_index):
-        me = jax.lax.axis_index(axis)
-        row0 = me * band
-        bvh = {k: v[0] for k, v in shards["bvh"].items()}
-        geom = {k: v[0] for k, v in shards["geom"].items()}
+    if tables == "bvh8":
+        from ..bvh.wide import LEAF8_MAX
+        from ..kernels.traverse_pallas import _resolve_interpret
+        interp = _resolve_interpret(None)
+        attr_chunk, quad_chunk, quad_shape, _ = meta
+        shade_tables = jax.tree.map(jnp.asarray, shade_tables)
 
-        origin, direction = camera_rays(camera, width, height,
-                                        row_start=row0, num_rows=band)
-        hits = _ring_trace_closest(bvh, geom, origin, direction,
-                                   T_MIN, T_MAX, axis, n)
-
-        def ring_shadows(o, d, tmin, tmax):
-            return _ring_trace_any(bvh, geom, o, d, tmin, tmax, axis, n)
-
-        g = shade(scene, camera, lights, hits, origin, direction,
-                  shadow_trace_fn=ring_shadows)
-
+    def post_passes(g, row0, noise_index):
         color = quantize_r11g11b10f(g["color"]).reshape(band, width, 3)
         depth = quantize_r16f(g["depth"]).reshape(band, width)
         normal = quantize_r11g11b10f(g["normal_enc"]).reshape(band, width, 3)
@@ -203,6 +410,58 @@ def render_frame_sharded_geometry(scene: dict, shards: dict, camera: dict,
         return dict(image=image, color=color, depth=depth, normal=normal,
                     ao=ao)
 
+    def per_chip(scene, shards, tbl, camera, lights, gtao_consts,
+                 lpm_derived, noise_index):
+        del tbl
+        me = jax.lax.axis_index(axis)
+        row0 = me * band
+        bvh = {k: v[0] for k, v in shards["bvh"].items()}
+        geom = {k: v[0] for k, v in shards["geom"].items()}
+
+        origin, direction = camera_rays(camera, width, height,
+                                        row_start=row0, num_rows=band)
+        hits = _ring_trace_closest(bvh, geom, origin, direction,
+                                   T_MIN, T_MAX, axis, n)
+
+        def ring_shadows(o, d, tmin, tmax):
+            return _ring_trace_any(bvh, geom, o, d, tmin, tmax, axis, n)
+
+        g = shade(scene, camera, lights, hits, origin, direction,
+                  shadow_trace_fn=ring_shadows)
+        return post_passes(g, row0, noise_index)
+
+    def per_chip_bvh8(scene, shards, tbl, camera, lights, gtao_consts,
+                      lpm_derived, noise_index):
+        me = jax.lax.axis_index(axis)
+        row0 = me * band
+        nodes8 = shards["nodes8"][0]
+        tris128 = shards["tris128"][0]
+
+        origin, direction = camera_rays(camera, width, height,
+                                        row_start=row0, num_rows=band)
+        hits = _ring_closest_bvh8(nodes8, tris128, origin, direction,
+                                  T_MIN, T_MAX, axis, n, band, width,
+                                  LEAF8_MAX, interp)
+        attr = ring_gather(tbl["tri_attr"][0], attr_chunk,
+                           jnp.maximum(hits["tri"], 0), axis, n)
+
+        def shadow_multi(o, dirs, tmin, tmaxs):
+            return _ring_any_multi_bvh8(nodes8, tris128, o, dirs, tmin,
+                                        tmaxs, axis, n, band, width,
+                                        LEAF8_MAX, interp)
+
+        quad_fn = None
+        if "quad_rows" in tbl:
+            def quad_fn(flat):
+                return ring_gather(tbl["quad_rows"][0], quad_chunk, flat,
+                                   axis, n)
+
+        g = shade(scene, camera, lights, hits, origin, direction,
+                  height=band, width=width, image_rows=height,
+                  attr_rows=attr, quad_gather=quad_fn, quad_shape=quad_shape,
+                  shadow_trace_multi_fn=shadow_multi)
+        return post_passes(g, row0, noise_index)
+
     out_spec = dict(image=P(axis, None, None), color=P(axis, None, None),
                     depth=P(axis, None), normal=P(axis, None, None),
                     ao=P(axis, None))
@@ -211,19 +470,34 @@ def render_frame_sharded_geometry(scene: dict, shards: dict, camera: dict,
     # the occlusion tracer; 1-row placeholders keep the pytree complete
     # WITHOUT replicating the full traversal tables (the whole point of
     # this mode)
-    scene_rep["bvh"] = jax.tree.map(
-        lambda a: jnp.zeros((1,) + jnp.shape(a)[1:], jnp.asarray(a).dtype),
-        scene["bvh"])
-    scene_rep["geom"] = jax.tree.map(
-        lambda a: jnp.zeros((1,) + jnp.shape(a)[1:], jnp.asarray(a).dtype),
-        scene["geom"])
+    def placeholder(a):
+        return jnp.zeros((1,) + jnp.shape(a)[1:], jnp.asarray(a).dtype)
+
+    scene_rep["bvh"] = jax.tree.map(placeholder, scene["bvh"])
+    scene_rep["geom"] = jax.tree.map(placeholder, scene["geom"])
+
+    if tables == "bvh8":
+        # the sharded tables replace the replicated ones: shade() reads the
+        # attr rows / quad rows through the ring, so the big tables shrink
+        # to 1-row placeholders (branch selection in shade keys on presence)
+        for k in ("tri_attr", "tex_quad48", "tex_mip_quad", "tex_atlas"):
+            if scene_rep.get(k) is not None:
+                scene_rep[k] = placeholder(scene_rep[k])
+        body = per_chip_bvh8
+        shard_specs = dict(nodes8=P(axis), tris128=P(axis))
+        tbl_specs = {k: P(axis) for k in shade_tables}
+    else:
+        body = per_chip
+        shade_tables = {}
+        tbl_specs = {}
+        shard_specs = dict(bvh={k: P(axis) for k in shards["bvh"]},
+                           geom={k: P(axis) for k in shards["geom"]})
+
     fn = shard_map(
-        per_chip, mesh=mesh,
-        in_specs=(P(), dict(bvh={k: P(axis) for k in shards["bvh"]},
-                            geom={k: P(axis) for k in shards["geom"]}),
-                  P(), P(), P(), P(), P()),
+        body, mesh=mesh,
+        in_specs=(P(), shard_specs, tbl_specs, P(), P(), P(), P(), P()),
         out_specs=out_spec,
         check_vma=False,
     )
-    return fn(scene_rep, shards, camera, lights, gtao_consts, lpm_derived,
-              jnp.asarray(noise_index))
+    return fn(scene_rep, shards, shade_tables, camera, lights, gtao_consts,
+              lpm_derived, jnp.asarray(noise_index))

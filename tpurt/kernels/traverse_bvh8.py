@@ -366,11 +366,8 @@ def _kernel_bvh8_single(nodes_ref, tris_ref,
 
 
 
-def _kernel_bvh8_any_multi(nodes_ref, tris_ref,
-                           ox, oy, oz, dx, dy, dz, tmn, tmx,
-                           occ_out,
-                           stack, node_buf, tri_buf, sems,
-                           *, max_leaf: int, n_sets: int):
+def _kernel_bvh8_any_multi(nodes_ref, tris_ref, *refs,
+                           max_leaf: int, n_sets: int):
     """Fused multi-set any-hit traversal: S independent shadow-ray sets for
     the SAME pixel tile (one per shadow-casting light — identical origins,
     different directions) traverse ONE shared stack. A child is pushed when
@@ -389,13 +386,18 @@ def _kernel_bvh8_any_multi(nodes_ref, tris_ref,
     have pushed that child too; and occ updates are sticky ORs, so visit
     order is irrelevant.
 
+    refs layout: 8*S per-set ray refs (each its OWN (8,128) input block —
+    per-set arrays go straight to the kernel; an earlier variant that
+    pre-interleaved the sets into (S*8,128) blocks cost ~1 ms of pure XLA
+    relayout at 800², swamping the kernel win), then S occ outputs, then
+    the shared scratch (stack, node row, leaf block, DMA sems).
+
     Replaces the reference's per-light shadow traceRayEXT loop
     (raytrace.rgen.glsl:164-182) at one launch per frame."""
-    rays = [_Rays(ox[8 * s:8 * (s + 1)], oy[8 * s:8 * (s + 1)],
-                  oz[8 * s:8 * (s + 1)], dx[8 * s:8 * (s + 1)],
-                  dy[8 * s:8 * (s + 1)], dz[8 * s:8 * (s + 1)],
-                  tmn[8 * s:8 * (s + 1)], tmx[8 * s:8 * (s + 1)])
-            for s in range(n_sets)]
+    ray_refs = refs[:8 * n_sets]
+    occ_outs = refs[8 * n_sets:9 * n_sets]
+    stack, node_buf, tri_buf, sems = refs[9 * n_sets:]
+    rays = [_Rays(*ray_refs[8 * s:8 * (s + 1)]) for s in range(n_sets)]
     num_tris = tris_ref.shape[0]
     num_nodes = nodes_ref.shape[0]
     first_cap = max(num_tris - max_leaf, 0)
@@ -525,33 +527,28 @@ def _kernel_bvh8_any_multi(nodes_ref, tris_ref,
     wait_node_fetch()
     wait_tri_fetch()
     for s in range(n_sets):
-        occ_out[8 * s:8 * (s + 1)] = res[1 + s]
+        occ_outs[s][:] = res[1 + s]
 
 
 def _trace_packets_bvh8_any_multi(nodes8, tris128, rays_list,
                                   max_leaf: int, interpret: bool):
-    """Fused any-hit over S per-set packet dicts (each (P*8, 128)).
-    Interleaves the sets per packet so one grid step sees all S ray sets
-    of the same 32x32 pixel tile as a (S*8, 128) block."""
+    """Fused any-hit over S per-set packet dicts (each (P*8, 128)). Every
+    set's component arrays feed the kernel as their OWN inputs with (8,128)
+    blocks at the same grid index — one grid step sees all S ray sets of
+    the same 32x32 pixel tile with ZERO pre-interleave relayout (an
+    (S*8,128) concat layout cost ~1 ms of pure data movement at 800²)."""
     n_sets = len(rays_list)
     n_sub = rays_list[0]["ox"].shape[0]
     n_pk = n_sub // 8
 
-    def fuse(c):
-        parts = [r[c].reshape(n_pk, 1, 8, PACKET_LANES) for r in rays_list]
-        return jnp.concatenate(parts, axis=1).reshape(-1, PACKET_LANES)
-
-    fused = {c: fuse(c) for c in ("ox", "oy", "oz", "dx", "dy", "dz",
-                                  "tmin", "tmax")}
-    blk = 8 * n_sets
-    ray_spec = pl.BlockSpec((blk, PACKET_LANES), lambda i: (i, 0),
+    ray_spec = pl.BlockSpec((8, PACKET_LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     table_spec = pl.BlockSpec(memory_space=pltpu.HBM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_pk,),
-        in_specs=[table_spec] * 2 + [ray_spec] * 8,
-        out_specs=[ray_spec],
+        in_specs=[table_spec] * 2 + [ray_spec] * (8 * n_sets),
+        out_specs=[ray_spec] * n_sets,
         scratch_shapes=[
             pltpu.SMEM((STACK_DEPTH,), jnp.int32),
             pltpu.VMEM((1, 128), jnp.float32),         # node row
@@ -559,19 +556,18 @@ def _trace_packets_bvh8_any_multi(nodes8, tris128, rays_list,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    (occ,) = pl.pallas_call(
+    flat_rays = [r[c] for r in rays_list
+                 for c in ("ox", "oy", "oz", "dx", "dy", "dz",
+                           "tmin", "tmax")]
+    occs = pl.pallas_call(
         partial(_kernel_bvh8_any_multi, max_leaf=max_leaf, n_sets=n_sets),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n_sub * n_sets, PACKET_LANES),
-                                        jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((n_sub, PACKET_LANES), jnp.float32)
+                   for _ in range(n_sets)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(nodes8, tris128,
-      fused["ox"], fused["oy"], fused["oz"],
-      fused["dx"], fused["dy"], fused["dz"],
-      fused["tmin"], fused["tmax"])
-    occ = occ.reshape(n_pk, n_sets, 8, PACKET_LANES)
-    return [occ[:, s].reshape(n_sub, PACKET_LANES) for s in range(n_sets)]
+    )(nodes8, tris128, *flat_rays)
+    return list(occs)
 
 
 @partial(jax.jit, static_argnames=("height", "width", "max_leaf",
@@ -580,13 +576,15 @@ def trace_any_bvh8_multi(bvh: dict, geom: dict, origin, dirs,
                          t_min, t_maxs, *, height: int, width: int,
                          max_leaf: int = LEAF8_MAX,
                          interpret: bool | None = None):
-    """Fused any-hit BVH8 trace of S ray sets sharing origins: dirs
-    (S, N, 3), t_maxs (S, N) -> (S, H*W) bool occlusion. Bit-identical to
-    S separate trace_any_bvh8 calls at ~the cost of the union footprint
-    (one launch per frame instead of one per shadow-casting light)."""
+    """Fused any-hit BVH8 trace of S ray sets sharing origins: dirs a list
+    of S (N, 3) arrays (or a stacked (S, N, 3)), t_maxs matching (N,)
+    entries -> (S, H*W) bool occlusion. Bit-identical to S separate
+    trace_any_bvh8 calls at ~the cost of the union footprint (one launch
+    per frame instead of one per shadow-casting light). Lists are the fast
+    calling convention — stacking S big arrays is a pure relayout."""
     interpret = _resolve_interpret(interpret)
     tris128 = pack_tris_hbm(geom)
-    n_sets = dirs.shape[0]
+    n_sets = len(dirs)
     rays_list = [
         _rays_to_packets(origin, dirs[s], t_min, t_maxs[s], height, width)
         for s in range(n_sets)]

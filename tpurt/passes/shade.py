@@ -86,7 +86,7 @@ def _quad_rows_to_bytes(row):
     return row.astype(jnp.float32)
 
 
-def sample_bilinear_quad(quad, hw, img, uv):
+def sample_bilinear_quad(quad, hw, img, uv, *, gather=None, shape=None):
     """Bilinear REPEAT fetch in ONE gather: quad (U, H, W, 64) u8 rows
     carry the full 2x2 footprint of their texel across the 3 packed layers
     in bytes 0..47 (REPEAT wrap baked in at scene-flatten time, scene.py;
@@ -96,7 +96,12 @@ def sample_bilinear_quad(quad, hw, img, uv):
     slot (tri_attr column 39), which keeps the table at content size: TPU
     row-gather cost grows with table size (~4.9 ns/row at 2.7 MB vs ~12.2
     at 268 MB, GATHER_PROBE.json). hw: (N, 2) f32 valid (h, w) extents.
-    Bit-identical to 4x sample_bilinear on the 12-stack."""
+    Bit-identical to 4x sample_bilinear on the 12-stack.
+
+    gather/shape: sharded-table injection (dist/geometry.py) — `gather`
+    maps flat GLOBAL row indices -> rows when the quad table is row-sharded
+    across chips and `quad` is absent; `shape` supplies (U, H, W, C) then.
+    The default path (gather=None) is byte-identical to before the seam."""
     h = hw[:, 0]
     w = hw[:, 1]
     px = uv[:, 0] * w - 0.5
@@ -107,9 +112,12 @@ def sample_bilinear_quad(quad, hw, img, uv):
     fy = (py - y0)[:, None]
     x0i = jnp.mod(x0.astype(jnp.int32), w.astype(jnp.int32))
     y0i = jnp.mod(y0.astype(jnp.int32), h.astype(jnp.int32))
-    U, H, W, C = quad.shape
+    U, H, W, C = quad.shape if shape is None else shape
     flat = (img * H + y0i) * W + x0i
-    row = _quad_rows_to_bytes(quad.reshape(U * H * W, C)[flat])
+    if gather is None:
+        row = _quad_rows_to_bytes(quad.reshape(U * H * W, C)[flat])
+    else:
+        row = _quad_rows_to_bytes(gather(flat))
     t00, t10, t01, t11 = (row[:, 0:12], row[:, 12:24],
                           row[:, 24:36], row[:, 36:48])
     out = ((t00 * (1 - fx) + t10 * fx) * (1 - fy)
@@ -161,13 +169,9 @@ def sample_trilinear(atlas, offsets, sizes, prim, layer: int, uv, lod):
     return s0 * (1 - frac) + s1 * frac
 
 
-def _sample_mip_bilinear_quad(qatlas, qoffsets, sizes, prim, uv, level):
-    """Bilinear REPEAT fetch of ALL THREE layers at an integer mip `level`
-    in ONE row gather: qatlas (N, 64) u8 quad rows (scene.py
-    build_mip_quad_atlas — rows stored once per unique image; the per-prim
-    qoffsets (P, L) i32 alias shared rows), sizes (P, L, 2). Returns
-    (N, 12) floats [albedo4 | orm4 | normal4]. Bit-identical to 3x
-    _sample_mip_bilinear."""
+def _mip_quad_flat_index(qoffsets, sizes, prim, uv, level):
+    """The flat atlas row index + lerp weights of a bilinear quad fetch at
+    integer mip `level` (shared by the direct and gathered paths)."""
     hw = sizes[prim, level]                  # (N, 2)
     h = hw[:, 0]
     w = hw[:, 1]
@@ -179,7 +183,10 @@ def _sample_mip_bilinear_quad(qatlas, qoffsets, sizes, prim, uv, level):
     fy = (py - y0)[:, None]
     x0i = jnp.mod(x0.astype(jnp.int32), w)
     y0i = jnp.mod(y0.astype(jnp.int32), h)
-    row = _quad_rows_to_bytes(qatlas[qoffsets[prim, level] + y0i * w + x0i])
+    return qoffsets[prim, level] + y0i * w + x0i, fx, fy
+
+
+def _quad_lerp(row, fx, fy):
     t00, t10, t01, t11 = (row[:, 0:12], row[:, 12:24],
                           row[:, 24:36], row[:, 36:48])
     out = ((t00 * (1 - fx) + t10 * fx) * (1 - fy)
@@ -187,30 +194,56 @@ def _sample_mip_bilinear_quad(qatlas, qoffsets, sizes, prim, uv, level):
     return out / 255.0
 
 
-def sample_trilinear_quad(qatlas, qoffsets, sizes, prim, uv, lod):
+def _sample_mip_bilinear_quad(qatlas, qoffsets, sizes, prim, uv, level):
+    """Bilinear REPEAT fetch of ALL THREE layers at an integer mip `level`
+    in ONE row gather: qatlas (N, 64) u8 quad rows (scene.py
+    build_mip_quad_atlas — rows stored once per unique image; the per-prim
+    qoffsets (P, L) i32 alias shared rows), sizes (P, L, 2). Returns
+    (N, 12) floats [albedo4 | orm4 | normal4]. Bit-identical to 3x
+    _sample_mip_bilinear."""
+    flat, fx, fy = _mip_quad_flat_index(qoffsets, sizes, prim, uv, level)
+    return _quad_lerp(_quad_rows_to_bytes(qatlas[flat]), fx, fy)
+
+
+def sample_trilinear_quad(qatlas, qoffsets, sizes, prim, uv, lod, *,
+                          gather=None):
     """Trilinear fetch of all three layers in TWO row gathers (vs 24
     narrow ones through the per-layer atlas) — same lerp structure as
-    sample_trilinear, bit-identical per layer."""
+    sample_trilinear, bit-identical per layer.
+
+    gather: sharded-atlas injection — maps flat GLOBAL atlas row indices
+    to rows (dist/geometry.py ring gather). Both mip levels' indices go
+    out in ONE gather call (one ring tour); the row values, and hence the
+    result, are bit-identical to the direct path."""
     levels = sizes.shape[1]
     lod = jnp.clip(lod, 0.0, float(levels - 1))
     l0 = jnp.floor(lod)
     frac = (lod - l0)[:, None]
     l0i = l0.astype(jnp.int32)
     l1i = jnp.minimum(l0i + 1, levels - 1)
-    s0 = _sample_mip_bilinear_quad(qatlas, qoffsets, sizes, prim, uv, l0i)
-    s1 = _sample_mip_bilinear_quad(qatlas, qoffsets, sizes, prim, uv, l1i)
+    if gather is None:
+        s0 = _sample_mip_bilinear_quad(qatlas, qoffsets, sizes, prim, uv, l0i)
+        s1 = _sample_mip_bilinear_quad(qatlas, qoffsets, sizes, prim, uv, l1i)
+    else:
+        f0, fx0, fy0 = _mip_quad_flat_index(qoffsets, sizes, prim, uv, l0i)
+        f1, fx1, fy1 = _mip_quad_flat_index(qoffsets, sizes, prim, uv, l1i)
+        rows = _quad_rows_to_bytes(gather(jnp.concatenate([f0, f1])))
+        n = f0.shape[0]
+        s0 = _quad_lerp(rows[:n], fx0, fy0)
+        s1 = _quad_lerp(rows[n:], fx1, fy1)
     return s0 * (1 - frac) + s1 * frac
 
 
 def sample_anisotropic_quad(qatlas, qoffsets, sizes, prim, uv, lod_minor,
-                            duv_major, taps: int):
+                            duv_major, taps: int, *, gather=None):
     """Anisotropic filtering through the quad mip atlas: `taps` trilinear
     quad fetches along the footprint's major axis, averaged."""
     acc = None
     for i in range(taps):
         f = (i + 0.5) / taps - 0.5
         s = sample_trilinear_quad(qatlas, qoffsets, sizes, prim,
-                                  uv + duv_major * f, lod_minor)
+                                  uv + duv_major * f, lod_minor,
+                                  gather=gather)
         acc = s if acc is None else acc + s
     return acc / taps
 
@@ -303,7 +336,9 @@ def sample_anisotropic(atlas, offsets, sizes, prim, layer: int, uv,
 def shade(scene: dict, camera: dict, lights: dict, hits: dict,
           origin, direction, *, pallas_tables: str = "",
           height: int = 0, width: int = 0, max_leaf: int = 4,
-          shadow_trace_fn=None, aniso_taps: int = 1, image_rows: int = 0):
+          shadow_trace_fn=None, aniso_taps: int = 1, image_rows: int = 0,
+          attr_rows=None, quad_gather=None, quad_shape=None,
+          shadow_trace_multi_fn=None):
     """Shade one batch of primary hits.
 
     Returns dict(color (N,3), depth (N,), normal_enc (N,3)) — the unquantized
@@ -313,9 +348,19 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
     shadow_trace_fn overrides the occlusion tracer entirely —
     (origin, dir, tmin, tmax) -> bool mask; the sharded-geometry mode
     passes its ring all-to-all tracer here (dist/geometry.py).
+    shadow_trace_multi_fn supersedes it when set: ONE call
+    (origin, dirs (S,N,3), tmin, tmaxs (S,N)) -> (S,N) bool covers every
+    light, so a ring tracer tours the ICI once for all lights (the
+    distributed analogue of the fused trace_any_bvh8_multi launch).
     image_rows: the FULL image height, used for the ray-cone spread — pass
     it when `height` is only a band of the frame (multi-chip path), or the
     cone comes out mesh-size× too wide.
+    attr_rows / quad_gather / quad_shape: sharded-table injection
+    (dist/geometry.py). attr_rows (N, >=40) replaces the tri_attr gather
+    (the caller ring-gathered the rows of the hit triangles); quad_gather
+    serves texture quad rows by flat GLOBAL index from a row-sharded
+    table, with quad_shape = the full table's (U, H, W, C) when the local
+    scene dict carries only a placeholder.
     """
     if pallas_tables:
         from ..kernels.traverse_pallas import trace_any_packets
@@ -328,12 +373,13 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
     w = 1.0 - u - v
 
     tex_hw = None
-    if "tri_attr" in scene:
+    if attr_rows is not None or "tri_attr" in scene:
         # gather-optimized path: ONE wide gather fetches all three
         # corners' attributes plus [prim, tex_h, tex_w] (TPU gather cost
         # scales with rows, not row width) — the values are byte-identical
         # to the per-table path
-        attr = scene["tri_attr"][tidx]        # (N, 40)
+        attr = (attr_rows if attr_rows is not None
+                else scene["tri_attr"][tidx])  # (N, 40)
         p0, p1, p2 = attr[:, 0:3], attr[:, 12:15], attr[:, 24:27]
         uv0, uv1, uv2 = attr[:, 3:5], attr[:, 15:17], attr[:, 27:29]
         n0, n1, n2 = attr[:, 5:8], attr[:, 17:20], attr[:, 29:32]
@@ -387,7 +433,7 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
                 packed = sample_anisotropic_quad(
                     scene["tex_mip_quad"], scene["tex_mip_quad_offsets"],
                     scene["tex_mip_sizes"], prim, tex_coord, lod_minor,
-                    duv_major, aniso_taps)
+                    duv_major, aniso_taps, gather=quad_gather)
 
                 def fetch(layer):
                     return packed[:, layer * 4:layer * 4 + 4]
@@ -404,7 +450,8 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
             if quad_mips:
                 packed = sample_trilinear_quad(
                     scene["tex_mip_quad"], scene["tex_mip_quad_offsets"],
-                    scene["tex_mip_sizes"], prim, tex_coord, lod)
+                    scene["tex_mip_sizes"], prim, tex_coord, lod,
+                    gather=quad_gather)
 
                 def fetch(layer):
                     return packed[:, layer * 4:layer * 4 + 4]
@@ -418,7 +465,8 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
         # quad rows: ONE gather fetches the whole 2x2 bilinear footprint of
         # albedo+ORM+normal at once
         packed = sample_bilinear_quad(scene["tex_quad48"], tex_hw, img,
-                                      tex_coord)
+                                      tex_coord, gather=quad_gather,
+                                      shape=quad_shape)
 
         def fetch(layer):
             return packed[:, layer * 4:layer * 4 + 4]
@@ -474,15 +522,19 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
                         wants_shadow=wants_shadow, t_max=t_max))
 
     occ_all = None
-    if (shadow_trace_fn is None and pallas_tables == "bvh8"
+    if shadow_trace_multi_fn is not None:
+        occ_all = shadow_trace_multi_fn(
+            world_pos, [p["L"] for p in pre], SHADOW_T_MIN,
+            [p["t_max"] for p in pre])
+    elif (shadow_trace_fn is None and pallas_tables == "bvh8"
             and num_lights > 1):
         from ..bvh.wide import LEAF8_MAX
         from ..kernels.traverse_bvh8 import trace_any_bvh8_multi
 
         occ_all = trace_any_bvh8_multi(
             scene["bvh"], scene["geom"], world_pos,
-            jnp.stack([p["L"] for p in pre]), SHADOW_T_MIN,
-            jnp.stack([p["t_max"] for p in pre]),
+            [p["L"] for p in pre], SHADOW_T_MIN,
+            [p["t_max"] for p in pre],
             height=height, width=width,
             max_leaf=max(max_leaf, LEAF8_MAX))
 
