@@ -59,15 +59,25 @@ def main():
     sc = r.scene
     src_mb = sum(int(np.prod(np.asarray(a).shape)) for a in (
         sc.tex_stack,)) / 1e6
-    table_mb = sum(
-        int(np.prod(np.asarray(getattr(sc, k)).shape))
-        * np.asarray(getattr(sc, k)).dtype.itemsize
+    # DEVICE residency = what as_pytree actually ships (round 3 counted
+    # every host-side table and reported a 16x amplification; most of it
+    # was never uploaded or was dead weight — now exactly one texel tier
+    # ships, block4 above the quad budget)
+    pt = sc.as_pytree()
+    tex_keys = [k for k in pt if k.startswith("tex")]
+    shipped = {k: int(np.asarray(pt[k]).nbytes) for k in tex_keys}
+    table_mb = sum(shipped.values()) / 1e6
+    host_mb = sum(
+        int(np.asarray(getattr(sc, k)).nbytes)
         for k in ("tex_stack", "tex_atlas", "tex_mip_quad", "tex_quad48",
-                  "tex_stack12")
+                  "tex_stack12", "tex_mip_block4")
         if getattr(sc, k) is not None) / 1e6
-    log(f"texture source {src_mb:.0f} MB, device texture tables "
-        f"{table_mb:.0f} MB, prims {sc.num_prims}, "
-        f"tris {sc.geom['v0'].shape[0]}, tier {r._pallas_tables()}")
+    tier = ("block4" if sc.tex_mip_block4 is not None
+            else "quad" if sc.tex_mip_quad is not None else "atlas")
+    log(f"texture source {src_mb:.0f} MB, shipped device tables "
+        f"{table_mb:.0f} MB (tier {tier}; host-side staging {host_mb:.0f}), "
+        f"prims {sc.num_prims}, "
+        f"tris {sc.geom['v0'].shape[0]}, tracer {r._pallas_tables()}")
 
     log("warmup (compile)...")
     out = r.render(block=True)
@@ -86,6 +96,9 @@ def main():
         tris=int(sc.geom["v0"].shape[0]), primitives=sc.num_prims,
         texture_source_mb=round(src_mb, 1),
         texture_device_tables_mb=round(table_mb, 1),
+        texture_host_staging_mb=round(host_mb, 1),
+        texture_tier=tier,
+        device_tables_x_source=round(table_mb / src_mb, 2),
         mip_levels=int(sc.tex_mip_sizes.shape[1]),
         flatten_upload_s=round(t_flatten - t_build, 2),
         tracer_tier=r._pallas_tables(),

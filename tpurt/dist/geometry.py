@@ -159,7 +159,12 @@ def shard_tables(scene: dict, n_shards: int):
     attr, attr_chunk = chunked(scene["tri_attr"], n_shards)
     tables = dict(tri_attr=attr)
     meta = dict(attr_chunk=attr_chunk, quad_shape=None, mip_rows=None)
-    if scene.get("tex_mip_quad") is not None:
+    if scene.get("tex_mip_block4") is not None:
+        q, qc = chunked(scene["tex_mip_block4"], n_shards)
+        tables["quad_rows"] = q
+        meta["quad_chunk"] = qc
+        meta["mip_rows"] = int(np.asarray(scene["tex_mip_block4"]).shape[0])
+    elif scene.get("tex_mip_quad") is not None:
         q, qc = chunked(scene["tex_mip_quad"], n_shards)
         tables["quad_rows"] = q
         meta["quad_chunk"] = qc
@@ -277,7 +282,7 @@ def hbm_accounting(scene: dict, shards: dict, tables: dict | None,
     def nbytes(a):
         return int(np.asarray(a).nbytes) if a is not None else 0
 
-    big_keys = ("tri_attr", "tex_quad48", "tex_mip_quad")
+    big_keys = ("tri_attr", "tex_quad48", "tex_mip_quad", "tex_mip_block4")
     replicated = {k: nbytes(scene.get(k)) for k in big_keys}
     replicated["traversal"] = sum(
         nbytes(v) for v in scene["bvh"].values()) + sum(
@@ -480,7 +485,8 @@ def render_frame_sharded_geometry(scene: dict, shards: dict, camera: dict,
         # the sharded tables replace the replicated ones: shade() reads the
         # attr rows / quad rows through the ring, so the big tables shrink
         # to 1-row placeholders (branch selection in shade keys on presence)
-        for k in ("tri_attr", "tex_quad48", "tex_mip_quad", "tex_atlas"):
+        for k in ("tri_attr", "tex_quad48", "tex_mip_quad", "tex_mip_block4",
+                  "tex_atlas"):
             if scene_rep.get(k) is not None:
                 scene_rep[k] = placeholder(scene_rep[k])
         body = per_chip_bvh8

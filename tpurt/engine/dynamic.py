@@ -59,7 +59,8 @@ def _tri_attr(tv, tri_prim, vtx_pos, vtx_uv, vtx_normal, vtx_tangent,
 # transform-independent texture tables forwarded verbatim so the dynamic
 # modes keep the full mipmaps/trilinear/aniso feature matrix
 _MIP_KEYS = ("tex_atlas", "tex_mip_offsets", "tex_mip_sizes",
-             "tex_mip_quad", "tex_mip_quad_offsets")
+             "tex_mip_quad", "tex_mip_quad_offsets",
+             "tex_mip_block4", "tex_mip_block4_offsets")
 
 
 def _forward_mip_tables(scene: dict, obj_scene: dict):
@@ -101,12 +102,13 @@ def build_world_tables(obj_scene: dict, transforms):
         vtx_normal=vtx_normal, vtx_tangent=vtx_tangent,
         tex_stack=obj_scene["tex_stack"], tex_size=obj_scene["tex_size"],
     )
-    if "tex_quad48" in obj_scene:
+    if "tex_img_of_prim" in obj_scene:
         out["tri_attr"] = _tri_attr(
             tv, obj_scene["tri_prim"], vtx_pos, obj_scene["vtx_uv"],
             vtx_normal, vtx_tangent, obj_scene["tex_size"],
             obj_scene["tex_img_of_prim"])
-        out["tex_quad48"] = obj_scene["tex_quad48"]
+        if "tex_quad48" in obj_scene:
+            out["tex_quad48"] = obj_scene["tex_quad48"]
     _forward_mip_tables(out, obj_scene)
     return out
 
@@ -238,12 +240,13 @@ def render_frame_dynamic_refit(obj_scene: dict, refit: dict, transforms,
         vtx_normal=vtx_normal, vtx_tangent=vtx_tangent,
         tex_stack=obj_scene["tex_stack"], tex_size=obj_scene["tex_size"],
     )
-    if "tex_quad48" in obj_scene:
+    if "tex_img_of_prim" in obj_scene:
         scene["tri_attr"] = _tri_attr(
             tv, obj_scene["tri_prim"], vtx_pos, obj_scene["vtx_uv"],
             vtx_normal, vtx_tangent, obj_scene["tex_size"],
             obj_scene["tex_img_of_prim"])
-        scene["tex_quad48"] = obj_scene["tex_quad48"]
+        if "tex_quad48" in obj_scene:
+            scene["tex_quad48"] = obj_scene["tex_quad48"]
     _forward_mip_tables(scene, obj_scene)
 
     from ..kernels.traverse_pallas import trace_closest_packets

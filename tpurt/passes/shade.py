@@ -248,6 +248,93 @@ def sample_anisotropic_quad(qatlas, qoffsets, sizes, prim, uv, lod_minor,
     return acc / taps
 
 
+def _block4_corners(boffsets, sizes, prim, uv, level):
+    """Per-corner flat block-row indices + in-row slots of a bilinear
+    fetch through the compact block4 mip tier (scene.build_mip_block4_atlas:
+    one 64 B row per ALIGNED 2x2 texel block, texel (y, x) at slot
+    (y&1)*2 + (x&1)). Returns (flats[4], slots[4], fx, fy) for corners in
+    quad-row order [t00, t10, t01, t11]."""
+    hw = sizes[prim, level]                  # (N, 2)
+    h = hw[:, 0]
+    w = hw[:, 1]
+    px = uv[:, 0] * w.astype(jnp.float32) - 0.5
+    py = uv[:, 1] * h.astype(jnp.float32) - 0.5
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    fx = (px - x0)[:, None]
+    fy = (py - y0)[:, None]
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    y0i = jnp.mod(y0.astype(jnp.int32), h)
+    x1i = jnp.mod(x0i + 1, w)
+    y1i = jnp.mod(y0i + 1, h)
+    bw = (w + 1) // 2
+    base = boffsets[prim, level]
+    corners = [(y0i, x0i), (y0i, x1i), (y1i, x0i), (y1i, x1i)]
+    flats = [base + (yi // 2) * bw + (xi // 2) for yi, xi in corners]
+    slots = [(yi & 1) * 2 + (xi & 1) for yi, xi in corners]
+    return flats, slots, fx, fy
+
+
+def _block4_lerp(rows, slots, fx, fy):
+    """Slot-select each corner's 12 texel bytes from its 64 B block row,
+    then the SAME bilinear expression as _quad_lerp — bit-identical to the
+    quad tier (both lerp the exact same texel bytes)."""
+    taps = []
+    for row, slot in zip(rows, slots):
+        rb = row.astype(jnp.float32)
+        parts = [rb[:, 12 * s:12 * (s + 1)] for s in range(4)]
+        v = parts[0]
+        for s in range(1, 4):
+            v = jnp.where((slot == s)[:, None], parts[s], v)
+        taps.append(v)
+    t00, t10, t01, t11 = taps
+    out = ((t00 * (1 - fx) + t10 * fx) * (1 - fy)
+           + (t01 * (1 - fx) + t11 * fx) * fy)
+    return out / 255.0
+
+
+def sample_trilinear_block4(b4, boffsets, sizes, prim, uv, lod, *,
+                            gather=None):
+    """Trilinear fetch through the compact block4 tier: 8 row gathers
+    (4 corners x 2 mip levels) instead of the quad tier's 2 — the
+    automatic fallback when the quad atlas would blow the HBM budget
+    (5.33x vs 1.33x source bytes; scene.MIP_QUAD_BUDGET_BYTES). With an
+    injected `gather` (sharded tables), all 8 index vectors ride ONE
+    call (one ring tour)."""
+    levels = sizes.shape[1]
+    lod = jnp.clip(lod, 0.0, float(levels - 1))
+    l0 = jnp.floor(lod)
+    frac = (lod - l0)[:, None]
+    l0i = l0.astype(jnp.int32)
+    l1i = jnp.minimum(l0i + 1, levels - 1)
+    f0, s0_, fx0, fy0 = _block4_corners(boffsets, sizes, prim, uv, l0i)
+    f1, s1_, fx1, fy1 = _block4_corners(boffsets, sizes, prim, uv, l1i)
+    flats = f0 + f1
+    if gather is None:
+        rows = [b4[f] for f in flats]
+    else:
+        n = flats[0].shape[0]
+        cat = gather(jnp.concatenate(flats))
+        rows = [cat[i * n:(i + 1) * n] for i in range(8)]
+    s0 = _block4_lerp(rows[:4], s0_, fx0, fy0)
+    s1 = _block4_lerp(rows[4:], s1_, fx1, fy1)
+    return s0 * (1 - frac) + s1 * frac
+
+
+def sample_anisotropic_block4(b4, boffsets, sizes, prim, uv, lod_minor,
+                              duv_major, taps: int, *, gather=None):
+    """Anisotropic filtering through the block4 tier: `taps` trilinear
+    fetches along the footprint's major axis, averaged."""
+    acc = None
+    for i in range(taps):
+        f = (i + 0.5) / taps - 0.5
+        s = sample_trilinear_block4(b4, boffsets, sizes, prim,
+                                    uv + duv_major * f, lod_minor,
+                                    gather=gather)
+        acc = s if acc is None else acc + s
+    return acc / taps
+
+
 def ray_cone_lod(t, direction, N, p0, p1, p2, uv0, uv1, uv2, tex_w, tex_h,
                  spread):
     """Texture LOD from the ray-cone footprint (Akenine-Moeller et al.,
@@ -338,7 +425,7 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
           height: int = 0, width: int = 0, max_leaf: int = 4,
           shadow_trace_fn=None, aniso_taps: int = 1, image_rows: int = 0,
           attr_rows=None, quad_gather=None, quad_shape=None,
-          shadow_trace_multi_fn=None):
+          shadow_trace_multi_fn=None, fuse_shadows: bool = False):
     """Shade one batch of primary hits.
 
     Returns dict(color (N,3), depth (N,), normal_enc (N,3)) — the unquantized
@@ -349,9 +436,15 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
     (origin, dir, tmin, tmax) -> bool mask; the sharded-geometry mode
     passes its ring all-to-all tracer here (dist/geometry.py).
     shadow_trace_multi_fn supersedes it when set: ONE call
-    (origin, dirs (S,N,3), tmin, tmaxs (S,N)) -> (S,N) bool covers every
-    light, so a ring tracer tours the ICI once for all lights (the
+    (origin, dirs: S x (N,3), tmin, tmaxs: S x (N,)) -> (S,N) bool covers
+    every light, so a ring tracer tours the ICI once for all lights (the
     distributed analogue of the fused trace_any_bvh8_multi launch).
+    fuse_shadows=True routes the single-chip multi-light case through the
+    fused kernel too — measured SLOWER there (6.59 vs 5.82 ms for 3 lights
+    at 800², SHADOW_FUSION_PROBE.json: the any-hit step is VPU-bound, so
+    fusing triples its dominant slab/MT work while the union footprint
+    only saves ~45% of the steps), hence default off; the win is real only
+    when a launch carries collective costs (the sharded-geometry ring).
     image_rows: the FULL image height, used for the ray-cone spread — pass
     it when `height` is only a band of the frame (multi-chip path), or the
     cone comes out mesh-size× too wide.
@@ -416,7 +509,7 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
         - jnp.sum(world_tangent * world_normal, -1, keepdims=True) * world_normal)
     world_binormal = jnp.cross(world_normal, world_tangent) * t0[:, 3:4]
 
-    if "tex_atlas" in scene:
+    if "tex_mip_sizes" in scene:
         # trilinear mip sampling: LOD from the ray-cone footprint; pixel
         # cone spread angle recovered from proj[1][1] = 1/tan(fovy/2)
         rows = image_rows or height or int(round(float(
@@ -424,12 +517,21 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
         spread = 2.0 / (camera["proj"][1, 1] * rows)
         tex_hw = scene["tex_mip_sizes"][prim, 0].astype(jnp.float32)
         quad_mips = scene.get("tex_mip_quad") is not None
+        block4 = scene.get("tex_mip_block4") is not None
         if aniso_taps > 1:
             lod_minor, duv_major = ray_cone_aniso(
                 hits["t"], direction, world_normal, p0, p1, p2,
                 uv0, uv1, uv2, tex_hw[:, 1], tex_hw[:, 0], spread,
                 max_aniso=16)
-            if quad_mips:
+            if block4:
+                packed = sample_anisotropic_block4(
+                    scene["tex_mip_block4"], scene["tex_mip_block4_offsets"],
+                    scene["tex_mip_sizes"], prim, tex_coord, lod_minor,
+                    duv_major, aniso_taps, gather=quad_gather)
+
+                def fetch(layer):
+                    return packed[:, layer * 4:layer * 4 + 4]
+            elif quad_mips:
                 packed = sample_anisotropic_quad(
                     scene["tex_mip_quad"], scene["tex_mip_quad_offsets"],
                     scene["tex_mip_sizes"], prim, tex_coord, lod_minor,
@@ -447,7 +549,15 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
             lod = ray_cone_lod(hits["t"], direction, world_normal, p0, p1,
                                p2, uv0, uv1, uv2, tex_hw[:, 1], tex_hw[:, 0],
                                spread)
-            if quad_mips:
+            if block4:
+                packed = sample_trilinear_block4(
+                    scene["tex_mip_block4"], scene["tex_mip_block4_offsets"],
+                    scene["tex_mip_sizes"], prim, tex_coord, lod,
+                    gather=quad_gather)
+
+                def fetch(layer):
+                    return packed[:, layer * 4:layer * 4 + 4]
+            elif quad_mips:
                 packed = sample_trilinear_quad(
                     scene["tex_mip_quad"], scene["tex_mip_quad_offsets"],
                     scene["tex_mip_sizes"], prim, tex_coord, lod,
@@ -526,8 +636,8 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
         occ_all = shadow_trace_multi_fn(
             world_pos, [p["L"] for p in pre], SHADOW_T_MIN,
             [p["t_max"] for p in pre])
-    elif (shadow_trace_fn is None and pallas_tables == "bvh8"
-            and num_lights > 1):
+    elif (fuse_shadows and shadow_trace_fn is None
+            and pallas_tables == "bvh8" and num_lights > 1):
         from ..bvh.wide import LEAF8_MAX
         from ..kernels.traverse_bvh8 import trace_any_bvh8_multi
 

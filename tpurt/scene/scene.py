@@ -65,6 +65,12 @@ class FlatScene:
     #                              (2x2 footprint x 3 layers; 48 data + 16
     #                              pad) — float rows gather ~2.3x faster
     tex_mip_quad_offsets: Any = None  # (P, L) i32 row offsets
+    # compact mip tier (automatic cutover for big atlases): one 64 B row
+    # per ALIGNED 2x2 texel block (4 texels x 12 B + 16 pad = 1.33x the
+    # source bytes instead of the quad tier's 5.33x); a bilinear fetch
+    # costs 4 row gathers + slot selects instead of 1 gather
+    tex_mip_block4: Any = None         # (N4, 64) u8 block rows
+    tex_mip_block4_offsets: Any = None  # (P, L) i32 block-row offsets
     # gather-optimized tables (see flatten_scene): one wide row per hit
     tri_attr: Any = None         # (T, 40) f32 3x[pos, uv, normal, tangent]
     #                              + [prim, tex_h, tex_w, unique-image id]
@@ -81,21 +87,35 @@ class FlatScene:
     transforms: Any = None     # (I, 3, 4) f32 instance transforms
 
     def as_pytree(self) -> dict:
+        """Device-resident tables ONLY. Mip scenes ship exactly one texel
+        table (quad or block4 tier): tex_stack / tex_atlas / tex_quad48 are
+        never read by the mip shading path, and shipping them was most of
+        round 3's 16x texture HBM amplification (BENCH_TEXTURES.json:
+        114 MB source -> 1792 MB device)."""
         out = dict(
             bvh=self.bvh, geom=self.geom, tri_vertex=self.tri_vertex,
             tri_prim=self.tri_prim, vtx_pos=self.vtx_pos, vtx_uv=self.vtx_uv,
             vtx_normal=self.vtx_normal, vtx_tangent=self.vtx_tangent,
-            tex_stack=self.tex_stack, tex_size=self.tex_size,
+            tex_size=self.tex_size,
         )
-        if self.tex_atlas is not None:
-            out.update(tex_atlas=self.tex_atlas,
-                       tex_mip_offsets=self.tex_mip_offsets,
-                       tex_mip_sizes=self.tex_mip_sizes,
-                       tex_mip_quad=self.tex_mip_quad,
-                       tex_mip_quad_offsets=self.tex_mip_quad_offsets)
+        mips = self.tex_mip_sizes is not None
+        if mips:
+            out.update(tex_mip_sizes=self.tex_mip_sizes)
+            if self.tex_mip_block4 is not None:
+                out.update(tex_mip_block4=self.tex_mip_block4,
+                           tex_mip_block4_offsets=self.tex_mip_block4_offsets)
+            elif self.tex_mip_quad is not None:
+                out.update(tex_mip_quad=self.tex_mip_quad,
+                           tex_mip_quad_offsets=self.tex_mip_quad_offsets)
+            else:  # per-layer fallback tier (no quad tables built)
+                out.update(tex_atlas=self.tex_atlas,
+                           tex_mip_offsets=self.tex_mip_offsets)
+        else:
+            out.update(tex_stack=self.tex_stack)
         if self.tri_attr is not None:
-            out.update(tri_attr=self.tri_attr,
-                       tex_quad48=self.tex_quad48)
+            out.update(tri_attr=self.tri_attr)
+            if not mips and self.tex_quad48 is not None:
+                out.update(tex_quad48=self.tex_quad48)
         return out
 
     # (tex_img_of_prim intentionally not in as_pytree: shade reads the
@@ -103,7 +123,8 @@ class FlatScene:
 
     def as_object_pytree(self) -> dict:
         """Inputs for the dynamic mode: object-space geometry + instance ids
-        (transforms are passed separately per frame)."""
+        (transforms are passed separately per frame). Texture tables follow
+        the same one-tier shipping policy as as_pytree."""
         out = dict(
             tri_vertex=self.tri_vertex, tri_prim=self.tri_prim,
             vtx_instance=self.vtx_instance, obj_vtx_pos=self.obj_vtx_pos,
@@ -112,20 +133,26 @@ class FlatScene:
             vtx_uv=self.vtx_uv, tex_stack=self.tex_stack,
             tex_size=self.tex_size,
         )
-        if self.tex_quad48 is not None:
-            # transform-independent: the dynamic modes reuse the packed
-            # quad texture rows and rebuild only tri_attr in-jit
-            out["tex_quad48"] = self.tex_quad48
+        if self.tex_img_of_prim is not None and self.tri_attr is not None:
+            # the dynamic modes rebuild tri_attr in-jit from this mapping
             out["tex_img_of_prim"] = self.tex_img_of_prim
-        if self.tex_atlas is not None:
-            # mip atlas is transform-independent too — forward it so the
-            # dynamic modes keep mipmaps/trilinear/aniso (round-2 dropped
-            # it silently; config-parity fix)
-            out.update(tex_atlas=self.tex_atlas,
-                       tex_mip_offsets=self.tex_mip_offsets,
-                       tex_mip_sizes=self.tex_mip_sizes,
-                       tex_mip_quad=self.tex_mip_quad,
-                       tex_mip_quad_offsets=self.tex_mip_quad_offsets)
+            if self.tex_quad48 is not None and self.tex_mip_sizes is None:
+                # transform-independent packed quad rows (non-mip tier)
+                out["tex_quad48"] = self.tex_quad48
+        if self.tex_mip_sizes is not None:
+            # mip tables are transform-independent too — forward the
+            # SHIPPED tier so the dynamic modes keep mipmaps/trilinear/
+            # aniso (round-2 dropped it silently; config-parity fix)
+            out.update(tex_mip_sizes=self.tex_mip_sizes)
+            if self.tex_mip_block4 is not None:
+                out.update(tex_mip_block4=self.tex_mip_block4,
+                           tex_mip_block4_offsets=self.tex_mip_block4_offsets)
+            elif self.tex_mip_quad is not None:
+                out.update(tex_mip_quad=self.tex_mip_quad,
+                           tex_mip_quad_offsets=self.tex_mip_quad_offsets)
+            else:
+                out.update(tex_atlas=self.tex_atlas,
+                           tex_mip_offsets=self.tex_mip_offsets)
         return out
 
 
@@ -275,6 +302,75 @@ def build_mip_quad_atlas(tex_stack: np.ndarray, tex_size: np.ndarray,
             sizes_u[img_of_prim])
 
 
+# Automatic tier cutover: if the quad mip atlas (64 B/texel = 5.33x the
+# 12-channel source) would exceed this budget, build the compact block4
+# atlas instead (64 B per ALIGNED 2x2 block = 1.33x source; 4 row gathers
+# + slot selects per bilinear fetch instead of 1 gather). Measured on the
+# 114 MB-source texture wall (BENCH_TEXTURES vs BENCH_TEXTURES_BLOCK4):
+# quad = 102 ms/frame at 812 MB tables, block4 = 159 ms at 201 MB — the
+# compact tier is a CAPACITY tier (gather count is the frame cost; table
+# bytes are the ceiling), so the default budget prefers speed until the
+# table would take a real bite out of a v5e's 16 GB HBM.
+MIP_QUAD_BUDGET_BYTES = 1024 * 1024 * 1024
+
+
+def mip_quad_bytes(tex_size: np.ndarray, uniq_prims) -> int:
+    """Exact size the quad mip atlas would be (64 B x every (image, level)
+    texel), for the tier cutover decision — cheap, no table built."""
+    total = 0
+    for prim in uniq_prims:
+        h, w = int(tex_size[prim, 0]), int(tex_size[prim, 1])
+        hmax = max(h, w, 1)
+        levels = max(int(np.ceil(np.log2(hmax))) + 1, 1)
+        for _ in range(levels):
+            total += h * w * 64
+            h, w = max(h // 2, 1), max(w // 2, 1)
+    return total
+
+
+def build_mip_block4_atlas(tex_stack: np.ndarray, tex_size: np.ndarray,
+                           img_of_prim: np.ndarray, uniq_prims):
+    """Compact mip tier: one 64-byte row per ALIGNED 2x2 texel block and
+    level — [t(2y,2x) | t(2y,2x+1) | t(2y+1,2x) | t(2y+1,2x+1)] x 12 B
+    packed layers + 16 pad (the power-of-two gather fast path). 1.33x the
+    source bytes vs the quad tier's 5.33x; texel (y, x) lives in block
+    (y//2, x//2) slot (y&1)*2+(x&1), so a bilinear fetch is 4 row gathers
+    + slot selects (shade._block4_corners). Returns (atlas (N4, 64) u8,
+    offsets (P, L) i32 block-row offsets, sizes (P, L, 2) i32)."""
+    n_prims = tex_size.shape[0]
+    hmax = int(tex_size[:, 0].max(initial=1))
+    wmax = int(tex_size[:, 1].max(initial=1))
+    levels = max(int(np.ceil(np.log2(max(hmax, wmax, 1)))) + 1, 1)
+
+    chunks = []
+    offsets_u = np.zeros((len(uniq_prims), levels), np.int64)
+    sizes_u = np.zeros((len(uniq_prims), levels, 2), np.int32)
+    cursor = 0
+    for ui, prim in enumerate(uniq_prims):
+        h, w = int(tex_size[prim, 0]), int(tex_size[prim, 1])
+        mips = [tex_stack[prim * 3 + l, :h, :w].copy() for l in range(3)]
+        for lv in range(levels):
+            arr12 = np.concatenate(mips, axis=2)            # (h, w, 12)
+            hh, ww = arr12.shape[:2]
+            bh, bw = (hh + 1) // 2, (ww + 1) // 2
+            # pad odd extents with zero texels (slots the index math can
+            # never select: texel coords stay < h, w)
+            pad = np.zeros((bh * 2, bw * 2, 12), np.uint8)
+            pad[:hh, :ww] = arr12
+            blk = pad.reshape(bh, 2, bw, 2, 12).transpose(0, 2, 1, 3, 4)
+            rows = np.zeros((bh * bw, 64), np.uint8)
+            rows[:, :48] = blk.reshape(bh * bw, 48)
+            offsets_u[ui, lv] = cursor
+            sizes_u[ui, lv] = (hh, ww)
+            chunks.append(rows)
+            cursor += rows.shape[0]
+            if mips[0].shape[0] > 1 or mips[0].shape[1] > 1:
+                mips = [_box_mip(m) for m in mips]
+    atlas = np.concatenate(chunks, axis=0)
+    return (atlas, offsets_u[img_of_prim].astype(np.int32),
+            sizes_u[img_of_prim])
+
+
 def flatten_scene(models: List[Model], mipmaps: bool = False) -> FlatScene:
     """Flatten all device-resident models; build the world BVH (binned SAH,
     the analogue of the driver's PREFER_FAST_TRACE build). mipmaps adds the
@@ -385,11 +481,23 @@ def flatten_scene(models: List[Model], mipmaps: bool = False) -> FlatScene:
 
     tex_atlas = tex_mip_offsets = tex_mip_sizes = None
     tex_mip_quad = tex_mip_quad_offsets = None
+    tex_mip_block4 = tex_mip_block4_offsets = None
     if mipmaps:
+        # host-side per-layer atlas: the no-quad fallback/oracle path (and
+        # the dynamic modes' source of truth); NOT shipped to the device
+        # when a quad/block4 tier exists (as_pytree)
         tex_atlas, tex_mip_offsets, tex_mip_sizes = build_mip_atlas(
             tex_stack, tex_size, img_of_prim, uniq_prims)
-        tex_mip_quad, tex_mip_quad_offsets, _ = build_mip_quad_atlas(
-            tex_stack, tex_size, img_of_prim, uniq_prims)
+        # automatic tier cutover: quad rows (1 gather/bilinear, 5.33x
+        # source HBM) under the budget, block4 rows (4 gathers + slot
+        # selects, 1.33x) above it — exactly ONE texel table ships
+        if mip_quad_bytes(tex_size, uniq_prims) <= MIP_QUAD_BUDGET_BYTES:
+            tex_mip_quad, tex_mip_quad_offsets, _ = build_mip_quad_atlas(
+                tex_stack, tex_size, img_of_prim, uniq_prims)
+        else:
+            tex_mip_block4, tex_mip_block4_offsets, _ = \
+                build_mip_block4_atlas(tex_stack, tex_size, img_of_prim,
+                                       uniq_prims)
 
     # Gather-optimized tables. TPU gather cost scales with the number of
     # gathered ROWS, not row width, so the shading pass is designed around
@@ -417,17 +525,22 @@ def flatten_scene(models: List[Model], mipmaps: bool = False) -> FlatScene:
     # u8 is the right dtype (f32/i32 bit-views of the same 64 B rows
     # gather ~2x SLOWER from big tables); the axis is UNIQUE images, not
     # prims, because gather cost grows with table size (dedup_images).
-    n_uniq = len(uniq_prims)
-    tex_quad48 = np.zeros((n_uniq, hmax, wmax, 64), np.uint8)
-    for ui, p in enumerate(uniq_prims):
-        h, w = int(tex_size[p, 0]), int(tex_size[p, 1])
-        reg = tex_stack12[p, :h, :w]
-        tex_quad48[ui, :h, :w, :48] = np.concatenate(
-            [reg,
-             np.roll(reg, -1, axis=1),            # (y,   x+1 mod w)
-             np.roll(reg, -1, axis=0),            # (y+1 mod h, x)
-             np.roll(np.roll(reg, -1, 0), -1, 1)  # (y+1, x+1)
-             ], axis=2)
+    tex_quad48 = None
+    if not mipmaps:
+        # the mip tiers supersede these rows — building the (U, Hmax,
+        # Wmax, 64) slab for a mip scene was pure flatten-time + HBM waste
+        # (604 MB of the texture bench's 1792 MB, never read by shade)
+        n_uniq = len(uniq_prims)
+        tex_quad48 = np.zeros((n_uniq, hmax, wmax, 64), np.uint8)
+        for ui, p in enumerate(uniq_prims):
+            h, w = int(tex_size[p, 0]), int(tex_size[p, 1])
+            reg = tex_stack12[p, :h, :w]
+            tex_quad48[ui, :h, :w, :48] = np.concatenate(
+                [reg,
+                 np.roll(reg, -1, axis=1),            # (y,   x+1 mod w)
+                 np.roll(reg, -1, axis=0),            # (y+1 mod h, x)
+                 np.roll(np.roll(reg, -1, 0), -1, 1)  # (y+1, x+1)
+                 ], axis=2)
 
     return FlatScene(
         bvh=bvh_pt, geom=geom, tri_vertex=tri_vertex,
@@ -440,6 +553,8 @@ def flatten_scene(models: List[Model], mipmaps: bool = False) -> FlatScene:
         tex_atlas=tex_atlas, tex_mip_offsets=tex_mip_offsets,
         tex_mip_sizes=tex_mip_sizes, tex_mip_quad=tex_mip_quad,
         tex_mip_quad_offsets=tex_mip_quad_offsets,
+        tex_mip_block4=tex_mip_block4,
+        tex_mip_block4_offsets=tex_mip_block4_offsets,
         tri_attr=tri_attr, tex_stack12=tex_stack12, tex_quad48=tex_quad48,
         tex_img_of_prim=img_of_prim,
     )

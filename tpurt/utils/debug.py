@@ -80,8 +80,10 @@ def validate_scene(scene: dict):
     p = scene["tex_size"].shape[0]
     tp = np.asarray(scene["tri_prim"])
     assert tp.min() >= 0 and tp.max() < p, "primitive index out of range"
-    assert scene["tex_stack"].shape[0] == p * 3, "texture stack layer count"
-    assert np.asarray(scene["tex_stack"]).dtype == np.uint8
+    if "tex_stack" in scene:  # mip scenes ship one mip tier instead
+        assert scene["tex_stack"].shape[0] == p * 3, \
+            "texture stack layer count"
+        assert np.asarray(scene["tex_stack"]).dtype == np.uint8
     assert _is_finite(scene["vtx_pos"]) and _is_finite(scene["vtx_uv"])
 
 
