@@ -57,6 +57,12 @@ class RendererConfig:
     # axis (requires mipmaps; 1 = isotropic trilinear). The capability
     # analogue of the reference sampler's max_anisotropy=16.
     aniso_taps: int = 1
+    # Streaming-texture arena (mip scenes): mip-atlas rows live inside a
+    # persistent buddy-managed device array (engine/texture_arena.py), so
+    # LOD residency changes upload only joining images' rows and the
+    # jitted frame keeps one table shape (no respecialization when models
+    # stream in). The TPU counterpart of vk_buffers_suballocator.rs.
+    texture_arena: bool = True
 
 
 class Renderer:
@@ -123,8 +129,70 @@ class Renderer:
             import jax
             import jax.numpy as jnp
 
-            self._scene_device = jax.tree.map(jnp.asarray,
-                                              self._scene.as_pytree())
+            pt = self._scene.as_pytree()
+            arena_patch = None
+            if self.config.texture_arena:
+                arena_patch = self._arena_texture_tables(pt)
+            self._scene_device = jax.tree.map(jnp.asarray, pt)
+            if arena_patch is not None:
+                self._scene_device.update(arena_patch)
+
+    def _arena_texture_tables(self, pt: dict):
+        """Route the mip texel table through the streaming-texture arena
+        (engine/texture_arena.py): per-unique-image row chunks are
+        content-keyed slots in ONE persistent device array, so residency
+        changes upload only the delta and the jitted frame's table shape
+        stays put. Removes the table from `pt` (so the bulk tree upload
+        skips it) and returns the {table, offsets} device patch, or None
+        when the scene has no mip tier."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        table_key = ("tex_mip_quad" if pt.get("tex_mip_quad") is not None
+                     else "tex_mip_block4"
+                     if pt.get("tex_mip_block4") is not None else None)
+        if table_key is None:
+            return None
+        off_key = table_key + "_offsets"
+        atlas = np.asarray(pt[table_key])
+        off = np.asarray(pt[off_key])                  # (P, L)
+        sizes = np.asarray(pt["tex_mip_sizes"])        # (P, L, 2)
+        img = np.asarray(self._scene.tex_img_of_prim)  # (P,)
+
+        if getattr(self, "_tex_arena", None) is None:
+            from .texture_arena import TextureRowArena
+            self._tex_arena = TextureRowArena(row_width=atlas.shape[1],
+                                              dtype=atlas.dtype)
+
+        import hashlib
+        n_uniq = int(img.max()) + 1
+        chunks = {}
+        key_of_slot = [None] * n_uniq
+        base_of_slot = np.zeros(n_uniq, np.int64)
+        for ui in range(n_uniq):
+            rep = int(np.argmax(img == ui))
+            if table_key == "tex_mip_quad":
+                count = int((sizes[rep, :, 0].astype(np.int64)
+                             * sizes[rep, :, 1]).sum())
+            else:
+                count = int((((sizes[rep, :, 0] + 1) // 2).astype(np.int64)
+                             * ((sizes[rep, :, 1] + 1) // 2)).sum())
+            base = int(off[rep, 0])
+            rows = atlas[base:base + count]
+            key = hashlib.sha1(rows.tobytes()).hexdigest()
+            chunks[key] = (rows, None)
+            key_of_slot[ui] = key
+            base_of_slot[ui] = base
+        arena_base = self._tex_arena.ensure(chunks)
+
+        slot_base = np.asarray([arena_base[k] for k in key_of_slot],
+                               np.int64)
+        new_off = (off.astype(np.int64)
+                   - base_of_slot[img][:, None]
+                   + slot_base[img][:, None]).astype(np.int32)
+        del pt[table_key]
+        return {table_key: self._tex_arena.atlas,
+                off_key: jnp.asarray(new_off)}
 
     # -- frame loop -----------------------------------------------------------
 
