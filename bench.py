@@ -464,20 +464,24 @@ def main():
         meta["primary_trace_mrays_per_s"] = round(
             WIDTH * HEIGHT / trace_ms / 1e3, 1)
     # secondary: the BASELINE.json primary-metric shape (full pipeline at
-    # 1080p). Guarded so a failure here cannot spoil the headline artifact,
-    # and skipped when the headline already ran long (cold remote-compile
-    # cache / slow tunnel) so the whole bench stays inside a driver budget.
+    # 1080p). Guarded so a failure here cannot spoil the headline artifact.
+    # Round 3's driver run SKIPPED this entirely after a >15-min headline
+    # (cold remote-compile cache) and the artifact of record lost its 1080p
+    # number — now a late start only SHRINKS the sampling (1 paired sample,
+    # tight budget) instead of dropping the measurement.
     try:
-        if time.perf_counter() - _T_START > 900.0:
-            raise RuntimeError("headline took > 15 min; skipping 1080p "
-                               "secondary to stay inside the time budget")
+        late = time.perf_counter() - _T_START > 900.0
+        if late:
+            _log("bench: headline ran > 15 min — 1080p secondary drops to "
+                 "1 sample / 150 s budget instead of skipping")
         _log("bench: 1080p secondary (full pipeline)...")
         r_hd = build_scene(1920, 1080)
         r_hd.render(block=True)  # compile + settle
         _measure_burst(r_hd, frames=4)   # compile both burst programs
         _measure_burst(r_hd, frames=12)
         hd = guarded_measure(lambda: _frame_cost_paired(r_hd, lo=4, hi=12),
-                             samples=2, budget_s=240.0, log=_log)
+                             samples=1 if late else 2,
+                             budget_s=150.0 if late else 240.0, log=_log)
         if hd.value and not hd.degraded:
             meta["ms_per_frame_1080p"] = round(hd.value, 3)
             meta["mrays_per_s_1080p"] = round(

@@ -90,7 +90,8 @@ def _bf16_rn(x):
     return jax.lax.bitcast_convert_type(hib, jnp.float32)
 
 
-def _gather_window(stacked, nparts, rely, relx, wy: int, wx: int):
+def _gather_window(stacked, nparts, rely, relx, wy: int, wx: int,
+                   iotas=None, sel8: bool = False):
     """Per-pixel fetch win[rely, relx] for an (8, 128) packet via one-hot
     MXU matmuls + mask-reduce per sublane row. `stacked` is (nparts*wy, wx)
     bf16 row-planes that SUM to the fetched value: the exact mode passes
@@ -99,19 +100,33 @@ def _gather_window(stacked, nparts, rely, relx, wy: int, wx: int):
     matmul copies bf16 parts exactly and the f32 sum is lossless); the
     recentered-fast and half modes pass a single plane. Planes pre-stack
     along rows (hoisted once per level) so each sublane costs ONE
-    (nparts*wy, wx) @ (wx, 128) matmul."""
+    (nparts*wy, wx) @ (wx, 128) matmul. `iotas` = the loop-invariant
+    (col_iota (wx,128), row_iota (wy,128)) hoisted once per kernel — the
+    selector construction (these iotas + compares) is the dominant fetch
+    cost (GTAO_SCAFFOLD_PROBE: sharedsel vs exact), so they must not be
+    rebuilt per sublane per step."""
     dims = (((1,), (0,)), ((), ()))
+    if iotas is None:
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (wx, 128), 0)
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (wy, 128), 0)
+    else:
+        col_iota, row_iota = iotas
+    if sel8:
+        # selector compares in int8: rel coordinates are < 128, so the
+        # comparisons pack 4x more lanes per VPU op (A/B knob)
+        col_iota = col_iota.astype(jnp.int8)
+        row_iota = row_iota.astype(jnp.int8)
+        relx = relx.astype(jnp.int8)
+        rely = rely.astype(jnp.int8)
     rows = []
     for s in range(8):
-        onehot_c = (jax.lax.broadcasted_iota(jnp.int32, (wx, 128), 0)
-                    == relx[s:s + 1]).astype(jnp.bfloat16)
+        onehot_c = (col_iota == relx[s:s + 1]).astype(jnp.bfloat16)
         cs = jax.lax.dot_general(stacked, onehot_c, dims,
                                  preferred_element_type=jnp.float32)
         val = cs[:wy]
         for k in range(1, nparts):
             val = val + cs[k * wy:(k + 1) * wy]
-        mask_r = (jax.lax.broadcasted_iota(jnp.int32, (wy, 128), 0)
-                  == rely[s:s + 1]).astype(jnp.float32)
+        mask_r = (row_iota == rely[s:s + 1]).astype(jnp.float32)
         rows.append(jnp.sum(val * mask_r, axis=0, keepdims=True))
     return jnp.concatenate(rows, axis=0)
 
@@ -194,30 +209,41 @@ def _window_minmax(mip, y0s, x0s, wy: int, wx: int):
     return rmin.reshape(-1), rmax.reshape(-1)
 
 
-def _recenter_scalars(mn, mx):
+def _recenter_scalars(mn, mx, windows=None):
     """Per-(tile, level) recentering constant + single-plane eligibility.
 
-    With c = bf16(midrange) and the conservative flag below, every window
-    texel v satisfies bf16(v - c) + c == v EXACTLY, so a single-bf16-plane
-    gather of (win - c) plus the f32 add-back reconstructs the R16F depth
+    With c = bf16(midrange) and an eligible flag, every window texel v
+    satisfies bf16(v - c) + c == v EXACTLY, so a single-bf16-plane gather
+    of (win - c) plus the f32 add-back reconstructs the R16F depth
     bit-for-bit — half the one-hot matmul rows of the (hi, lo) pair.
 
-    Proof sketch: mips are R16F-quantized, so every v in [mn, mx] is a
-    multiple of the R16F quantum g = 2^(floor(log2 mn) - 10) > mn * 2^-11
-    (mn kept above the half-float normal range). c is bf16 with exponent
-    >= mn's, so ulp(c) >= 8g and c is a multiple of g too. Then v - c is a
-    multiple of g with |v - c| <= (mx - mn)/2 + ulp(c)/2; the flag bounds
-    that by 255 * mn * 2^-11 < 255g, i.e. at most 8 significand bits ->
-    exact in bf16 (and exact as an f32 subtraction). The add-back v =
-    (v - c) + c is a sum whose exact value is v itself (representable),
-    so round-to-nearest returns it. Ineligible tiles get c = 0 (the
-    classic exact split pair). GTAO_MIP_STATS.json: ~44% (800²) / 57%
-    (1080p) of executed fetch rows are eligible on the bench scene;
-    verified on-chip bit-identical to the two-plane path."""
+    Eligibility: when `windows` (T, wy, wx) is given — the very texels the
+    kernel will fetch — the flag is DIRECT VERIFICATION: evaluate the
+    kernel's exact expression bf16_rn(v - c) + c == v over the window
+    (same _bf16_rn bit arithmetic, so the predicate IS the property).
+    Round 3's analytic span bound (kept as the windowless fallback) proved
+    the same property from R16F quantum alignment but had to be
+    conservative: it admitted 44-57% of executed fetch rows on the bench
+    scene; direct verification admits every tile that is actually exact
+    (~97% of level-0 tiles there — GTAO_MIP_STATS.json elig_frac vs
+    elig_direct_frac). Ineligible tiles ride c = 0, the classic exact
+    (hi, lo) split pair.
+
+    Analytic proof sketch (fallback): mips are R16F-quantized, so every v
+    in [mn, mx] is a multiple of the quantum g = 2^(floor(log2 mn) - 10)
+    > mn * 2^-11 (mn above the half-float normal range). c is bf16 with
+    exponent >= mn's, so c is a multiple of g; v - c is a multiple of g
+    bounded to 8 significand bits by the span test -> exact in bf16, and
+    the add-back rounds to the representable v itself."""
     c = ((mn + mx) * 0.5).astype(jnp.bfloat16).astype(jnp.float32)
-    ok = (((mx - mn) * 0.5 + jnp.abs(c) * (2.0 ** -8)
-           <= 255.0 * mn * (2.0 ** -11))
-          & (mn >= 6.2e-5))
+    if windows is not None:
+        rec = windows - c[:, None, None]
+        ok = jnp.all(_bf16_rn(rec) + c[:, None, None] == windows,
+                     axis=(1, 2))
+    else:
+        ok = (((mx - mn) * 0.5 + jnp.abs(c) * (2.0 ** -8)
+               <= 255.0 * mn * (2.0 ** -11))
+              & (mn >= 6.2e-5))
     return jnp.where(ok, c, 0.0), ok.astype(jnp.int32)
 
 
@@ -228,7 +254,8 @@ def _kernel(consts_ref, row0_ref, flags_ref, centers_ref,  # scalar prefetch
             ao_out, edges_out,                            # outputs
             *, plan, mip_shapes, width, height, tiles_x,
             slice_count: int, steps_per_slice: int, precision: str,
-            unroll_slices: bool = False, schedule: str = "step"):
+            unroll_slices: bool = False, schedule: str = "step",
+            iota_hoist: bool = True, sel8: bool = False):
     i = pl.program_id(0)
     # row0_ref holds the band's first tile row (0 for full frames): tile
     # coordinates — and therefore window origins — are ABSOLUTE image
@@ -260,6 +287,14 @@ def _kernel(consts_ref, row0_ref, flags_ref, centers_ref,  # scalar prefetch
     # VPU pass per level and makes the single-plane gather bit-exact
     # wherever flags_ref says so (see _recenter_scalars); ineligible
     # tiles ride c = 0, i.e. the classic exact (hi, lo) pair.
+    # loop-invariant selector iotas: one column iota (wx = 128 for every
+    # level) + one row iota per distinct window height (iota_hoist=False
+    # rebuilds them per gather — A/B knob)
+    if iota_hoist:
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        row_iotas = {wy: jax.lax.broadcasted_iota(jnp.int32, (wy, 128), 0)
+                     for wy, _, _ in plan}
+
     planes = [None] * 5
     planes_hi = [None] * 5
     flags = [None] * 5
@@ -426,33 +461,32 @@ def _kernel(consts_ref, row0_ref, flags_ref, centers_ref,  # scalar prefetch
                     relx_b = relx_a
                     rely_b = rely_a
                 cm = centers[m]      # zeros for half/sharedsel modes
+                iotas = ((col_iota, row_iotas[wy]) if iota_hoist
+                         else None)
+                gw = partial(_gather_window, sel8=sel8)
                 if precision == "half":
-                    val_a = _gather_window(planes[m], 1, rely_a, relx_a,
-                                           wy, wx)
-                    val_b = _gather_window(planes[m], 1, rely_b, relx_b,
-                                           wy, wx)
+                    val_a = gw(planes[m], 1, rely_a, relx_a, wy, wx, iotas)
+                    val_b = gw(planes[m], 1, rely_b, relx_b, wy, wx, iotas)
                 elif precision == "debug_sharedsel":
-                    val_a = _gather_window(planes[m], 2, rely_a, relx_a,
-                                           wy, wx)
-                    val_b = _gather_window(planes[m], 2, rely_b, relx_b,
-                                           wy, wx)
+                    val_a = gw(planes[m], 2, rely_a, relx_a, wy, wx, iotas)
+                    val_b = gw(planes[m], 2, rely_b, relx_b, wy, wx, iotas)
                 else:
                     # recentered fast path: where _recenter_scalars proved
                     # single-plane exactness, spend HALF the matmul rows
                     # (~44-57% of executed fetch rows on the bench scene)
                     def one_plane(_):
                         return (
-                            _gather_window(planes_hi[m], 1, rely_a,
-                                           relx_a, wy, wx),
-                            _gather_window(planes_hi[m], 1, rely_b,
-                                           relx_b, wy, wx))
+                            gw(planes_hi[m], 1, rely_a, relx_a, wy, wx,
+                               iotas),
+                            gw(planes_hi[m], 1, rely_b, relx_b, wy, wx,
+                               iotas))
 
                     def two_plane(_):
                         return (
-                            _gather_window(planes[m], 2, rely_a, relx_a,
-                                           wy, wx),
-                            _gather_window(planes[m], 2, rely_b, relx_b,
-                                           wy, wx))
+                            gw(planes[m], 2, rely_a, relx_a, wy, wx,
+                               iotas),
+                            gw(planes[m], 2, rely_b, relx_b, wy, wx,
+                               iotas))
 
                     val_a, val_b = jax.lax.cond(flags[m] == 1, one_plane,
                                                 two_plane, 0)
@@ -611,13 +645,16 @@ def _kernel(consts_ref, row0_ref, flags_ref, centers_ref,  # scalar prefetch
 @partial(jax.jit, static_argnames=("width", "height", "slice_count",
                                    "steps_per_slice", "interpret",
                                    "precision", "num_rows",
-                                   "unroll_slices", "schedule"))
+                                   "unroll_slices", "schedule",
+                                   "iota_hoist", "recenter", "sel8"))
 def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
                      width: int, height: int, slice_count: int,
                      steps_per_slice: int, interpret: bool | None = None,
                      precision: str = "exact", row_start=0,
                      num_rows: int | None = None,
-                     unroll_slices: bool = False, schedule: str = "step"):
+                     unroll_slices: bool = False, schedule: str = "step",
+                     iota_hoist: bool = True, recenter: str = "direct",
+                     sel8: bool = False):
     """Pallas main pass over pre-packeted inputs. depth_mips: list of 5
     (H_m, W_m) f32 mips (R16F-quantized values); normal_enc: (H, W, 3);
     consts_vec: (len(_CK),) f32; noise_maps: (nx, ny) each (64, 64) f32.
@@ -681,12 +718,17 @@ def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
         # other modes read zeros (no recentering)
         n_tiles = tiles_y * tiles_x
         if precision == "exact":
-            if full:
-                mn = depth_mips[m].min().reshape(1)
-                mx = depth_mips[m].max().reshape(1)
+            # candidate c from the cut windows' own min/max, eligibility
+            # by DIRECT verification over the same texels the kernel
+            # fetches (widest possible single-plane coverage)
+            mn = w.min(axis=(1, 2))
+            mx = w.max(axis=(1, 2))
+            if recenter == "off":
+                c = jnp.zeros_like(mn)
+                fl = jnp.zeros(mn.shape, jnp.int32)
             else:
-                mn, mx = _window_minmax(depth_mips[m], y0s, x0s, wy, wx)
-            c, fl = _recenter_scalars(mn, mx)
+                c, fl = _recenter_scalars(
+                    mn, mx, windows=w if recenter == "direct" else None)
             if full:
                 c = jnp.broadcast_to(c, (n_tiles,))
                 fl = jnp.broadcast_to(fl, (n_tiles,))
@@ -743,7 +785,8 @@ def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
     kernel = partial(_kernel, plan=plan, mip_shapes=mip_shapes, width=width,
                      height=height, tiles_x=tiles_x, slice_count=slice_count,
                      steps_per_slice=steps_per_slice, precision=precision,
-                     unroll_slices=unroll_slices, schedule=schedule)
+                     unroll_slices=unroll_slices, schedule=schedule,
+                     iota_hoist=iota_hoist, sel8=sel8)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=grid,
