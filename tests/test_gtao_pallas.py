@@ -199,3 +199,30 @@ def test_main_pass_batch_schedule_bit_identical():
                                  schedule="batch", **kw)
     np.testing.assert_array_equal(np.asarray(ao_s), np.asarray(ao_b))
     np.testing.assert_array_equal(np.asarray(e_s), np.asarray(e_b))
+
+
+def test_main_pass_dyn_schedule_bit_identical():
+    """schedule="dyn" (the recorded dynamic-mip-loop experiment: traced
+    fori over [mip_min, mip_max], scratch-staged planes, uniform windows
+    — measured SLOWER on real Mosaic, GTAO_DYN_PROBE.json, default stays
+    batch) must remain bit-identical, exact and half precisions."""
+    from tpurt.kernels.gtao_main_pallas import consts_to_vec, main_pass_pallas
+    from tpurt.passes.gtao import gtao_constants, noise_maps_64, \
+        prefilter_depths
+
+    h, w = 64, 128
+    depth, normal_enc = _gbuffer(h, w)
+    consts = gtao_constants(w, h, 0.1, 100.0, np.pi / 2, w / h)
+    mips = prefilter_depths(depth, consts)
+    for precision in ("exact", "half"):
+        kw = dict(width=w, height=h, slice_count=3, steps_per_slice=2,
+                  interpret=True, precision=precision)
+        ao_b, e_b = main_pass_pallas(mips, normal_enc, consts_to_vec(consts),
+                                     noise_maps_64(jnp.int32(5)),
+                                     schedule="batch", **kw)
+        ao_d, e_d = main_pass_pallas(mips, normal_enc, consts_to_vec(consts),
+                                     noise_maps_64(jnp.int32(5)),
+                                     schedule="dyn", **kw)
+        np.testing.assert_array_equal(np.asarray(ao_b), np.asarray(ao_d),
+                                      err_msg=precision)
+        np.testing.assert_array_equal(np.asarray(e_b), np.asarray(e_d))

@@ -44,7 +44,6 @@ def main():
             hoist_analytic=dict(iota_hoist=True, recenter="analytic"),
             nohoist_direct=dict(iota_hoist=False, recenter="direct"),
             nohoist_analytic=dict(iota_hoist=False, recenter="analytic"),
-            sel8=dict(iota_hoist=True, recenter="direct", sel8=True),
         )
 
         def stage(kw):

@@ -91,7 +91,7 @@ def _bf16_rn(x):
 
 
 def _gather_window(stacked, nparts, rely, relx, wy: int, wx: int,
-                   iotas=None, sel8: bool = False):
+                   iotas=None):
     """Per-pixel fetch win[rely, relx] for an (8, 128) packet via one-hot
     MXU matmuls + mask-reduce per sublane row. `stacked` is (nparts*wy, wx)
     bf16 row-planes that SUM to the fetched value: the exact mode passes
@@ -111,13 +111,9 @@ def _gather_window(stacked, nparts, rely, relx, wy: int, wx: int,
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (wy, 128), 0)
     else:
         col_iota, row_iota = iotas
-    if sel8:
-        # selector compares in int8: rel coordinates are < 128, so the
-        # comparisons pack 4x more lanes per VPU op (A/B knob)
-        col_iota = col_iota.astype(jnp.int8)
-        row_iota = row_iota.astype(jnp.int8)
-        relx = relx.astype(jnp.int8)
-        rely = rely.astype(jnp.int8)
+    # (measured dead end: int8 selector compares — 4x lanes/op — fail to
+    # compile on real Mosaic: arith.cmpi on vector<8x128x4xi8> is
+    # unsupported, remote compile HTTP 500. i32 compares stay.)
     rows = []
     for s in range(8):
         onehot_c = (col_iota == relx[s:s + 1]).astype(jnp.bfloat16)
@@ -248,22 +244,40 @@ def _recenter_scalars(mn, mx, windows=None):
 
 
 def _kernel(consts_ref, row0_ref, flags_ref, centers_ref,  # scalar prefetch
-            spx_r, spy_r, vz_r, pl_r, pr_r, pt_r, pb_r,
-            nx_r, ny_r, nz_r, nsl_r, nsm_r,               # packeted inputs
-            w0, w1, w2, w3, w4,                           # mip windows (f32)
-            ao_out, edges_out,                            # outputs
-            *, plan, mip_shapes, width, height, tiles_x,
+            *rest,                 # [mipmeta] + 12 packeted + windows + outs
+            plan, mip_shapes, width, height, tiles_x,
             slice_count: int, steps_per_slice: int, precision: str,
             unroll_slices: bool = False, schedule: str = "step",
-            iota_hoist: bool = True, sel8: bool = False):
+            iota_hoist: bool = True):
+    dyn = schedule == "dyn"
+    if dyn:
+        # dynamic-mip mode: per-level metadata rides in SMEM (traced level
+        # index), windows arrive pre-stacked as ONE (5*wy_u, 128) block,
+        # and the hoisted bf16 planes are STAGED INTO VMEM SCRATCH so the
+        # traced level can pl.ds them (Mosaic has no dynamic_slice on
+        # values, but dynamic ref slices are first-class)
+        mipmeta_ref = rest[0]
+        rest = rest[1:]
+    (spx_r, spy_r, vz_r, pl_r, pr_r, pt_r, pb_r,
+     nx_r, ny_r, nz_r, nsl_r, nsm_r) = rest[:12]
+    if dyn:
+        w_all = rest[12]
+        ao_out, edges_out = rest[13:15]
+        scratch = rest[15:]
+        planes_scr = scratch[0]
+        planes_hi_scr = scratch[1] if precision == "exact" else None
+        wy_u = plan[0][0]
+        wins = tuple(w_all[0, m * wy_u:(m + 1) * wy_u] for m in range(5))
+    else:
+        wins = rest[12:17]
+        wins = tuple(w[0] for w in wins)
+        ao_out, edges_out = rest[17:19]
     i = pl.program_id(0)
     # row0_ref holds the band's first tile row (0 for full frames): tile
     # coordinates — and therefore window origins — are ABSOLUTE image
     # coordinates even when only a band of rows is computed
     ty = (row0_ref[0] + i // tiles_x) * TILE
     tx = (i % tiles_x) * TILE
-
-    wins = (w0, w1, w2, w3, w4)
     # per-tile window origins — the same static formula _window_starts
     # used when cutting the windows outside
     win_offs = []
@@ -303,7 +317,7 @@ def _kernel(consts_ref, row0_ref, flags_ref, centers_ref,  # scalar prefetch
         for m in range(5):
             wy, _, _ = plan[m]
             cm = centers_ref[i * 5 + m]
-            rec = wins[m][0] - cm
+            rec = wins[m] - cm
             if precision == "half":
                 planes[m] = rec.astype(jnp.bfloat16)
             else:
@@ -314,6 +328,17 @@ def _kernel(consts_ref, row0_ref, flags_ref, centers_ref,  # scalar prefetch
                 planes_hi[m] = hi
             flags[m] = flags_ref[i * 5 + m]
             centers[m] = cm
+
+    if dyn:
+        # stage the per-level planes into scratch at static offsets; the
+        # fetch loop reads them back with traced-level pl.ds (offsets are
+        # wy_u multiples -> sublane-tile aligned for bf16)
+        nrows = (2 if precision == "exact" else 1) * plan[0][0]
+        for m in range(5):
+            planes_scr[m * nrows:(m + 1) * nrows] = planes[m]
+            if precision == "exact":
+                planes_hi_scr[m * plan[0][0]:(m + 1) * plan[0][0]] = \
+                    planes_hi[m]
 
     # ---- dense per-pixel setup (identical math to passes/gtao.main_pass)
     c = lambda k: consts_ref[_CK.index(k)]  # noqa: E731
@@ -387,6 +412,84 @@ def _kernel(consts_ref, row0_ref, flags_ref, centers_ref,  # scalar prefetch
 
     mip_off = c("depth_mip_sampling_offset")
 
+    def sample_depth2_dyn(sx_a, sy_a, sx_b, sy_b, mip, mip_min=None,
+                          mip_max=None):
+        """Dynamic-mip variant of sample_depth2 ("design B"): ONE
+        fori_loop over the executed range [mip_min, mip_max] (mean span
+        1.44 of 5 levels, GTAO_MIP_STATS.json) replaces the 5-branch cond
+        chain. Windows are uniform (wy_u, 128); the hoisted planes stage
+        into VMEM scratch so the TRACED level can pl.ds them; per-level
+        extents ride in SMEM (mipmeta_ref). Bit-identical to the chain.
+
+        MEASURED OUTCOME (recorded experiment, like the grouped traversal
+        kernel): SLOWER — 17.4 vs 16.9 ms @800², 58.4 vs 49.3 @1080p
+        (GTAO_DYN_PROBE.json). Mosaic's statically-predicated cond chain
+        costs less than the dynamic loop's carry + scratch staging, and
+        the uniform windows inflate levels 1-3 from 48 to 64/80 matmul
+        rows. The conds+coords layer (4.3 ms @800² / 14.5 @1080p by the
+        debug_nofetch/noconds decomposition) is dominated by the EXECUTED
+        levels' coordinate math, not by the untaken branches this loop
+        removes. Default stays schedule="batch"."""
+        sz_a = jnp.zeros_like(sx_a)
+        sz_b = jnp.zeros_like(sx_b)
+        ux_a = jnp.clip(sx_a, 0.0, 1.0)
+        uy_a = jnp.clip(sy_a, 0.0, 1.0)
+        ux_b = jnp.clip(sx_b, 0.0, 1.0)
+        uy_b = jnp.clip(sy_b, 0.0, 1.0)
+        if mip_min is None:
+            mip_min = jnp.min(mip)
+            mip_max = jnp.max(mip)
+        iotas = ((col_iota, row_iotas[wy_u]) if iota_hoist else None)
+
+        def body(m, carry):
+            sz_a, sz_b = carry
+            use = mip == m
+            hm = mipmeta_ref[m]
+            wm = mipmeta_ref[5 + m]
+            y0 = jnp.clip(jax.lax.shift_right_logical(ty, m) - HALO, 0,
+                          jnp.maximum(hm - wy_u, 0))
+            x0 = jnp.clip(jax.lax.shift_right_logical(tx, m) - HALO, 0,
+                          jnp.maximum(wm - 128, 0))
+            hm_f = hm.astype(jnp.float32)
+            wm_f = wm.astype(jnp.float32)
+
+            def rel(ux, uy):
+                tex_x = jnp.clip((ux * wm_f).astype(jnp.int32), 0, wm - 1)
+                tex_y = jnp.clip((uy * hm_f).astype(jnp.int32), 0, hm - 1)
+                return (jnp.clip(tex_y - y0, 0, wy_u - 1),
+                        jnp.clip(tex_x - x0, 0, 127))
+
+            rely_a, relx_a = rel(ux_a, uy_a)
+            rely_b, relx_b = rel(ux_b, uy_b)
+            cm = centers_ref[i * 5 + m]
+            if precision == "half":
+                pl_m = planes_scr[pl.ds(m * wy_u, wy_u)]
+                val_a = _gather_window(pl_m, 1, rely_a, relx_a, wy_u, 128,
+                                       iotas)
+                val_b = _gather_window(pl_m, 1, rely_b, relx_b, wy_u, 128,
+                                       iotas)
+            else:
+                def one_plane(_):
+                    hi_m = planes_hi_scr[pl.ds(m * wy_u, wy_u)]
+                    return (_gather_window(hi_m, 1, rely_a, relx_a, wy_u,
+                                           128, iotas),
+                            _gather_window(hi_m, 1, rely_b, relx_b, wy_u,
+                                           128, iotas))
+
+                def two_plane(_):
+                    pl_m = planes_scr[pl.ds(m * 2 * wy_u, 2 * wy_u)]
+                    return (_gather_window(pl_m, 2, rely_a, relx_a, wy_u,
+                                           128, iotas),
+                            _gather_window(pl_m, 2, rely_b, relx_b, wy_u,
+                                           128, iotas))
+
+                val_a, val_b = jax.lax.cond(flags_ref[i * 5 + m] == 1,
+                                            one_plane, two_plane, 0)
+            return (jnp.where(use, val_a + cm, sz_a),
+                    jnp.where(use, val_b + cm, sz_b))
+
+        return jax.lax.fori_loop(mip_min, mip_max + 1, body, (sz_a, sz_b))
+
     def sample_depth2(sx_a, sy_a, sx_b, sy_b, mip, mip_min=None,
                       mip_max=None):
         """_sample_mip_point for BOTH horizon samples of one step at once:
@@ -447,7 +550,7 @@ def _kernel(consts_ref, row0_ref, flags_ref, centers_ref,  # scalar prefetch
                 if precision == "debug_nofetch":
                     # diagnostic: skip the gather entirely (wrong AO) —
                     # isolates the slice/step scaffold + window pipeline
-                    v = (jnp.sum(win_ref[0][:1, :128])
+                    v = (jnp.sum(win_ref[:1, :128])
                          + jnp.sum(rely_a[:1, :1].astype(jnp.float32))
                          + jnp.sum(relx_b[:1, :1].astype(jnp.float32))
                          ) * 1e-6
@@ -463,7 +566,7 @@ def _kernel(consts_ref, row0_ref, flags_ref, centers_ref,  # scalar prefetch
                 cm = centers[m]      # zeros for half/sharedsel modes
                 iotas = ((col_iota, row_iotas[wy]) if iota_hoist
                          else None)
-                gw = partial(_gather_window, sel8=sel8)
+                gw = _gather_window
                 if precision == "half":
                     val_a = gw(planes[m], 1, rely_a, relx_a, wy, wx, iotas)
                     val_b = gw(planes[m], 1, rely_b, relx_b, wy, wx, iotas)
@@ -586,7 +689,7 @@ def _kernel(consts_ref, row0_ref, flags_ref, centers_ref,  # scalar prefetch
             h1 = _horizon(sxb, syb, sz1, low1, h1)
             return h0, h1
 
-        if schedule == "batch":
+        if schedule in ("batch", "dyn"):
             # traversal-kernel lesson (BVH8_STEP_ABLATE.json): emission
             # ORDER beats op count. Phase A issues every step's vector
             # math AND its two range reduces back-to-back (they pipeline
@@ -598,7 +701,8 @@ def _kernel(consts_ref, row0_ref, flags_ref, centers_ref,  # scalar prefetch
                 sxa, sya, sxb, syb, mip = step_coords(jnp.int32(step))
                 pre.append((sxa, sya, sxb, syb, mip,
                             jnp.min(mip), jnp.max(mip)))
-            szs = [sample_depth2(sxa, sya, sxb, syb, mip, mn, mx)
+            sampler = sample_depth2_dyn if dyn else sample_depth2
+            szs = [sampler(sxa, sya, sxb, syb, mip, mn, mx)
                    for (sxa, sya, sxb, syb, mip, mn, mx) in pre]
             h0, h1 = low0, low1
             for (sxa, sya, sxb, syb, _, _, _), (sz0, sz1) in zip(pre, szs):
@@ -646,15 +750,14 @@ def _kernel(consts_ref, row0_ref, flags_ref, centers_ref,  # scalar prefetch
                                    "steps_per_slice", "interpret",
                                    "precision", "num_rows",
                                    "unroll_slices", "schedule",
-                                   "iota_hoist", "recenter", "sel8"))
+                                   "iota_hoist", "recenter"))
 def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
                      width: int, height: int, slice_count: int,
                      steps_per_slice: int, interpret: bool | None = None,
                      precision: str = "exact", row_start=0,
                      num_rows: int | None = None,
                      unroll_slices: bool = False, schedule: str = "step",
-                     iota_hoist: bool = True, recenter: str = "direct",
-                     sel8: bool = False):
+                     iota_hoist: bool = True, recenter: str = "direct"):
     """Pallas main pass over pre-packeted inputs. depth_mips: list of 5
     (H_m, W_m) f32 mips (R16F-quantized values); normal_enc: (H, W, 3);
     consts_vec: (len(_CK),) f32; noise_maps: (nx, ny) each (64, 64) f32.
@@ -679,6 +782,15 @@ def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
     mip_shapes = tuple((int(m.shape[0]), int(m.shape[1]))
                       for m in depth_mips)
     plan = tuple(_plan_windows(mip_shapes, width, height))
+    dyn = schedule == "dyn"
+    if dyn:
+        # dynamic-mip loop: uniform window rows so a traced level can
+        # dynamic-slice the plane hoists; the full top level is cut per
+        # tile like the rest (its start formula degenerates to 0)
+        assert precision in ("exact", "half"), \
+            "schedule='dyn' supports exact/half only"
+        wy_u = max(wy for wy, _, _ in plan)
+        plan = tuple((wy_u, 128, full) for _, _, full in plan)
 
     tiles_x = -(-width // TILE)
     # ceil: _to_packets edge-pads non-TILE-aligned frames, so the grid has
@@ -698,7 +810,7 @@ def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
     flags_l = []
     for m, (wy, wx, full) in enumerate(plan):
         hm, wm = mip_shapes[m]
-        if full:
+        if full and not dyn:
             w = _cut_windows(depth_mips[m], np.zeros(1, np.int32),
                              np.zeros(1, np.int32), wy, wx)
             idx = lambda i, *refs: (0, 0, 0)
@@ -729,7 +841,7 @@ def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
             else:
                 c, fl = _recenter_scalars(
                     mn, mx, windows=w if recenter == "direct" else None)
-            if full:
+            if full and not dyn:
                 c = jnp.broadcast_to(c, (n_tiles,))
                 fl = jnp.broadcast_to(fl, (n_tiles,))
         else:
@@ -786,11 +898,30 @@ def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
                      height=height, tiles_x=tiles_x, slice_count=slice_count,
                      steps_per_slice=steps_per_slice, precision=precision,
                      unroll_slices=unroll_slices, schedule=schedule,
-                     iota_hoist=iota_hoist, sel8=sel8)
+                     iota_hoist=iota_hoist)
+    scalar_ops = [consts_vec, row0_tiles.reshape(1), flags5, centers5]
+    if dyn:
+        # one stacked (T, 5*wy_u, 128) window operand + per-level extents
+        # in SMEM for the traced-level loop
+        win_ops = [jnp.concatenate(win_ops, axis=1)]
+        win_specs = [pl.BlockSpec((1, 5 * wy_u, 128),
+                                  lambda i, *refs: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        mipmeta = jnp.asarray([hm for hm, _ in mip_shapes]
+                              + [wm for _, wm in mip_shapes], jnp.int32)
+        scalar_ops.append(mipmeta)
+    scratch_shapes = []
+    if dyn:
+        nrows = (2 if precision == "exact" else 1) * wy_u
+        scratch_shapes.append(pltpu.VMEM((5 * nrows, 128), jnp.bfloat16))
+        if precision == "exact":
+            scratch_shapes.append(pltpu.VMEM((5 * wy_u, 128),
+                                             jnp.bfloat16))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=len(scalar_ops),
         grid=grid,
         in_specs=[ray_spec] * 12 + win_specs,
+        scratch_shapes=scratch_shapes,
         out_specs=[
             pl.BlockSpec((8, 128), lambda i, *refs: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -804,8 +935,7 @@ def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
         out_shape=[jax.ShapeDtypeStruct((n_sub, 128), jnp.uint8),
                    jax.ShapeDtypeStruct((n_sub, 128), jnp.uint8)],
         interpret=interpret,
-    )(consts_vec, row0_tiles.reshape(1), flags5, centers5,
-      *packeted, *win_ops)
+    )(*scalar_ops, *packeted, *win_ops)
 
     unpk = partial(_from_packets, height=rows_out, width=width)
     return (unpk(ao_pk).reshape(rows_out, width),
