@@ -171,3 +171,45 @@ def test_quad48_matches_stack12_bilinear():
     img = jnp.asarray(fs.tex_img_of_prim)[prim]
     got = sample_bilinear_quad(jnp.asarray(fs.tex_quad48), hw, img, uv)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_light_eval_schedules_bit_identical():
+    """The three light-evaluation schedules in the shade pass (loop /
+    hoisted shadow launches / batched (K,N) light math — VERDICT r3 #1
+    candidates) must produce bit-identical G-buffers. Perf on TPU was
+    measured neutral (LIGHT_EVAL_PROBE.json); the knob stays for A/B."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpurt.engine.frame import MAX_LEAF
+    from tpurt.kernels.traverse import trace_closest
+    from tpurt.passes.rays import T_MAX, T_MIN
+    from tpurt.passes.shade import shade
+    from tpurt.scene.lights import SpotLight
+
+    r = make_renderer()
+    # second + third shadow-casting lights so the multi-light paths differ
+    r.lights_mut().point_lights.append(
+        PointLight(pos=[1.0, 1.0, -2.0], color=[1.0, 2.0, 0.5],
+                   falloff_distance=8.0, casts_shadows=True))
+    r.lights_mut().spot_lights.append(SpotLight(
+        pos=[0.0, 1.5, 0.0], dir=[0.0, -1.0, 0.0], color=[2.0, 1.0, 1.0],
+        falloff_distance=5.0,
+        penumbra_umbra_angles=(np.radians(30.0), np.radians(45.0)),
+        casts_shadows=True))
+    cam = r.camera.uniform()
+    lights = r.lights.shader_arrays()
+    scene = jax.tree.map(jnp.asarray, r._scene.as_pytree())
+    o, d = camera_rays(cam, SIZE, SIZE)
+    hits = trace_closest(scene["bvh"], scene["geom"], o, d, T_MIN, T_MAX,
+                         max_leaf=MAX_LEAF)
+    outs = {}
+    for ev in ("loop", "hoist", "batch"):
+        g = shade(scene, cam, lights, hits, o, d, height=SIZE, width=SIZE,
+                  max_leaf=MAX_LEAF, light_eval=ev)
+        outs[ev] = {k: np.asarray(v) for k, v in g.items()}
+    for ev in ("hoist", "batch"):
+        for k in outs["loop"]:
+            np.testing.assert_array_equal(
+                outs["loop"][k], outs[ev][k],
+                err_msg=f"light_eval={ev} diverges on {k}")

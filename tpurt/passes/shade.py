@@ -425,7 +425,8 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
           height: int = 0, width: int = 0, max_leaf: int = 4,
           shadow_trace_fn=None, aniso_taps: int = 1, image_rows: int = 0,
           attr_rows=None, quad_gather=None, quad_shape=None,
-          shadow_trace_multi_fn=None, fuse_shadows: bool = False):
+          shadow_trace_multi_fn=None, fuse_shadows: bool = False,
+          light_eval: str = "loop"):
     """Shade one batch of primary hits.
 
     Returns dict(color (N,3), depth (N,), normal_enc (N,3)) — the unquantized
@@ -647,6 +648,62 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
             [p["t_max"] for p in pre],
             height=height, width=width,
             max_leaf=max(max_leaf, LEAF8_MAX))
+    elif light_eval in ("hoist", "batch") and num_lights > 1:
+        # Hoist the (measured-faster) SOLO any-hit launches ahead of the
+        # BRDF math: back-to-back pallas launches, then ONE fused
+        # elementwise island for all lights — in the default interleaved
+        # loop each pallas_call is a fusion barrier that splits the
+        # per-light math into islands.
+        def _occ_one(p):
+            if shadow_trace_fn is not None:
+                return shadow_trace_fn(world_pos, p["L"], SHADOW_T_MIN,
+                                       p["t_max"])
+            if pallas_tables:
+                return trace_any_packets(scene["bvh"], scene["geom"],
+                                         world_pos, p["L"], SHADOW_T_MIN,
+                                         p["t_max"], height=height,
+                                         width=width, max_leaf=max_leaf,
+                                         tables=pallas_tables)
+            return trace_any(scene["bvh"], scene["geom"], world_pos,
+                             p["L"], SHADOW_T_MIN, p["t_max"],
+                             max_leaf=max_leaf)
+
+        occ_all = [_occ_one(p) for p in pre]
+
+    if light_eval == "batch" and num_lights > 1 and occ_all is not None:
+        # Batched evaluation: all K lights' radiance + BRDF as one stacked
+        # (K, N, ...) computation (VERDICT r3 #1 candidate). The brdf/light
+        # libraries are elementwise over leading axes, so the math is the
+        # loop's verbatim with a lights axis in front; the final
+        # accumulation is an explicit k-ordered chain so the sum order (and
+        # the bits) match the loop exactly.
+        L_all = jnp.stack([p["L"] for p in pre])                # (K, N, 3)
+        ncl_all = jnp.stack([p["nc_NdotL"] for p in pre])       # (K, N)
+        wants_all = jnp.stack([p["wants_shadow"] for p in pre])
+        occ_stack = jnp.stack(list(occ_all))                    # (K, N)
+        H_all = _normalize(V[None] + L_all)
+        NdotL_a = jnp.clip(ncl_all, 0.0, 1.0)
+        NdotH_a = jnp.clip(jnp.sum(N[None] * H_all, axis=-1), 0.0, 1.0)
+        LdotH_a = jnp.clip(jnp.sum(L_all * H_all, axis=-1), 0.0, 1.0)
+        Ks_a = brdf.f_schlick(F0[None], LdotH_a)                # (K, N, 3)
+        Kd = (1.0 - metallic[:, None]) * albedo
+        rho_s_a = brdf.cook_torrance_specular(
+            NdotL_a, NdotV, NdotH_a, corrected_roughness, Ks_a)
+        rho_d_a = Kd[None] * brdf.burley_diffuse_local_sss(
+            corrected_roughness, NdotV, nc_NdotV, ncl_all, LdotH_a,
+            LOCAL_SSS_RATIO)[..., None]
+        att_a = jnp.where(wants_all & occ_stack, SHADOW_ATTENUATION, 1.0)
+        rad_a = jax.vmap(get_light_radiance, in_axes=(0, None, 0))(
+            lights, world_pos, L_all)                           # (K, N, 3)
+        act = lights.get("active")
+        act_a = (jnp.ones((num_lights,), jnp.float32) if act is None
+                 else act.astype(jnp.float32))
+        contrib = ((rho_s_a + rho_d_a) * rad_a
+                   * (att_a * NdotL_a * act_a[:, None])[..., None])
+        rho = jnp.zeros_like(albedo)
+        for k in range(num_lights):
+            rho = rho + contrib[k]
+        return _shade_outputs(rho, valid, camera, world_pos, N)
 
     rho = jnp.zeros_like(albedo)
     for i, p in enumerate(pre):
@@ -692,6 +749,12 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
         rho = rho + ((rho_s + rho_d) * radiance
                      * (shadow_attenuation * NdotL * active)[..., None])
 
+    return _shade_outputs(rho, valid, camera, world_pos, N)
+
+
+def _shade_outputs(rho, valid, camera, world_pos, N):
+    """G-buffer encode shared by the loop and batched light paths
+    (raytrace.rgen.glsl:188-199)."""
     out_color = jnp.where(valid[:, None], rho, 0.0)
 
     view = camera["view"]
