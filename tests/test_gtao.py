@@ -121,3 +121,45 @@ def test_visibility_bent_encode_roundtrip():
     v2, b2 = decode_visibility_bent_normal(packed)
     np.testing.assert_allclose(np.asarray(v2), vis, atol=1 / 255 + 1e-6)
     np.testing.assert_allclose(np.asarray(b2), bn, atol=2 / 255 + 1e-6)
+
+
+def test_fp16_pipeline_close_but_distinct():
+    """precision="fp16" emulates the reference's min16float pipeline
+    (XE_GTAO_USE_HALF_FLOAT_PRECISION, prefilter_depths.comp.hlsl:1-3):
+    the AO term must stay finite and within a few final-term units of the
+    f32 path, while actually exercising f16 arithmetic (some pixels must
+    differ — if none do, the knob is dead)."""
+    rng = np.random.default_rng(7)
+    d = (2.0 + 0.3 * rng.random((H, W))).astype(np.float32)
+    d[:, 30:34] += 0.15
+    depth = jnp.asarray(d)
+    normal_enc = jnp.broadcast_to(jnp.array([0.5, 0.5, 0.0]), (H, W, 3))
+    s32 = GtaoSettings(slice_count=3, steps_per_slice=3, denoise=1)
+    s16 = GtaoSettings(slice_count=3, steps_per_slice=3, denoise=1,
+                       precision="fp16")
+    ao32 = np.asarray(compute_ao(depth, normal_enc, consts(), s32,
+                                 noise_index=0)).astype(np.float32)
+    ao16 = np.asarray(compute_ao(depth, normal_enc, consts(), s16,
+                                 noise_index=0)).astype(np.float32)
+    assert np.isfinite(ao16).all()
+    rmse = float(np.sqrt(np.mean((ao32 - ao16) ** 2)))
+    assert rmse < 8.0, f"fp16 AO too far from f32: rmse {rmse}"
+    assert np.any(ao32 != ao16), "fp16 knob produced bit-identical AO"
+
+
+def test_fp16_prefilter_mip0_identical_deeper_mips_f16():
+    """Mip 0 is ClampDepth only (identical under both precisions); deeper
+    mips re-run the weighted filter in f16 and may differ, but all stay
+    R16F-representable (storage format unchanged)."""
+    rng = np.random.default_rng(3)
+    depth = jnp.asarray((1.0 + 4.0 * rng.random((H, W))).astype(np.float32))
+    m32 = prefilter_depths(depth, consts())
+    m16 = prefilter_depths(depth, consts(), fp16=True)
+    assert np.array_equal(np.asarray(m32[0]), np.asarray(m16[0]))
+    for a, b in zip(m32[1:], m16[1:]):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape
+        assert np.isfinite(b).all()
+        # R16F round-trip is the identity on stored values
+        assert np.array_equal(b, b.astype(np.float16).astype(np.float32))
+        assert float(np.max(np.abs(a - b))) < 0.05

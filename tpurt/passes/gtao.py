@@ -87,7 +87,17 @@ class GtaoSettings:
     #    bf16's 8 mantissa bits (vs R16F's 11; the reference's fp16
     #    pipeline keeps 10) visibly perturb the horizon integral —
     #    measured mean |dAO| ~5 u8 steps on smooth scenes. Opt-in only.
-    # The XLA path ignores this flag (always f32).
+    #  * "fp16" — emulate the reference's min16float (lpfloat) pipeline
+    #    (XE_GTAO_USE_HALF_FLOAT_PRECISION=1, prefilter_depths.comp.hlsl:1-3)
+    #    on the XLA path: every lpfloat-typed intermediate of
+    #    XeGTAO.hlsli's prefilter/main/denoise computes in jnp.float16
+    #    (XLA rounds to f16 after each op — the same round-after-op
+    #    semantics as GPU RelaxedPrecision fp16, modulo double-rounding
+    #    corner cases). Forces the XLA main/denoise path (the Pallas
+    #    kernels are exact-f32 designs). The parity knob for the one
+    #    arithmetic-precision deviation in docs/PARITY.md; RMSE vs the
+    #    f32 path recorded in GTAO_FP16.json.
+    # "exact"/"half" leave the XLA path at f32.
     precision: str = "exact"
     # Pallas main-pass slice-body schedule (bit-identical reordering):
     #  * "step"  — per step: vector math -> range reduces -> cond chain ->
@@ -98,6 +108,10 @@ class GtaoSettings:
     #    @800² and 62.7 -> 52.6 @1080p in-scene, parity exact
     #    (GTAO_SCHEDULE_PROBE.json).
     schedule: str = "batch"
+
+    @property
+    def fp16(self) -> bool:
+        return self.precision == "fp16"
 
     @property
     def denoise_blur_beta(self) -> float:
@@ -175,14 +189,26 @@ def spatio_temporal_noise(height: int, width: int, noise_index,
 
 # ------------------------------------------------------------- prefilter ----
 
-def _depth_mip_filter(d0, d1, d2, d3, consts):
-    """Weighted 2x2 depth reduction (XeGTAO_DepthMIPFilter, :580-604)."""
+def _lp_caster(fp16: bool):
+    """lpfloat emulation: cast to f16 when the fp16 pipeline is on (XLA
+    rounds f16 arithmetic after every op), identity otherwise."""
+    if not fp16:
+        return lambda x: x
+    return lambda x: jnp.asarray(x).astype(jnp.float16)
+
+
+def _depth_mip_filter(d0, d1, d2, d3, consts, fp16: bool = False):
+    """Weighted 2x2 depth reduction (XeGTAO_DepthMIPFilter, :580-604).
+    Every quantity in the reference filter is lpfloat — with fp16 the
+    whole filter computes in f16."""
+    lp = _lp_caster(fp16)
+    d0, d1, d2, d3 = lp(d0), lp(d1), lp(d2), lp(d3)
     max_depth = jnp.maximum(jnp.maximum(d0, d1), jnp.maximum(d2, d3))
     depth_range_scale = 0.75
-    effect_radius = (depth_range_scale * consts["effect_radius"]
-                     * consts["radius_multiplier"])
-    falloff_range = consts["effect_falloff_range"] * effect_radius
-    falloff_from = effect_radius * (1.0 - consts["effect_falloff_range"])
+    effect_radius = (depth_range_scale * lp(consts["effect_radius"])
+                     * lp(consts["radius_multiplier"]))
+    falloff_range = lp(consts["effect_falloff_range"]) * effect_radius
+    falloff_from = effect_radius * (1.0 - lp(consts["effect_falloff_range"]))
     falloff_mul = -1.0 / falloff_range
     falloff_add = falloff_from / falloff_range + 1.0
 
@@ -194,7 +220,7 @@ def _depth_mip_filter(d0, d1, d2, d3, consts):
     return (w0 * d0 + w1 * d1 + w2 * d2 + w3 * d3) / wsum
 
 
-def prefilter_depths(view_depth, consts):
+def prefilter_depths(view_depth, consts, fp16: bool = False):
     """(H, W) linear view depth -> list of 5 R16F-quantized mips.
 
     The renderer feeds linear view-space depth (XE_GTAO_VIEWSPACE_DEPTH,
@@ -214,8 +240,8 @@ def prefilter_depths(view_depth, consts):
         top = x[0::2]
         bot = x[1::2]
         m = _depth_mip_filter(top[:, 0::2], top[:, 1::2],
-                              bot[:, 0::2], bot[:, 1::2], consts)
-        mips.append(quantize_r16f(m))
+                              bot[:, 0::2], bot[:, 1::2], consts, fp16=fp16)
+        mips.append(quantize_r16f(m.astype(jnp.float32)))
     return mips
 
 
@@ -354,7 +380,19 @@ def main_pass(depth_mips, normal_enc, consts, settings: GtaoSettings,
     pixel coordinates are preserved, sampling still sees the whole pyramid) —
     the multi-chip path computes only its own band + denoise halo.
     Returns (ao_u8 (R,W), edges_u8 (R,W)).
+
+    With settings.precision == "fp16" every lpfloat-typed intermediate of
+    the reference (XeGTAO.hlsli:246-576 under
+    XE_GTAO_USE_HALF_FLOAT_PRECISION) computes in jnp.float16, mirroring
+    the HLSL typing: depths/edges/normals/view-vec/falloff/horizon
+    cosines/visibility are lpfloat; screen positions, viewspace sample
+    positions and sample deltas stay float32 (the reference keeps those
+    float — "using lpfloat for sampleDelta causes precision issues",
+    :467-468). FastACos rounds its result to f16 (its internal bit-trick
+    sqrt is f32 either way, matching HLSL asuint upconversion).
     """
+    lp = _lp_caster(settings.fp16)
+    lpdt = jnp.float16 if settings.fp16 else jnp.float32
     d0 = depth_mips[0]
     h, w = d0.shape
     num_rows = h if num_rows is None else num_rows
@@ -371,20 +409,20 @@ def main_pass(depth_mips, normal_enc, consts, settings: GtaoSettings,
     def band(img):
         return img if full_image else img[rows]
 
-    viewspace_z = band(d0)
-    pix_l = band(_shift_clamp(d0, 0, -1))
-    pix_r = band(_shift_clamp(d0, 0, 1))
-    pix_t = band(_shift_clamp(d0, -1, 0))
-    pix_b = band(_shift_clamp(d0, 1, 0))
+    viewspace_z = lp(band(d0))
+    pix_l = lp(band(_shift_clamp(d0, 0, -1)))
+    pix_r = lp(band(_shift_clamp(d0, 0, 1)))
+    pix_t = lp(band(_shift_clamp(d0, -1, 0)))
+    pix_b = lp(band(_shift_clamp(d0, 1, 0)))
     normal_enc = band(normal_enc)
 
     edges = _calculate_edges(viewspace_z, pix_l, pix_r, pix_t, pix_b)
     edges_u8 = pack_edges(edges)
 
-    # decode normals (main_pass.comp.hlsl:29-46)
+    # decode normals (main_pass.comp.hlsl:29-46); lpfloat3 argument (:246)
     n = normal_enc * 2.0 - 1.0
-    viewspace_normal = n / jnp.maximum(
-        jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    viewspace_normal = lp(n / jnp.maximum(
+        jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20))
 
     viewspace_z = viewspace_z * 0.99920  # fp16 depth offset (:284)
 
@@ -393,30 +431,35 @@ def main_pass(depth_mips, normal_enc, consts, settings: GtaoSettings,
         y = (ndc_mul[1] * spy + ndc_add[1]) * z
         return jnp.stack([x, y, z], axis=-1)
 
-    pix_center_pos = view_pos(sp_x, sp_y, viewspace_z)
-    view_vec = -pix_center_pos / jnp.maximum(
-        jnp.linalg.norm(pix_center_pos, axis=-1, keepdims=True), 1e-20)
+    pix_center_pos = view_pos(sp_x, sp_y, viewspace_z.astype(jnp.float32))
+    view_vec = lp(-pix_center_pos / jnp.maximum(
+        jnp.linalg.norm(pix_center_pos, axis=-1, keepdims=True), 1e-20))
 
-    effect_radius = consts["effect_radius"] * consts["radius_multiplier"]
-    sample_distribution_power = consts["sample_distribution_power"]
-    thin_occluder_compensation = consts["thin_occluder_compensation"]
-    falloff_range = consts["effect_falloff_range"] * effect_radius
-    falloff_from = effect_radius * (1.0 - consts["effect_falloff_range"])
+    # lpfloat scalar block (:302-317)
+    effect_radius = lp(consts["effect_radius"]) * lp(
+        consts["radius_multiplier"])
+    sample_distribution_power = lp(consts["sample_distribution_power"])
+    thin_occluder_compensation = lp(consts["thin_occluder_compensation"])
+    falloff_range = lp(consts["effect_falloff_range"]) * effect_radius
+    falloff_from = effect_radius * (1.0 - lp(consts["effect_falloff_range"]))
     falloff_mul = -1.0 / falloff_range
     falloff_add = falloff_from / falloff_range + 1.0
 
-    visibility = jnp.zeros((num_rows, w), jnp.float32)
-    bent = jnp.zeros((num_rows, w, 3), jnp.float32)
+    visibility = jnp.zeros((num_rows, w), lpdt)
+    bent = jnp.zeros((num_rows, w, 3), lpdt)
     rot_to_view = _rot_from_minus_z(view_vec) if settings.bent_normals else None
 
     noise_slice, noise_sample = spatio_temporal_noise(
         num_rows, w, noise_index, rows=rows)
+    noise_slice, noise_sample = lp(noise_slice), lp(noise_sample)
 
     pixel_too_close_threshold = 1.3
     ndc_mul_x_pix = jnp.asarray(consts["ndc_to_view_mul_x_pixel_size"],
                                 jnp.float32)
-    pixel_dir_rb_viewspace_size = viewspace_z * ndc_mul_x_pix[0]
-    screenspace_radius = effect_radius / pixel_dir_rb_viewspace_size
+    # float2 pixelDirRBViewspaceSizeAtCenterZ (:339); lpfloat radius (:341)
+    pixel_dir_rb_viewspace_size = (viewspace_z.astype(jnp.float32)
+                                   * ndc_mul_x_pix[0])
+    screenspace_radius = effect_radius / lp(pixel_dir_rb_viewspace_size)
 
     visibility += jnp.clip((10.0 - screenspace_radius) / 100.0, 0.0, 1.0) * 0.5
     min_s = pixel_too_close_threshold / screenspace_radius
@@ -446,10 +489,14 @@ def main_pass(depth_mips, normal_enc, consts, settings: GtaoSettings,
             viewspace_normal * axis_vec, -1, keepdims=True)
         sign_norm = jnp.sign(jnp.sum(ortho_direction_vec * projected_normal, -1))
         projected_normal_len = jnp.linalg.norm(projected_normal, axis=-1)
+        # f16 flushes the f32 guard epsilon to 0 — use the smallest f16
+        # normal there (the reference divides unguarded; saturate() on a
+        # GPU maps the resulting NaN/inf to [0,1], jnp.clip does not)
+        pn_eps = 6.104e-05 if settings.fp16 else 1e-20
         cos_norm = jnp.clip(
             jnp.sum(projected_normal * view_vec, -1)
-            / jnp.maximum(projected_normal_len, 1e-20), 0.0, 1.0)
-        n_angle = sign_norm * _fast_acos(cos_norm)
+            / jnp.maximum(projected_normal_len, pn_eps), 0.0, 1.0)
+        n_angle = sign_norm * lp(_fast_acos(cos_norm))
 
         low_horizon_cos0 = jnp.cos(n_angle + PI_HALF)
         low_horizon_cos1 = jnp.cos(n_angle - PI_HALF)
@@ -475,20 +522,25 @@ def main_pass(depth_mips, normal_enc, consts, settings: GtaoSettings,
             mip = jnp.clip(jnp.round(mip_level).astype(jnp.int32), 0,
                            XE_GTAO_DEPTH_MIP_LEVELS - 1)
 
-            so_x = jnp.round(sample_offset_x) * pixel_size[0]
-            so_y = jnp.round(sample_offset_y) * pixel_size[1]
+            # sampleOffset = round(...) * (lpfloat2)ViewportPixelSize (:443)
+            so_x = jnp.round(sample_offset_x) * lp(pixel_size[0])
+            so_y = jnp.round(sample_offset_y) * lp(pixel_size[1])
 
             def horizon_sample(sx, sy, low_cos, horizon):
+                # screen pos / SZ / samplePos / sampleDelta stay float32
+                # (:459-468); dist, horizonVec, falloffBase are lpfloat
                 sz = _sample_mip_point(flat, sizes, offsets,
                                        jnp.clip(sx, 0.0, 1.0),
                                        jnp.clip(sy, 0.0, 1.0), mip)
-                sample_pos = view_pos(sx, sy, sz)
+                sample_pos = view_pos(sx.astype(jnp.float32),
+                                      sy.astype(jnp.float32), sz)
                 delta = sample_pos - pix_center_pos
                 dist = jnp.linalg.norm(delta, axis=-1)
-                horizon_vec = delta / jnp.maximum(dist, 1e-20)[..., None]
+                horizon_vec = lp(delta / jnp.maximum(dist, 1e-20)[..., None])
                 falloff_base = jnp.sqrt(
-                    delta[..., 0] ** 2 + delta[..., 1] ** 2
-                    + (delta[..., 2] * (1.0 + thin_occluder_compensation)) ** 2)
+                    lp(delta[..., 0]) ** 2 + lp(delta[..., 1]) ** 2
+                    + lp(delta[..., 2]
+                         * (1.0 + thin_occluder_compensation)) ** 2)
                 weight = jnp.clip(falloff_base * falloff_mul + falloff_add,
                                   0.0, 1.0)
                 shc = jnp.sum(horizon_vec * view_vec, -1)
@@ -503,8 +555,8 @@ def main_pass(depth_mips, normal_enc, consts, settings: GtaoSettings,
         projected_normal_len = projected_normal_len + (
             1.0 - projected_normal_len) * 0.05  # over-darkening fudge (:533)
 
-        h0 = -_fast_acos(jnp.clip(horizon_cos1, -1.0, 1.0))
-        h1 = _fast_acos(jnp.clip(horizon_cos0, -1.0, 1.0))
+        h0 = -lp(_fast_acos(jnp.clip(horizon_cos1, -1.0, 1.0)))
+        h1 = lp(_fast_acos(jnp.clip(horizon_cos0, -1.0, 1.0)))
         sin_n = jnp.sin(n_angle)
         iarc0 = (cos_norm + 2.0 * h0 * sin_n - jnp.cos(2.0 * h0 - n_angle)) / 4.0
         iarc1 = (cos_norm + 2.0 * h1 * sin_n - jnp.cos(2.0 * h1 - n_angle)) / 4.0
@@ -535,7 +587,8 @@ def main_pass(depth_mips, normal_enc, consts, settings: GtaoSettings,
         bn = bent / jnp.maximum(
             jnp.linalg.norm(bent, axis=-1, keepdims=True), 1e-20)
         return encode_visibility_bent_normal(vis_packed, bn), edges_u8
-    ao_u8 = (vis_packed * 255.0 + 0.5).astype(jnp.uint8)
+    # store conversion in f32 (uint(vis*255.0+0.5), float literals :206)
+    ao_u8 = (vis_packed.astype(jnp.float32) * 255.0 + 0.5).astype(jnp.uint8)
     return ao_u8, edges_u8
 
 
@@ -544,21 +597,25 @@ def main_pass(depth_mips, normal_enc, consts, settings: GtaoSettings,
 def denoise_pass(ao_u8, edges_u8, settings: GtaoSettings, final_apply: bool):
     """One edge-aware denoise pass (XeGTAO_Denoise, :744-836). With bent
     normals enabled the AO term is the packed R8G8B8A8 (bn, vis) uint32 and
-    the blur runs over the 4-vector (AOTermType, XeGTAO.hlsli:708-712)."""
+    the blur runs over the 4-vector (AOTermType, XeGTAO.hlsli:708-712).
+    With settings.fp16 the blur computes in f16 (AO terms, edge weights and
+    the weighted sums are all lpfloat in the reference)."""
+    lp = _lp_caster(settings.fp16)
+    lpdt = jnp.float16 if settings.fp16 else jnp.float32
     blur = settings.denoise_blur_beta if final_apply \
         else settings.denoise_blur_beta / 5.0
     diag_weight = 0.85 * 0.5
 
     if settings.bent_normals:
         v, bn = decode_visibility_bent_normal(ao_u8)
-        vis = jnp.concatenate([bn, v[..., None]], axis=-1)  # (..., 4)
+        vis = lp(jnp.concatenate([bn, v[..., None]], axis=-1))  # (..., 4)
     else:
-        vis = ao_u8.astype(jnp.float32) / 255.0
-    edges_c = unpack_edges(edges_u8)
-    edges_l = unpack_edges(_shift_clamp(edges_u8, 0, -1))
-    edges_r = unpack_edges(_shift_clamp(edges_u8, 0, 1))
-    edges_t = unpack_edges(_shift_clamp(edges_u8, -1, 0))
-    edges_b = unpack_edges(_shift_clamp(edges_u8, 1, 0))
+        vis = lp(ao_u8.astype(jnp.float32) / 255.0)
+    edges_c = lp(unpack_edges(edges_u8))
+    edges_l = lp(unpack_edges(_shift_clamp(edges_u8, 0, -1)))
+    edges_r = lp(unpack_edges(_shift_clamp(edges_u8, 0, 1)))
+    edges_t = lp(unpack_edges(_shift_clamp(edges_u8, -1, 0)))
+    edges_b = lp(unpack_edges(_shift_clamp(edges_u8, 1, 0)))
 
     # symmetry enforcement (:780)
     edges_c = edges_c * jnp.stack([edges_l[..., 1], edges_r[..., 0],
@@ -583,7 +640,7 @@ def denoise_pass(ao_u8, edges_u8, settings: GtaoSettings, final_apply: bool):
     def wmul(value, weight):
         return value * (weight[..., None] if multi else weight)
 
-    sum_weight = jnp.full(vis.shape[:2], blur, jnp.float32)
+    sum_weight = jnp.full(vis.shape[:2], blur, lpdt)
     total = wmul(vis, sum_weight)
 
     def add(value, weight, total, sum_weight):
@@ -613,9 +670,12 @@ def denoise_pass(ao_u8, edges_u8, settings: GtaoSettings, final_apply: bool):
         # `float(ao)/255` then *brightens* those pixels. u16 keeps the
         # reference's unclamped range (round 1-2 clamped at 255 — a real
         # parity divergence caught by the config-4 oracle).
-        out = out * XE_GTAO_OCCLUSION_TERM_SCALE
+        # the store multiply promotes to float in the reference too
+        # (float literals; and 383*255 would overflow f16)
+        out = out.astype(jnp.float32) * XE_GTAO_OCCLUSION_TERM_SCALE
         return (jnp.maximum(out, 0.0) * 255.0 + 0.5).astype(jnp.uint16)
-    return (jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+    return (jnp.clip(out, 0.0, 1.0).astype(jnp.float32) * 255.0
+            + 0.5).astype(jnp.uint8)
 
 
 def compute_ao_band(view_depth, normal_enc, consts, settings: GtaoSettings,
@@ -635,10 +695,11 @@ def compute_ao_band(view_depth, normal_enc, consts, settings: GtaoSettings,
     so duplicate-after equals the XLA path's duplicate-inside)."""
     halo = settings.num_denoise_passes + 1
     h, w = view_depth.shape
-    mips = prefilter_depths(view_depth, consts)
+    mips = prefilter_depths(view_depth, consts, fp16=settings.fp16)
     main_rows = band_rows + 2 * halo
 
     use_pallas = (settings.pallas_main and not settings.bent_normals
+                  and not settings.fp16
                   and h % 32 == 0 and w % 32 == 0
                   and -(-w // 16) <= 128)   # mip-4 width fits one lane row
     r_static = ((main_rows + 31) // 32) * 32 + 32
@@ -714,7 +775,8 @@ def _main_pass_any(depth_mips, normal_enc, consts, settings: GtaoSettings,
     h, w = depth_mips[0].shape
     full = (isinstance(row_start, int) and row_start == 0
             and (num_rows is None or num_rows == h))
-    if settings.pallas_main and not settings.bent_normals and full:
+    if (settings.pallas_main and not settings.bent_normals and full
+            and not settings.fp16):
         from ..kernels.gtao_main_pallas import consts_to_vec, main_pass_pallas
 
         return main_pass_pallas(
@@ -729,7 +791,8 @@ def _main_pass_any(depth_mips, normal_enc, consts, settings: GtaoSettings,
 
 def _denoise_chain(ao, edges, settings: GtaoSettings):
     n_passes = settings.num_denoise_passes
-    if settings.pallas_denoise and not settings.bent_normals:
+    if (settings.pallas_denoise and not settings.bent_normals
+            and not settings.fp16):
         from ..kernels.gtao_pallas import denoise_chain_pallas
 
         return denoise_chain_pallas(ao, edges, n_passes=n_passes,
@@ -745,7 +808,7 @@ def compute_ao(view_depth, normal_enc, consts, settings: GtaoSettings,
     main pass -> N denoise passes. Returns the final AO term: u8 visibility
     (255 = fully visible * occlusion-term scale), or the packed
     visibility+bent-normal uint32 when settings.bent_normals."""
-    mips = prefilter_depths(view_depth, consts)
+    mips = prefilter_depths(view_depth, consts, fp16=settings.fp16)
     ao, edges = _main_pass_any(mips, normal_enc, consts, settings,
                                noise_index)
     return _denoise_chain(ao, edges, settings)
