@@ -163,3 +163,28 @@ def test_fp16_prefilter_mip0_identical_deeper_mips_f16():
         # R16F round-trip is the identity on stored values
         assert np.array_equal(b, b.astype(np.float16).astype(np.float32))
         assert float(np.max(np.abs(a - b))) < 0.05
+
+
+def test_debug_images():
+    """The debug-build RGBA16F debug image (vk_xe_gtao.rs:314-323 +
+    XeGTAO.hlsli XE_GTAO_SHOW_NORMALS/_EDGES): right shape/dtype/range,
+    and edges light up at a depth discontinuity."""
+    from tpurt.passes.gtao import gtao_debug_image
+
+    d = np.full((H, W), 2.0, np.float32)
+    d[:, W // 2:] = 3.5
+    depth = jnp.asarray(d)
+    normal_enc = jnp.broadcast_to(jnp.array([0.5, 0.5, 0.0]), (H, W, 3))
+    settings = GtaoSettings(slice_count=2, steps_per_slice=2, denoise=1)
+    for mode in ("normals", "edges", "ao"):
+        img = np.asarray(gtao_debug_image(depth, normal_enc, consts(),
+                                          settings, 0, mode))
+        assert img.shape == (H, W, 4) and img.dtype == np.float16
+        assert np.isfinite(img).all()
+    edges = np.asarray(gtao_debug_image(depth, normal_enc, consts(),
+                                        settings, 0, "edges")).astype(
+        np.float32)
+    # interior flat: edges viz ~0 in rgb; at the seam the left/right
+    # channel saturates toward 1
+    assert edges[H // 2, 8, :3].max() <= 0.05
+    assert edges[H // 2, W // 2, 0] >= 0.9 or edges[H // 2, W // 2 - 1, 0] >= 0.9

@@ -391,6 +391,24 @@ class Renderer:
         """Render and read back the 8-bit sRGB frame."""
         return np.asarray(self.render()["image"])
 
+    def gtao_debug_image(self, mode: str = "normals", out=None):
+        """(H, W, 4) float16 GTAO debug image — the reference's debug-build
+        R16G16B16A16_SFLOAT target (vk_rendering_layers/vk_xe_gtao.rs:
+        314-323) fed by the XeGTAO shader debug defines. mode: "normals" |
+        "edges" | "ao" (passes/gtao.gtao_debug_image). Renders a frame when
+        `out` (a render() output dict) is not supplied."""
+        from ..passes.gtao import gtao_debug_image
+
+        if out is None:
+            out = self.render(block=True)
+        c = self.config
+        consts = gtao_constants(c.width, c.height, self.camera.znear,
+                                self.camera.zfar, self.camera.fovy,
+                                self.camera.aspect)
+        noise = np.int32(max(self._frame_idx - 1, 0) % 64)
+        return gtao_debug_image(out["depth"], out["normal"], consts,
+                                self._effective_gtao(), noise, mode)
+
     def stats(self) -> dict:
         """Structured per-frame/scene stats (the observability surface the
         reference lacks beyond its FPS print — SURVEY.md §5)."""

@@ -768,6 +768,50 @@ def noise_maps_64(noise_index):
     return nx, ny
 
 
+def gtao_debug_image(view_depth, normal_enc, consts, settings: GtaoSettings,
+                     noise_index, mode: str = "normals"):
+    """The debug-build RGBA16F debug image (vk_xe_gtao.rs's
+    #[cfg(debug_assertions)] R16G16B16A16_SFLOAT target,
+    vk_rendering_layers/vk_xe_gtao.rs:314-323) — the per-pass visual
+    the XeGTAO shaders emit under their debug defines. Returns
+    (H, W, 4) float16.
+
+    * "normals": DisplayNormalSRGB(viewspaceNormal) = abs(n*0.5+0.5)
+      (XE_GTAO_SHOW_NORMALS, XeGTAO.hlsli:293-295 + XeGTAO.h:146-148),
+    * "edges": 1 - (e.l, e.r*0.5 + e.b*0.5, e.t, 1)
+      (XE_GTAO_SHOW_EDGES, XeGTAO.hlsli:297-299 — the hlsl reads
+      edgesLRTB.xywz as x, y*0.5+w*0.5, z),
+    * "ao": denoise-side DisplayNormalSRGB of the working AO term
+      broadcast to rgb (XE_GTAO_SHOW_DENOISE viz family, :825-833).
+    """
+    mips = prefilter_depths(view_depth, consts, fp16=settings.fp16)
+    d0 = mips[0]
+    ones = jnp.ones(d0.shape, jnp.float32)
+    if mode == "normals":
+        n = normal_enc * 2.0 - 1.0
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True),
+                            1e-20)
+        rgba = jnp.concatenate([jnp.abs(n * 0.5 + 0.5), ones[..., None]],
+                               axis=-1)
+    elif mode == "edges":
+        e = _calculate_edges(d0, _shift_clamp(d0, 0, -1),
+                             _shift_clamp(d0, 0, 1),
+                             _shift_clamp(d0, -1, 0),
+                             _shift_clamp(d0, 1, 0)).astype(jnp.float32)
+        rgba = 1.0 - jnp.stack([e[..., 0], e[..., 1] * 0.5 + e[..., 3] * 0.5,
+                                e[..., 2], ones], axis=-1)
+    elif mode == "ao":
+        ao, edges = _main_pass_any(mips, normal_enc, consts, settings,
+                                   noise_index)
+        v = ao_visibility_u8(ao, settings).astype(jnp.float32) / 255.0
+        rgb = jnp.abs(v[..., None] * 0.5 + 0.5)
+        rgba = jnp.concatenate([jnp.broadcast_to(rgb, (*v.shape, 3)),
+                                ones[..., None]], axis=-1)
+    else:
+        raise ValueError(f"unknown debug image mode: {mode!r}")
+    return rgba.astype(jnp.float16)
+
+
 def _main_pass_any(depth_mips, normal_enc, consts, settings: GtaoSettings,
                    noise_index, row_start=0, num_rows=None):
     """Dispatch the main pass: Pallas kernel when enabled and applicable
