@@ -77,3 +77,58 @@ def test_live_server_end_to_end():
         assert b"--tpurtframe" in got.get("head", b"")
     finally:
         server.shutdown()
+
+
+def test_pipelined_loop_matches_blocking():
+    """The bounded frames-in-flight loop (pipeline_depth=2, the
+    reference's renderer.rs:300-318 overlap) must publish the same
+    per-frame sequence as the blocking loop for a static camera (GTAO
+    noise advances with the frame index, so frames are compared
+    index-for-index), and drain its queue on stop."""
+    import time
+
+    def record(app):
+        frames = []
+        orig = app.publish
+
+        def wrapper(image):
+            frames.append(image.copy())
+            orig(image)
+
+        app.publish = wrapper
+        return frames
+
+    app = _make_app()
+    blocking = record(app)
+    for _ in range(4):
+        app.render_once()
+
+    app2 = _make_app()
+    app2.pipeline_depth = 2
+    pipelined = record(app2)
+    t = threading.Thread(target=app2.run, daemon=True)
+    t.start()
+    t0 = time.monotonic()
+    while app2.frames_rendered < 4 and time.monotonic() - t0 < 120.0:
+        time.sleep(0.05)
+    app2.stop()
+    t.join(timeout=120.0)
+    assert not t.is_alive()
+    assert app2.frames_rendered >= 4
+    for i in range(4):
+        np.testing.assert_array_equal(blocking[i], pipelined[i])
+
+
+def test_render_stream_bit_matches_sequential():
+    """Renderer.render_stream (depth 3) yields bit-identical outputs to
+    sequential blocking renders at the same frame indices."""
+    app = _make_app()
+    seq = [np.asarray(app.renderer.render(block=True)["image"])
+           for _ in range(4)]
+
+    app2 = _make_app()
+    got = [np.asarray(o["image"])
+           for o in app2.renderer.render_stream(4, depth=3)]
+    assert len(got) == 4
+    for a, b in zip(seq, got):
+        np.testing.assert_array_equal(a, b)

@@ -70,12 +70,18 @@ document.addEventListener('mousemove', e => {
 class LiveApp:
     """Render loop + frame buffer + event queue shared with the server."""
 
-    def __init__(self, renderer: Renderer, jpeg_quality: int = 85):
+    def __init__(self, renderer: Renderer, jpeg_quality: int = 85,
+                 pipeline_depth: int = 2):
         self.renderer = renderer
         self.controller = FlyCameraController(renderer.camera_mut())
         self.events: "queue.Queue[dict]" = queue.Queue(maxsize=1024)
         self.timer = FrameTimer()
         self.jpeg_quality = jpeg_quality
+        # frames-in-flight depth (the reference pipelines 3 deep,
+        # renderer.rs:300-318; depth 2 keeps one frame of input latency
+        # while hiding the dispatch+RPC cost — OVERLAP_PROBE.json).
+        # 1 = the round-3 blocking loop.
+        self.pipeline_depth = max(int(pipeline_depth), 1)
         self._frame_lock = threading.Condition()
         self._frame_bytes: bytes | None = None
         self._frame_seq = 0
@@ -105,6 +111,29 @@ class LiveApp:
         self.timer.frame_end()
         self.frames_rendered += 1
 
+    def _consume(self, out):
+        image = np.asarray(out["image"])  # real sync on this backend
+        self.publish(image)
+        self.timer.frame_end()
+        self.frames_rendered += 1
+
+    def run_pipelined(self):
+        """Bounded frames-in-flight render loop: camera events apply at
+        DISPATCH time (frame i+depth-1 is recorded while frame i is on the
+        device — the reference's exact overlap, renderer.rs:400-466), the
+        oldest frame is consumed/published once the queue is full. Input
+        latency = depth-1 frames, wall fps ≈ device fps."""
+        from collections import deque
+
+        q: "deque" = deque()
+        while not self._stop.is_set():
+            self.apply_events()
+            q.append(self.renderer.render(block=False))
+            if len(q) >= self.pipeline_depth:
+                self._consume(q.popleft())
+        while q:
+            self._consume(q.popleft())
+
     def publish(self, image: np.ndarray):
         from PIL import Image
 
@@ -117,6 +146,9 @@ class LiveApp:
             self._frame_lock.notify_all()
 
     def run(self):
+        if self.pipeline_depth > 1:
+            self.run_pipelined()
+            return
         while not self._stop.is_set():
             self.render_once()
 

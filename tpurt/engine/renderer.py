@@ -391,6 +391,29 @@ class Renderer:
         """Render and read back the 8-bit sRGB frame."""
         return np.asarray(self.render()["image"])
 
+    def render_stream(self, n_frames: int, depth: int = 3):
+        """Yield `n_frames` outputs with up to `depth` frames in flight —
+        the reference's 3-deep FrameData pipeline (renderer.rs:300-318,
+        400-466) as a bounded dispatch queue: frame i+depth-1 is dispatched
+        before frame i is consumed, so host dispatch + RPC hide under
+        device compute. Measured on the tunneled backend: wall-clock
+        34.96 ms/frame at depth 3 vs 35.38 ms device cost at 800²
+        (OVERLAP_PROBE.json; depth 1 = 68.98 ms = device + RPC floor).
+        Each yielded dict is block_until_ready'd; callers that need a hard
+        sync on this backend should read back a value (np.asarray), which
+        every consumer of the output does anyway."""
+        import jax
+
+        from collections import deque
+
+        q: deque = deque()
+        for _ in range(n_frames):
+            q.append(self.render(block=False))
+            if len(q) >= max(depth, 1):
+                yield jax.block_until_ready(q.popleft())
+        while q:
+            yield jax.block_until_ready(q.popleft())
+
     def gtao_debug_image(self, mode: str = "normals", out=None):
         """(H, W, 4) float16 GTAO debug image — the reference's debug-build
         R16G16B16A16_SFLOAT target (vk_rendering_layers/vk_xe_gtao.rs:
