@@ -278,7 +278,15 @@ def _kernel_bvh8_single(nodes_ref, tris_ref,
 
             keys_codes = jax.lax.cond(is_node, node_children, no_children,
                                       tfar)
-            sp = push_unsorted(sp, keys_codes[:8], keys_codes[8:])
+            # "none" (default): order is irrelevant for CORRECTNESS, and
+            # occluders cluster near the shadow-ray origin, so near-first
+            # popping ("sort", far-to-near pushes) was a plausible
+            # early-exit win — measured SLOWER on-chip (ANYHIT_ORDER in
+            # SHADOW_FUSION_PROBE.json family): the 19-comparator scalar
+            # sort costs more than the saved steps at these scene depths.
+            push_any = {"sort": push_sorted, "nearlast": push_nearlast,
+                        "none": push_unsorted}[push_order]
+            sp = push_any(sp, keys_codes[:8], keys_codes[8:])
             # node_buf fully consumed -> speculate the next node row now
             # (overlaps the leaf math); the TRI fetch must wait until
             # leaf_work has read this step's tri_buf
@@ -1025,14 +1033,17 @@ def trace_closest_bvh8(bvh: dict, geom: dict, origin, direction,
 
 @partial(jax.jit, static_argnames=("height", "width", "max_leaf",
                                    "interpret", "group", "unroll",
-                                   "debug_double", "reduce_mode"))
+                                   "debug_double", "reduce_mode",
+                                   "push_order"))
 def trace_any_bvh8(bvh: dict, geom: dict, origin, direction,
                    t_min, t_max, *, height: int, width: int,
                    max_leaf: int = LEAF8_MAX,
                    interpret: bool | None = None, group: int = 1,
                    unroll: int = 1, debug_double: str = "",
-                   reduce_mode: str = "each"):
-    """Any-hit BVH8 packet trace; returns boolean occlusion mask (H*W,)."""
+                   reduce_mode: str = "each", push_order: str = "none"):
+    """Any-hit BVH8 packet trace; returns boolean occlusion mask (H*W,).
+    push_order="none" (default) pushes children unsorted; "sort" pops
+    near-first (early-exit A/B — see the note in the kernel body)."""
     interpret = _resolve_interpret(interpret)
     tris128 = pack_tris_hbm(geom)
     rays = _rays_to_packets(origin, direction, t_min, t_max, height, width)
@@ -1041,5 +1052,6 @@ def trace_any_bvh8(bvh: dict, geom: dict, origin, direction,
                                        interpret=interpret, group=group,
                                        unroll=unroll,
                                        debug_double=debug_double,
-                                       reduce_mode=reduce_mode)
+                                       reduce_mode=reduce_mode,
+                                       push_order=push_order)
     return _from_packets(occ, height, width) > 0.5
