@@ -226,3 +226,45 @@ def test_main_pass_dyn_schedule_bit_identical():
         np.testing.assert_array_equal(np.asarray(ao_b), np.asarray(ao_d),
                                       err_msg=precision)
         np.testing.assert_array_equal(np.asarray(e_b), np.asarray(e_d))
+
+
+def test_main_pass_noise_hoist_bit_identical():
+    """noise_hoist precomputes the noise-only slice/step transcendentals
+    (cos/sin of the slice angle, pow of the sample-distribution curve)
+    as 4 quadrant-variant planes selected per tile by the BlockSpec
+    index_map — a pure value-preserving hoist (the pre-kernel runs the
+    SAME expressions through the same lowering), so it must stay
+    bit-identical on the full-frame, banded, and unroll paths."""
+    from tpurt.kernels.gtao_main_pallas import consts_to_vec, main_pass_pallas
+    from tpurt.passes.gtao import gtao_constants, noise_maps_64, \
+        prefilter_depths
+
+    h, w = 96, 96   # 3x3 tiles: exercises both quadrant parities + wrap
+    depth, normal_enc = _gbuffer(h, w)
+    consts = gtao_constants(w, h, 0.1, 100.0, np.pi / 2, w / h)
+    mips = prefilter_depths(depth, consts)
+    cv = consts_to_vec(consts)
+    nm = noise_maps_64(jnp.int32(5))
+    kw = dict(width=w, height=h, slice_count=3, steps_per_slice=2,
+              interpret=True, precision="exact", schedule="batch")
+    ao_0, e_0 = main_pass_pallas(mips, normal_enc, cv, nm, **kw)
+    ao_h, e_h = main_pass_pallas(mips, normal_enc, cv, nm,
+                                 noise_hoist=True, **kw)
+    np.testing.assert_array_equal(np.asarray(ao_0), np.asarray(ao_h))
+    np.testing.assert_array_equal(np.asarray(e_0), np.asarray(e_h))
+    # banded (traced row_start: the variant index_map must use ABSOLUTE
+    # tile coordinates via the scalar-prefetch row0)
+    rs = jnp.int32(32)
+    b_0, be_0 = main_pass_pallas(mips, normal_enc, cv, nm,
+                                 row_start=rs, num_rows=64, **kw)
+    b_h, be_h = main_pass_pallas(mips, normal_enc, cv, nm, noise_hoist=True,
+                                 row_start=rs, num_rows=64, **kw)
+    np.testing.assert_array_equal(np.asarray(b_0), np.asarray(b_h))
+    np.testing.assert_array_equal(np.asarray(be_0), np.asarray(be_h))
+    np.testing.assert_array_equal(np.asarray(b_h), np.asarray(ao_0)[32:])
+    # unrolled slices (python-int slice index into the hoisted planes)
+    u_0, _ = main_pass_pallas(mips, normal_enc, cv, nm,
+                              unroll_slices=True, **kw)
+    u_h, _ = main_pass_pallas(mips, normal_enc, cv, nm, noise_hoist=True,
+                              unroll_slices=True, **kw)
+    np.testing.assert_array_equal(np.asarray(u_0), np.asarray(u_h))

@@ -243,12 +243,83 @@ def _recenter_scalars(mn, mx, windows=None):
     return jnp.where(ok, c, 0.0), ok.astype(jnp.int32)
 
 
+def _noise_hoist_kernel(sdp_ref, nsl_ref, nsm_ref, out_ref, *,
+                        slice_count: int, steps_per_slice: int):
+    """Precompute every slice/step quantity that depends ONLY on the 64x64
+    noise maps: cos/sin of the slice angle and the pow() of the sample-
+    distribution curve — the exact expressions of _kernel.slice_body /
+    step_coords, evaluated ONCE per noise quadrant instead of once per
+    tile (625x at 800²). Runs as its own one-instance Pallas kernel so the
+    transcendentals take the SAME Mosaic lowering as the in-kernel ops
+    they replace (XLA's cos/sin/pow are NOT bit-identical to Mosaic's —
+    TRANS_EQUIV_PROBE.json: up to 8192 ulp on pow). Inputs: the packeted
+    64x64 noise maps (32, 128); output (n_q, 32, 128) where per slice the
+    rows are [cos, sin, pow(step 0..S-1)]."""
+    nsl = nsl_ref[:]
+    nsm = nsm_ref[:]
+    sdp = sdp_ref[0]
+    i = 0
+    for s in range(slice_count):
+        sf = jnp.float32(s)
+        slice_k = (sf + nsl) / float(slice_count)
+        phi = slice_k * PI
+        out_ref[i] = jnp.cos(phi)
+        out_ref[i + 1] = jnp.sin(phi)
+        i += 2
+        for st in range(steps_per_slice):
+            stf = jnp.float32(st)
+            step_base_noise = ((sf + stf * float(steps_per_slice))
+                               * 0.6180339887498948482)
+            step_noise = jnp.mod(nsm + step_base_noise, 1.0)
+            s0 = (stf + step_noise) / float(steps_per_slice)
+            out_ref[i] = jnp.power(s0, sdp)
+            i += 1
+
+
+def _noise_hoist_planes(noise_maps, consts_vec, slice_count: int,
+                        steps_per_slice: int, interpret: bool):
+    """(4, n_q*8, 128) variant planes for the noise-periodic hoist.
+
+    The noise maps tile the image with period 64 px and the kernel's
+    tiles are 32x32, so a tile's packeted noise content is one of FOUR
+    (8, 128) quadrant variants — variant (ty%2)*2 + (tx%2) in tile
+    coordinates. The per-(slice, step) noise-derived planes therefore
+    take 4 values frame-wide; the main kernel selects its variant via
+    the BlockSpec index_map (scalar-prefetch row0 + program id)."""
+    from .traverse_pallas import _to_packets
+
+    n_q = slice_count * (2 + steps_per_slice)
+    nsl_pk = _to_packets(jnp.asarray(noise_maps[0]).reshape(-1),
+                         height=64, width=64)
+    nsm_pk = _to_packets(jnp.asarray(noise_maps[1]).reshape(-1),
+                         height=64, width=64)
+    sdp = consts_vec[_CK.index("sample_distribution_power")].reshape(1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec((32, 128), lambda i, *r: (0, 0),
+                               memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec((n_q, 32, 128), lambda i, *r: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        partial(_noise_hoist_kernel, slice_count=slice_count,
+                steps_per_slice=steps_per_slice),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_q, 32, 128), jnp.float32),
+        interpret=interpret,
+    )(sdp, nsl_pk, nsm_pk)
+    # (n_q, 4 variants, 8, 128) -> (4, n_q*8, 128)
+    return out.reshape(n_q, 4, 8, 128).transpose(1, 0, 2, 3) \
+              .reshape(4, n_q * 8, 128)
+
+
 def _kernel(consts_ref, row0_ref, flags_ref, centers_ref,  # scalar prefetch
             *rest,                 # [mipmeta] + 12 packeted + windows + outs
             plan, mip_shapes, width, height, tiles_x,
             slice_count: int, steps_per_slice: int, precision: str,
             unroll_slices: bool = False, schedule: str = "step",
-            iota_hoist: bool = True):
+            iota_hoist: bool = True, noise_hoist: bool = False):
     dyn = schedule == "dyn"
     if dyn:
         # dynamic-mip mode: per-level metadata rides in SMEM (traced level
@@ -271,7 +342,11 @@ def _kernel(consts_ref, row0_ref, flags_ref, centers_ref,  # scalar prefetch
     else:
         wins = rest[12:17]
         wins = tuple(w[0] for w in wins)
-        ao_out, edges_out = rest[17:19]
+        if noise_hoist:
+            nh_ref = rest[17]
+            ao_out, edges_out = rest[18:20]
+        else:
+            ao_out, edges_out = rest[17:19]
     i = pl.program_id(0)
     # row0_ref holds the band's first tile row (0 for full frames): tile
     # coordinates — and therefore window origins — are ABSOLUTE image
@@ -602,10 +677,20 @@ def _kernel(consts_ref, row0_ref, flags_ref, centers_ref,  # scalar prefetch
 
     def slice_body(slice_i, visibility):
         sf = slice_i.astype(jnp.float32)
-        slice_k = (sf + noise_slice) / float(slice_count)
-        phi = slice_k * PI
-        cos_phi = jnp.cos(phi)
-        sin_phi = jnp.sin(phi)
+        if noise_hoist:
+            # noise-periodic hoist: cos/sin of the slice angle (and the
+            # per-step pow below) depend only on the tiled 64x64 noise
+            # maps, so they take 4 quadrant-variant values frame-wide —
+            # precomputed by _noise_hoist_kernel (same Mosaic lowering)
+            # and selected per tile by the nh BlockSpec index_map
+            qb = slice_i * (8 * (2 + steps_per_slice))
+            cos_phi = nh_ref[0, pl.ds(qb, 8)]
+            sin_phi = nh_ref[0, pl.ds(qb + 8, 8)]
+        else:
+            slice_k = (sf + noise_slice) / float(slice_count)
+            phi = slice_k * PI
+            cos_phi = jnp.cos(phi)
+            sin_phi = jnp.sin(phi)
         omega_x0 = cos_phi * screenspace_radius
         omega_y0 = -sin_phi * screenspace_radius
 
@@ -644,11 +729,14 @@ def _kernel(consts_ref, row0_ref, flags_ref, centers_ref,  # scalar prefetch
             """Per-step sample coordinates + per-pixel mip (pure vector
             math, no reduces/branches — batchable across steps)."""
             stf = step.astype(jnp.float32)
-            step_base_noise = ((sf + stf * float(steps_per_slice))
-                               * 0.6180339887498948482)
-            step_noise = jnp.mod(noise_sample + step_base_noise, 1.0)
-            s = (stf + step_noise) / float(steps_per_slice)
-            s = jnp.power(s, sdp) + min_s
+            if noise_hoist:
+                s = nh_ref[0, pl.ds(qb + 16 + step * 8, 8)] + min_s
+            else:
+                step_base_noise = ((sf + stf * float(steps_per_slice))
+                                   * 0.6180339887498948482)
+                step_noise = jnp.mod(noise_sample + step_base_noise, 1.0)
+                s = (stf + step_noise) / float(steps_per_slice)
+                s = jnp.power(s, sdp) + min_s
 
             so_x0 = s * omega_x0
             so_y0 = s * omega_y0
@@ -750,14 +838,15 @@ def _kernel(consts_ref, row0_ref, flags_ref, centers_ref,  # scalar prefetch
                                    "steps_per_slice", "interpret",
                                    "precision", "num_rows",
                                    "unroll_slices", "schedule",
-                                   "iota_hoist", "recenter"))
+                                   "iota_hoist", "recenter", "noise_hoist"))
 def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
                      width: int, height: int, slice_count: int,
                      steps_per_slice: int, interpret: bool | None = None,
                      precision: str = "exact", row_start=0,
                      num_rows: int | None = None,
                      unroll_slices: bool = False, schedule: str = "step",
-                     iota_hoist: bool = True, recenter: str = "direct"):
+                     iota_hoist: bool = True, recenter: str = "direct",
+                     noise_hoist: bool = False):
     """Pallas main pass over pre-packeted inputs. depth_mips: list of 5
     (H_m, W_m) f32 mips (R16F-quantized values); normal_enc: (H, W, 3);
     consts_vec: (len(_CK),) f32; noise_maps: (nx, ny) each (64, 64) f32.
@@ -783,6 +872,8 @@ def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
                       for m in depth_mips)
     plan = tuple(_plan_windows(mip_shapes, width, height))
     dyn = schedule == "dyn"
+    assert not (dyn and noise_hoist), \
+        "noise_hoist is not supported with schedule='dyn'"
     if dyn:
         # dynamic-mip loop: uniform window rows so a traced level can
         # dynamic-slice the plane hoists; the full top level is cut per
@@ -898,8 +989,21 @@ def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
                      height=height, tiles_x=tiles_x, slice_count=slice_count,
                      steps_per_slice=steps_per_slice, precision=precision,
                      unroll_slices=unroll_slices, schedule=schedule,
-                     iota_hoist=iota_hoist)
+                     iota_hoist=iota_hoist, noise_hoist=noise_hoist)
     scalar_ops = [consts_vec, row0_tiles.reshape(1), flags5, centers5]
+    if noise_hoist:
+        # 4 quadrant-variant planes of every noise-only slice/step value;
+        # the variant is picked per tile from the ABSOLUTE tile coords
+        # (scalar-prefetch row0 + program id) — refs[1] is row0_tiles
+        nh = _noise_hoist_planes(noise_maps, consts_vec, slice_count,
+                                 steps_per_slice, interpret)
+        n_qr = nh.shape[1]
+        win_ops = win_ops + [nh]
+        win_specs = win_specs + [pl.BlockSpec(
+            (1, n_qr, 128),
+            lambda i, *refs: (((refs[1][0] + i // tiles_x) % 2) * 2
+                              + (i % tiles_x) % 2, 0, 0),
+            memory_space=pltpu.VMEM)]
     if dyn:
         # one stacked (T, 5*wy_u, 128) window operand + per-level extents
         # in SMEM for the traced-level loop

@@ -108,6 +108,16 @@ class GtaoSettings:
     #    @800² and 62.7 -> 52.6 @1080p in-scene, parity exact
     #    (GTAO_SCHEDULE_PROBE.json).
     schedule: str = "batch"
+    # Noise-periodic hoist (Pallas main pass only): the slice/step values
+    # that depend only on the 64x64 noise maps (cos/sin of the slice
+    # angle, pow of the sample-distribution curve) take 4 quadrant-variant
+    # (8,128) planes frame-wide — precomputed per frame by a one-instance
+    # Pallas pre-kernel (same Mosaic lowering => bit-exact; XLA's
+    # transcendentals are NOT, TRANS_EQUIV_PROBE.json) and selected per
+    # tile via the BlockSpec index_map, removing 2*slices cos/sin +
+    # slices*steps pow evaluations per pixel from the in-kernel scaffold.
+    # On-chip bit-identical; perf in GTAO_NOISE_HOIST_PROBE.json.
+    noise_hoist: bool = True
 
     @property
     def fp16(self) -> bool:
@@ -716,6 +726,7 @@ def compute_ao_band(view_depth, normal_enc, consts, settings: GtaoSettings,
             slice_count=settings.slice_count,
             steps_per_slice=settings.steps_per_slice,
             precision=settings.precision, schedule=settings.schedule,
+            noise_hoist=settings.noise_hoist,
             row_start=lo32, num_rows=r_static)
         idx = jnp.clip(lo_abs + jnp.arange(main_rows), 0, h - 1) - lo32
         ao, edges = ao_r[idx], ed_r[idx]
@@ -729,7 +740,8 @@ def compute_ao_band(view_depth, normal_enc, consts, settings: GtaoSettings,
             noise_maps_64(noise_index), width=w, height=h,
             slice_count=settings.slice_count,
             steps_per_slice=settings.steps_per_slice,
-            precision=settings.precision, schedule=settings.schedule)
+            precision=settings.precision, schedule=settings.schedule,
+            noise_hoist=settings.noise_hoist)
         idx = jnp.clip(jnp.asarray(row_start, jnp.int32) - halo
                        + jnp.arange(main_rows), 0, h - 1)
         ao, edges = ao_f[idx], ed_f[idx]
@@ -828,7 +840,8 @@ def _main_pass_any(depth_mips, normal_enc, consts, settings: GtaoSettings,
             noise_maps_64(noise_index), width=w, height=h,
             slice_count=settings.slice_count,
             steps_per_slice=settings.steps_per_slice,
-            precision=settings.precision, schedule=settings.schedule)
+            precision=settings.precision, schedule=settings.schedule,
+            noise_hoist=settings.noise_hoist)
     return main_pass(depth_mips, normal_enc, consts, settings, noise_index,
                      row_start=row_start, num_rows=num_rows)
 
