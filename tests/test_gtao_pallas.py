@@ -268,3 +268,28 @@ def test_main_pass_noise_hoist_bit_identical():
     u_h, _ = main_pass_pallas(mips, normal_enc, cv, nm, noise_hoist=True,
                               unroll_slices=True, **kw)
     np.testing.assert_array_equal(np.asarray(u_0), np.asarray(u_h))
+
+
+def test_main_pass_thin_zero_bit_identical():
+    """thin_zero statically elides the falloff_base sqrt: with
+    thinOccluderCompensation == 0 (the reference default, XeGTAO.h:111),
+    dz*(1.0+0.0) == dz and x**2 == x*x are IEEE-exact so
+    falloff_base == dist bit-for-bit."""
+    from tpurt.kernels.gtao_main_pallas import consts_to_vec, main_pass_pallas
+    from tpurt.passes.gtao import gtao_constants, noise_maps_64, \
+        prefilter_depths
+
+    h, w = 64, 128
+    depth, normal_enc = _gbuffer(h, w)
+    consts = gtao_constants(w, h, 0.1, 100.0, np.pi / 2, w / h)
+    assert consts["thin_occluder_compensation"] == 0.0
+    mips = prefilter_depths(depth, consts)
+    cv = consts_to_vec(consts)
+    nm = noise_maps_64(jnp.int32(5))
+    kw = dict(width=w, height=h, slice_count=3, steps_per_slice=2,
+              interpret=True, precision="exact", schedule="batch")
+    ao_0, e_0 = main_pass_pallas(mips, normal_enc, cv, nm, **kw)
+    ao_t, e_t = main_pass_pallas(mips, normal_enc, cv, nm,
+                                 thin_zero=True, **kw)
+    np.testing.assert_array_equal(np.asarray(ao_0), np.asarray(ao_t))
+    np.testing.assert_array_equal(np.asarray(e_0), np.asarray(e_t))

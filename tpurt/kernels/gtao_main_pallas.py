@@ -319,7 +319,8 @@ def _kernel(consts_ref, row0_ref, flags_ref, centers_ref,  # scalar prefetch
             plan, mip_shapes, width, height, tiles_x,
             slice_count: int, steps_per_slice: int, precision: str,
             unroll_slices: bool = False, schedule: str = "step",
-            iota_hoist: bool = True, noise_hoist: bool = False):
+            iota_hoist: bool = True, noise_hoist: bool = False,
+            thin_zero: bool = False):
     dyn = schedule == "dyn"
     if dyn:
         # dynamic-mip mode: per-level metadata rides in SMEM (traced level
@@ -760,9 +761,17 @@ def _kernel(consts_ref, row0_ref, flags_ref, centers_ref,  # scalar prefetch
             dz_ = qz - pz
             dist = jnp.sqrt(dx_ * dx_ + dy_ * dy_ + dz_ * dz_)
             inv = 1.0 / jnp.maximum(dist, 1e-20)
-            falloff_base = jnp.sqrt(
-                dx_ * dx_ + dy_ * dy_
-                + (dz_ * (1.0 + thin)) ** 2)
+            if thin_zero:
+                # thinOccluderCompensation == 0 (the reference default,
+                # XeGTAO.h:111): dz*(1.0+0.0) == dz and x**2 == x*x are
+                # IEEE-exact, so falloff_base == dist bit-for-bit — the
+                # static specialization elides the second sqrt of every
+                # horizon evaluation (2 per step per side, 54/px at ULTRA)
+                falloff_base = dist
+            else:
+                falloff_base = jnp.sqrt(
+                    dx_ * dx_ + dy_ * dy_
+                    + (dz_ * (1.0 + thin)) ** 2)
             weight = jnp.clip(falloff_base * falloff_mul + falloff_add,
                               0.0, 1.0)
             shc = (dx_ * vx + dy_ * vy + dz_ * vz) * inv
@@ -838,7 +847,8 @@ def _kernel(consts_ref, row0_ref, flags_ref, centers_ref,  # scalar prefetch
                                    "steps_per_slice", "interpret",
                                    "precision", "num_rows",
                                    "unroll_slices", "schedule",
-                                   "iota_hoist", "recenter", "noise_hoist"))
+                                   "iota_hoist", "recenter", "noise_hoist",
+                                   "thin_zero"))
 def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
                      width: int, height: int, slice_count: int,
                      steps_per_slice: int, interpret: bool | None = None,
@@ -846,7 +856,7 @@ def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
                      num_rows: int | None = None,
                      unroll_slices: bool = False, schedule: str = "step",
                      iota_hoist: bool = True, recenter: str = "direct",
-                     noise_hoist: bool = False):
+                     noise_hoist: bool = False, thin_zero: bool = False):
     """Pallas main pass over pre-packeted inputs. depth_mips: list of 5
     (H_m, W_m) f32 mips (R16F-quantized values); normal_enc: (H, W, 3);
     consts_vec: (len(_CK),) f32; noise_maps: (nx, ny) each (64, 64) f32.
@@ -989,7 +999,8 @@ def main_pass_pallas(depth_mips, normal_enc, consts_vec, noise_maps, *,
                      height=height, tiles_x=tiles_x, slice_count=slice_count,
                      steps_per_slice=steps_per_slice, precision=precision,
                      unroll_slices=unroll_slices, schedule=schedule,
-                     iota_hoist=iota_hoist, noise_hoist=noise_hoist)
+                     iota_hoist=iota_hoist, noise_hoist=noise_hoist,
+                     thin_zero=thin_zero)
     scalar_ops = [consts_vec, row0_tiles.reshape(1), flags5, centers5]
     if noise_hoist:
         # 4 quadrant-variant planes of every noise-only slice/step value;

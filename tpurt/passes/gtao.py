@@ -118,6 +118,16 @@ class GtaoSettings:
     # slices*steps pow evaluations per pixel from the in-kernel scaffold.
     # On-chip bit-identical; perf in GTAO_NOISE_HOIST_PROBE.json.
     noise_hoist: bool = True
+    # Static promise that thin_occluder_compensation == 0.0 (the
+    # reference default, XeGTAO.h:111, and what gtao_constants always
+    # emits): dz*(1.0+0.0) == dz and x**2 == x*x are IEEE-exact, so
+    # falloff_base == dist bit-for-bit and the Pallas main pass elides
+    # the second sqrt of every horizon evaluation (54/px at ULTRA).
+    # Only consulted when the consts ride through jit as traced values
+    # (the production frame); with concrete consts the value itself
+    # decides. Set False if you feed custom consts with a nonzero
+    # thin_occluder_compensation through the jitted frame.
+    thin_zero: bool = True
 
     @property
     def fp16(self) -> bool:
@@ -131,6 +141,17 @@ class GtaoSettings:
     def num_denoise_passes(self) -> int:
         # vk_xe_gtao.rs:1099-1139: (denoise-1) regular passes + 1 final
         return max(self.denoise - 1, 0) + 1
+
+
+def _thin_zero(consts: dict, settings: "GtaoSettings") -> bool:
+    """Static thin_occluder_compensation == 0 flag for the Pallas main
+    pass: decided by the VALUE when the consts are concrete (tools,
+    tests), by the settings promise when they are tracers (the jitted
+    frame — gtao_constants always emits 0.0, the reference default)."""
+    thin = consts["thin_occluder_compensation"]
+    if isinstance(thin, (int, float)):
+        return float(thin) == 0.0
+    return settings.thin_zero
 
 
 def gtao_constants(width: int, height: int, znear: float, zfar: float,
@@ -727,6 +748,7 @@ def compute_ao_band(view_depth, normal_enc, consts, settings: GtaoSettings,
             steps_per_slice=settings.steps_per_slice,
             precision=settings.precision, schedule=settings.schedule,
             noise_hoist=settings.noise_hoist,
+            thin_zero=_thin_zero(consts, settings),
             row_start=lo32, num_rows=r_static)
         idx = jnp.clip(lo_abs + jnp.arange(main_rows), 0, h - 1) - lo32
         ao, edges = ao_r[idx], ed_r[idx]
@@ -741,7 +763,8 @@ def compute_ao_band(view_depth, normal_enc, consts, settings: GtaoSettings,
             slice_count=settings.slice_count,
             steps_per_slice=settings.steps_per_slice,
             precision=settings.precision, schedule=settings.schedule,
-            noise_hoist=settings.noise_hoist)
+            noise_hoist=settings.noise_hoist,
+            thin_zero=_thin_zero(consts, settings))
         idx = jnp.clip(jnp.asarray(row_start, jnp.int32) - halo
                        + jnp.arange(main_rows), 0, h - 1)
         ao, edges = ao_f[idx], ed_f[idx]
@@ -841,7 +864,8 @@ def _main_pass_any(depth_mips, normal_enc, consts, settings: GtaoSettings,
             slice_count=settings.slice_count,
             steps_per_slice=settings.steps_per_slice,
             precision=settings.precision, schedule=settings.schedule,
-            noise_hoist=settings.noise_hoist)
+            noise_hoist=settings.noise_hoist,
+            thin_zero=_thin_zero(consts, settings))
     return main_pass(depth_mips, normal_enc, consts, settings, noise_index,
                      row_start=row_start, num_rows=num_rows)
 
