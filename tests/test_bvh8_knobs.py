@@ -142,3 +142,25 @@ def test_bvh8_reduce_pair_bit_identical(setup8):
                              height=H, width=W, interpret=True,
                              reduce_mode="pair")
     np.testing.assert_array_equal(np.asarray(got_occ), np.asarray(ref_occ))
+
+
+def test_bvh8_flag_keys_bit_identical(setup8):
+    """flag_keys (default for unsorted any-hit pushes) replaces the
+    centroid push keys — never read by push_unsorted — with validity
+    flags; the push sequence and therefore the traversal must be
+    bit-identical to the centroid-key variant, solo and grouped."""
+    tree8, geom, o, d = setup8
+    ref = trace_any_bvh8(tree8, geom, o, d, 1e-3, 1e4,
+                         height=H, width=W, interpret=True,
+                         flag_keys=False)
+    got = trace_any_bvh8(tree8, geom, o, d, 1e-3, 1e4,
+                         height=H, width=W, interpret=True,
+                         flag_keys=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    got_g = trace_any_bvh8(tree8, geom, o, d, 1e-3, 1e4,
+                           height=H, width=W, interpret=True,
+                           flag_keys=True, group=2)
+    np.testing.assert_array_equal(np.asarray(got_g), np.asarray(ref))
+    with pytest.raises(AssertionError):
+        trace_any_bvh8(tree8, geom, o, d, 1e-3, 1e4, height=H, width=W,
+                       interpret=True, flag_keys=True, push_order="sort")

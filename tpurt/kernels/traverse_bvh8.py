@@ -83,7 +83,8 @@ def _kernel_bvh8_single(nodes_ref, tris_ref,
                  t_out, tri_out, u_out, v_out,
                  stack, node_buf, tri_buf, sems,
                  *, max_leaf: int, any_hit: bool, push_order: str = "sort",
-                 debug_double: str = "", reduce_mode: str = "each"):
+                 debug_double: str = "", reduce_mode: str = "each",
+                 flag_keys: bool = False):
     # reduce_mode: how the 8 per-child any-lane-hit scalars are computed.
     #   "each" - one jnp.any lane reduce per child (8 reduces/node step)
     #   "pair" - 2 children share one sum reduce: lane hit counts (<= 1024
@@ -189,11 +190,19 @@ def _kernel_bvh8_single(nodes_ref, tris_ref,
                 is_int, child.astype(jnp.int32),
                 -(firstf.astype(jnp.int32) * LEAF_CODE_BASE
                   + countf.astype(jnp.int32)) - 1)
-            key = ((node_buf[0, b] + node_buf[0, b + 3]) * md_x
-                   + (node_buf[0, b + 1] + node_buf[0, b + 4]) * md_y
-                   + (node_buf[0, b + 2] + node_buf[0, b + 5]) * md_z)
-            keys.append(jnp.where(anys[k] & (is_int | is_lf), key,
-                                  jnp.float32(_NEG)))
+            if flag_keys:
+                # unsorted pushes never read the key VALUE (only
+                # validity), so the 8x centroid-key scalar chain (6 reads
+                # + 5 ops each) collapses to a 0/_NEG flag — same pushes,
+                # bit-identical traversal
+                keys.append(jnp.where(anys[k] & (is_int | is_lf),
+                                      jnp.float32(0.0), jnp.float32(_NEG)))
+            else:
+                key = ((node_buf[0, b] + node_buf[0, b + 3]) * md_x
+                       + (node_buf[0, b + 1] + node_buf[0, b + 4]) * md_y
+                       + (node_buf[0, b + 2] + node_buf[0, b + 5]) * md_z)
+                keys.append(jnp.where(anys[k] & (is_int | is_lf), key,
+                                      jnp.float32(_NEG)))
             codes.append(code)
         return tuple(keys) + tuple(codes)
 
@@ -607,7 +616,7 @@ def _kernel_bvh8(nodes_ref, tris_ref,
                  stack, node_buf, tri_buf, sems,
                  *, max_leaf: int, any_hit: bool, push_order: str = "sort",
                  count_steps: bool = False, group: int = 1,
-                 unroll: int = 1):
+                 unroll: int = 1, flag_keys: bool = False):
     """One grid step traverses `group` INDEPENDENT 8x128 packets,
     interleaved inside one while loop, so packet g's speculative DMA is
     waited only after the other G-1 packets' slab/MT math. Measured
@@ -688,11 +697,19 @@ def _kernel_bvh8(nodes_ref, tris_ref,
                 is_int, child.astype(jnp.int32),
                 -(firstf.astype(jnp.int32) * LEAF_CODE_BASE
                   + countf.astype(jnp.int32)) - 1)
-            key = ((node_buf[g, 0, b] + node_buf[g, 0, b + 3]) * md_x
-                   + (node_buf[g, 0, b + 1] + node_buf[g, 0, b + 4]) * md_y
-                   + (node_buf[g, 0, b + 2] + node_buf[g, 0, b + 5]) * md_z)
-            keys.append(jnp.where(anys[k] & (is_int | is_lf), key,
-                                  jnp.float32(_NEG)))
+            if flag_keys:
+                # see _kernel_bvh8_single.node_children: unsorted pushes
+                # only need validity
+                keys.append(jnp.where(anys[k] & (is_int | is_lf),
+                                      jnp.float32(0.0), jnp.float32(_NEG)))
+            else:
+                key = ((node_buf[g, 0, b] + node_buf[g, 0, b + 3]) * md_x
+                       + (node_buf[g, 0, b + 1] + node_buf[g, 0, b + 4])
+                       * md_y
+                       + (node_buf[g, 0, b + 2] + node_buf[g, 0, b + 5])
+                       * md_z)
+                keys.append(jnp.where(anys[k] & (is_int | is_lf), key,
+                                      jnp.float32(_NEG)))
             codes.append(code)
         return tuple(keys) + tuple(codes)
 
@@ -924,7 +941,8 @@ def _trace_packets_bvh8(nodes8, tris128, rays, max_leaf: int, any_hit: bool,
                         interpret: bool, push_order: str = "sort",
                         count_steps: bool = False, group: int = 1,
                         unroll: int = 1, debug_double: str = "",
-                        reduce_mode: str = "each"):
+                        reduce_mode: str = "each",
+                        flag_keys: bool = False):
     n_sub = rays["ox"].shape[0]
     # pad the packet count to a multiple of `group` with dead packets
     # (tmin=1 > tmax=0: the root slab test fails, one pop drains them)
@@ -965,7 +983,8 @@ def _trace_packets_bvh8(nodes8, tris128, rays, max_leaf: int, any_hit: bool,
         ]
         kernel = partial(_kernel_bvh8_single, max_leaf=max_leaf,
                          any_hit=any_hit, push_order=push_order,
-                         debug_double=debug_double, reduce_mode=reduce_mode)
+                         debug_double=debug_double, reduce_mode=reduce_mode,
+                         flag_keys=flag_keys)
     else:
         scratch = [
             pltpu.SMEM((group, STACK_DEPTH), jnp.int32),
@@ -975,7 +994,7 @@ def _trace_packets_bvh8(nodes8, tris128, rays, max_leaf: int, any_hit: bool,
         ]
         kernel = partial(_kernel_bvh8, max_leaf=max_leaf, any_hit=any_hit,
                          push_order=push_order, count_steps=count_steps,
-                         group=group, unroll=unroll)
+                         group=group, unroll=unroll, flag_keys=flag_keys)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=grid,
@@ -1034,17 +1053,26 @@ def trace_closest_bvh8(bvh: dict, geom: dict, origin, direction,
 @partial(jax.jit, static_argnames=("height", "width", "max_leaf",
                                    "interpret", "group", "unroll",
                                    "debug_double", "reduce_mode",
-                                   "push_order"))
+                                   "push_order", "flag_keys"))
 def trace_any_bvh8(bvh: dict, geom: dict, origin, direction,
                    t_min, t_max, *, height: int, width: int,
                    max_leaf: int = LEAF8_MAX,
                    interpret: bool | None = None, group: int = 1,
                    unroll: int = 1, debug_double: str = "",
-                   reduce_mode: str = "each", push_order: str = "none"):
+                   reduce_mode: str = "each", push_order: str = "none",
+                   flag_keys: bool | None = None):
     """Any-hit BVH8 packet trace; returns boolean occlusion mask (H*W,).
     push_order="none" (default) pushes children unsorted; "sort" pops
-    near-first (early-exit A/B — see the note in the kernel body)."""
+    near-first (early-exit A/B — see the note in the kernel body).
+    flag_keys (default: on whenever pushes are unsorted) replaces the
+    per-child centroid push keys — whose values unsorted pushes never
+    read — with 0/_NEG validity flags, dropping ~88 scalar ops from
+    every node step's serial chain; bit-identical traversal."""
     interpret = _resolve_interpret(interpret)
+    if flag_keys is None:
+        flag_keys = push_order == "none"
+    assert not (flag_keys and push_order != "none"), \
+        "flag_keys discards key values; only valid with unsorted pushes"
     tris128 = pack_tris_hbm(geom)
     rays = _rays_to_packets(origin, direction, t_min, t_max, height, width)
     occ, _, _, _ = _trace_packets_bvh8(bvh["nodes8"], tris128, rays,
@@ -1053,5 +1081,6 @@ def trace_any_bvh8(bvh: dict, geom: dict, origin, direction,
                                        unroll=unroll,
                                        debug_double=debug_double,
                                        reduce_mode=reduce_mode,
-                                       push_order=push_order)
+                                       push_order=push_order,
+                                       flag_keys=flag_keys)
     return _from_packets(occ, height, width) > 0.5
