@@ -91,11 +91,20 @@ def test_validation_layer(renderer):
 
 
 def test_validation_catches_broken_scene(renderer):
+    # lean pytree: corrupt the tri_attr prim column
     scene = renderer.scene.as_pytree()
     broken = dict(scene)
-    broken["tri_prim"] = np.asarray(scene["tri_prim"]) + 10_000
+    attr = np.asarray(scene["tri_attr"]).copy()
+    attr[:, 36] += 10_000
+    broken["tri_attr"] = attr
     with pytest.raises(AssertionError):
         validate_scene(broken)
+    # full pytree: corrupt the fallback tri_prim table
+    full = renderer.scene.as_full_pytree()
+    broken2 = dict(full)
+    broken2["tri_prim"] = np.asarray(full["tri_prim"]) + 10_000
+    with pytest.raises(AssertionError):
+        validate_scene(broken2)
 
 
 def test_renderer_stats(renderer):

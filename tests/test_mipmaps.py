@@ -127,8 +127,9 @@ def test_material_field_matches_oracle():
     ours = np.asarray(render_sample_hdr(
         scene, cam, lights, np.zeros(2, np.float32), width=96, height=96),
         np.float64)
+    full = r.scene.as_full_pytree()
     ref = oracle_render(
-        {k: np.asarray(v) for k, v in scene.items()
+        {k: np.asarray(v) for k, v in full.items()
          if k not in ("bvh", "geom")},
         {k: np.asarray(v) for k, v in cam.items()}, lights, 96, 96)
     err = ours - ref["color"]

@@ -65,8 +65,9 @@ def _gbuffer_oracle(r):
     cam = r.camera.uniform()
     lights = r.lights.shader_arrays()
     scene = r.scene.as_pytree()
+    full = r.scene.as_full_pytree()
     ref = oracle_render(
-        {k: np.asarray(v) for k, v in scene.items()
+        {k: np.asarray(v) for k, v in full.items()
          if k not in ("bvh", "geom")},
         {k: np.asarray(v) for k, v in cam.items()}, lights, SIZE, SIZE)
     return scene, cam, lights, ref

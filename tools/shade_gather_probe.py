@@ -83,7 +83,6 @@ def main():
 
     def _quad_row(scene, prim, texh, texw, uv):
         quad = scene["tex_quad48"]
-        P, Hh, Ww, C = quad.shape
         px = uv[:, 0] * texw - 0.5
         py = uv[:, 1] * texh - 0.5
         x0 = jnp.floor(px)
@@ -92,8 +91,15 @@ def main():
         fy = (py - y0)[:, None]
         x0i = jnp.mod(x0.astype(jnp.int32), texw.astype(jnp.int32))
         y0i = jnp.mod(y0.astype(jnp.int32), texh.astype(jnp.int32))
-        flat = (prim * Hh + y0i) * Ww + x0i
-        row = quad.reshape(P * Hh * Ww, C)[flat]
+        if quad.ndim == 2:  # streaming-arena layout (rows + base offsets)
+            base = scene["tex_quad48_base"]
+            flat = (base[jnp.clip(prim, 0, base.shape[0] - 1)]
+                    + y0i * texw.astype(jnp.int32) + x0i)
+            row = quad[flat]
+        else:
+            P, Hh, Ww, C = quad.shape
+            flat = (prim * Hh + y0i) * Ww + x0i
+            row = quad.reshape(P * Hh * Ww, C)[flat]
         return row, fx, fy
 
     def stage_null(scene, cam, lt, jit):

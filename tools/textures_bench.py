@@ -13,6 +13,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from _stamp import stamped  # noqa: E402
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -70,9 +72,10 @@ def main():
     host_mb = sum(
         int(np.asarray(getattr(sc, k)).nbytes)
         for k in ("tex_stack", "tex_atlas", "tex_mip_quad", "tex_quad48",
-                  "tex_stack12", "tex_mip_block4")
+                  "tex_stack12", "tex_mip_block4", "tex_mip_pair")
         if getattr(sc, k) is not None) / 1e6
     tier = ("block4" if sc.tex_mip_block4 is not None
+            else "pair" if sc.tex_mip_pair is not None
             else "quad" if sc.tex_mip_quad is not None else "atlas")
     log(f"texture source {src_mb:.0f} MB, shipped device tables "
         f"{table_mb:.0f} MB (tier {tier}; host-side staging {host_mb:.0f}), "
@@ -90,7 +93,7 @@ def main():
     rays = 800 * 800 * 3
     report = dict(
         metric="ms/frame, 144-slot 113MB-texture 292k-tri workload, "
-               "800x800 ULTRA, mip chains + quad atlas",
+               "800x800 ULTRA, mip chains, tier=" + tier,
         value=round(res.value, 3), unit="ms",
         mrays_per_s=round(rays / res.value / 1e3, 2),
         tris=int(sc.geom["v0"].shape[0]), primitives=sc.num_prims,
@@ -109,7 +112,7 @@ def main():
     out_p = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_TEXTURES.json")
     with open(out_p, "w") as f:
-        json.dump(report, f, indent=1)
+        json.dump(stamped(report), f, indent=1)
     print(json.dumps(report))
 
 

@@ -164,6 +164,11 @@ def shard_tables(scene: dict, n_shards: int):
         tables["quad_rows"] = q
         meta["quad_chunk"] = qc
         meta["mip_rows"] = int(np.asarray(scene["tex_mip_block4"]).shape[0])
+    elif scene.get("tex_mip_pair") is not None:
+        q, qc = chunked(scene["tex_mip_pair"], n_shards)
+        tables["quad_rows"] = q
+        meta["quad_chunk"] = qc
+        meta["mip_rows"] = int(np.asarray(scene["tex_mip_pair"]).shape[0])
     elif scene.get("tex_mip_quad") is not None:
         q, qc = chunked(scene["tex_mip_quad"], n_shards)
         tables["quad_rows"] = q
@@ -171,11 +176,18 @@ def shard_tables(scene: dict, n_shards: int):
         meta["mip_rows"] = int(np.asarray(scene["tex_mip_quad"]).shape[0])
     elif scene.get("tex_quad48") is not None:
         full = np.asarray(scene["tex_quad48"])
-        U, H, W, C = full.shape
-        q, qc = chunked(full.reshape(U * H * W, C), n_shards)
+        if full.ndim == 2:
+            # streaming-arena layout (engine/texture_arena.py): already
+            # flat rows, global index = tex_quad48_base[img] + y*w + x —
+            # shade computes it from the scene's base table, so no
+            # logical shape is needed here
+            q, qc = chunked(full, n_shards)
+        else:
+            U, H, W, C = full.shape
+            q, qc = chunked(full.reshape(U * H * W, C), n_shards)
+            meta["quad_shape"] = (U, H, W, C)
         tables["quad_rows"] = q
         meta["quad_chunk"] = qc
-        meta["quad_shape"] = (U, H, W, C)
     return tables, meta
 
 
@@ -282,13 +294,26 @@ def hbm_accounting(scene: dict, shards: dict, tables: dict | None,
     def nbytes(a):
         return int(np.asarray(a).nbytes) if a is not None else 0
 
-    big_keys = ("tri_attr", "tex_quad48", "tex_mip_quad", "tex_mip_block4")
-    replicated = {k: nbytes(scene.get(k)) for k in big_keys}
+    # Enumerate EVERY scene table by size: any flat key at or above 1 MB
+    # gets its own line (a hardcoded big-key list hid the dominant
+    # replicated table when the scene shipped one it didn't name —
+    # round-4 verdict weak #7), smaller ones are lumped together. The
+    # canonical shading tables always get their line when present (their
+    # ratios are asserted by tests even on tiny scenes).
+    named = ("tri_attr", "tex_quad48", "tex_mip_quad", "tex_mip_pair",
+             "tex_mip_block4")
+    flat = {k: nbytes(v) for k, v in scene.items()
+            if k not in ("bvh", "geom")}
+    big_cut = 1 << 20
+    replicated = {k: b for k, b in flat.items()
+                  if b >= big_cut or k in named}
+    for k in named:
+        replicated.setdefault(k, 0)
     replicated["traversal"] = sum(
         nbytes(v) for v in scene["bvh"].values()) + sum(
         nbytes(v) for v in scene["geom"].values())
-    small = sum(nbytes(v) for k, v in scene.items()
-                if k not in big_keys + ("bvh", "geom"))
+    small = sum(b for k, b in flat.items()
+                if b < big_cut and k not in named)
     replicated["small_replicated"] = small
 
     per_chip = dict(small_replicated=small)
@@ -485,8 +510,8 @@ def render_frame_sharded_geometry(scene: dict, shards: dict, camera: dict,
         # the sharded tables replace the replicated ones: shade() reads the
         # attr rows / quad rows through the ring, so the big tables shrink
         # to 1-row placeholders (branch selection in shade keys on presence)
-        for k in ("tri_attr", "tex_quad48", "tex_mip_quad", "tex_mip_block4",
-                  "tex_atlas"):
+        for k in ("tri_attr", "tex_quad48", "tex_mip_quad", "tex_mip_pair",
+                  "tex_mip_block4", "tex_atlas"):
             if scene_rep.get(k) is not None:
                 scene_rep[k] = placeholder(scene_rep[k])
         body = per_chip_bvh8

@@ -55,17 +55,24 @@ def rtao_frame(scene: dict, camera: dict, key, *, width: int, height: int,
     valid = hits["tri"] >= 0
     tidx = jnp.maximum(hits["tri"], 0)
 
-    vids = scene["tri_vertex"][tidx]
     u = hits["u"][:, None]
     v = hits["v"][:, None]
     w = 1.0 - u - v
-    p0 = scene["vtx_pos"][vids[:, 0]]
-    p1 = scene["vtx_pos"][vids[:, 1]]
-    p2 = scene["vtx_pos"][vids[:, 2]]
+    if "tri_attr" in scene:
+        # lean device pytree: one wide row gather carries all three
+        # corners' positions/normals (same values as the vtx tables)
+        attr = scene["tri_attr"][tidx]
+        p0, p1, p2 = attr[:, 0:3], attr[:, 12:15], attr[:, 24:27]
+        n0, n1, n2 = attr[:, 5:8], attr[:, 17:20], attr[:, 29:32]
+    else:
+        vids = scene["tri_vertex"][tidx]
+        p0 = scene["vtx_pos"][vids[:, 0]]
+        p1 = scene["vtx_pos"][vids[:, 1]]
+        p2 = scene["vtx_pos"][vids[:, 2]]
+        n0 = scene["vtx_normal"][vids[:, 0]]
+        n1 = scene["vtx_normal"][vids[:, 1]]
+        n2 = scene["vtx_normal"][vids[:, 2]]
     world_pos = p0 * w + p1 * u + p2 * v
-    n0 = scene["vtx_normal"][vids[:, 0]]
-    n1 = scene["vtx_normal"][vids[:, 1]]
-    n2 = scene["vtx_normal"][vids[:, 2]]
     normal = n0 * w + n1 * u + n2 * v
     normal = normal / jnp.maximum(
         jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-20)

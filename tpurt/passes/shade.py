@@ -86,7 +86,8 @@ def _quad_rows_to_bytes(row):
     return row.astype(jnp.float32)
 
 
-def sample_bilinear_quad(quad, hw, img, uv, *, gather=None, shape=None):
+def sample_bilinear_quad(quad, hw, img, uv, *, gather=None, shape=None,
+                         base=None):
     """Bilinear REPEAT fetch in ONE gather: quad (U, H, W, 64) u8 rows
     carry the full 2x2 footprint of their texel across the 3 packed layers
     in bytes 0..47 (REPEAT wrap baked in at scene-flatten time, scene.py;
@@ -101,7 +102,13 @@ def sample_bilinear_quad(quad, hw, img, uv, *, gather=None, shape=None):
     gather/shape: sharded-table injection (dist/geometry.py) — `gather`
     maps flat GLOBAL row indices -> rows when the quad table is row-sharded
     across chips and `quad` is absent; `shape` supplies (U, H, W, C) then.
-    The default path (gather=None) is byte-identical to before the seam."""
+    The default path (gather=None) is byte-identical to before the seam.
+
+    base: streaming-arena addressing (engine/texture_arena.py) — `quad` is
+    a flat (rows, 64) array, image `i`'s rows start at base[i] and are laid
+    out row-major at ITS OWN extent (no slab padding), so
+    flat = base[img] + y*w + x. Values are bit-identical to the slab
+    layout; the table drops from U*Hmax*Wmax to content-size rows."""
     h = hw[:, 0]
     w = hw[:, 1]
     px = uv[:, 0] * w - 0.5
@@ -112,12 +119,19 @@ def sample_bilinear_quad(quad, hw, img, uv, *, gather=None, shape=None):
     fy = (py - y0)[:, None]
     x0i = jnp.mod(x0.astype(jnp.int32), w.astype(jnp.int32))
     y0i = jnp.mod(y0.astype(jnp.int32), h.astype(jnp.int32))
-    U, H, W, C = quad.shape if shape is None else shape
-    flat = (img * H + y0i) * W + x0i
-    if gather is None:
-        row = _quad_rows_to_bytes(quad.reshape(U * H * W, C)[flat])
+    if base is not None:
+        flat = base[img] + y0i * w.astype(jnp.int32) + x0i
+        U = H = W = None
+        C = quad.shape[-1]
     else:
+        U, H, W, C = quad.shape if shape is None else shape
+        flat = (img * H + y0i) * W + x0i
+    if gather is not None:
         row = _quad_rows_to_bytes(gather(flat))
+    elif base is not None:
+        row = _quad_rows_to_bytes(quad[flat])
+    else:
+        row = _quad_rows_to_bytes(quad.reshape(U * H * W, C)[flat])
     t00, t10, t01, t11 = (row[:, 0:12], row[:, 12:24],
                           row[:, 24:36], row[:, 36:48])
     out = ((t00 * (1 - fx) + t10 * fx) * (1 - fy)
@@ -242,6 +256,95 @@ def sample_anisotropic_quad(qatlas, qoffsets, sizes, prim, uv, lod_minor,
     for i in range(taps):
         f = (i + 0.5) / taps - 0.5
         s = sample_trilinear_quad(qatlas, qoffsets, sizes, prim,
+                                  uv + duv_major * f, lod_minor,
+                                  gather=gather)
+        acc = s if acc is None else acc + s
+    return acc / taps
+
+
+def _pair_corners(poffsets, sizes, prim, uv, level):
+    """Flat row indices + x-parity slots of a bilinear fetch through the
+    pair mip tier (scene.build_mip_pair_atlas: one 64 B row per x-aligned
+    texel pair carrying both texels AND their (y+1)%h wrap row). The two
+    bilinear columns x0 and x1=(x0+1)%w live in rows (y, x0//2) and
+    (y, x1//2) — the same row when x0 is even; the y dimension needs no
+    second row (baked wrap, like the quad tier). Returns
+    (flat0, flat1, x0par, x1par, fx, fy)."""
+    hw = sizes[prim, level]                  # (N, 2)
+    h = hw[:, 0]
+    w = hw[:, 1]
+    px = uv[:, 0] * w.astype(jnp.float32) - 0.5
+    py = uv[:, 1] * h.astype(jnp.float32) - 0.5
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    fx = (px - x0)[:, None]
+    fy = (py - y0)[:, None]
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    y0i = jnp.mod(y0.astype(jnp.int32), h)
+    x1i = jnp.mod(x0i + 1, w)
+    bw = (w + 1) // 2
+    base = poffsets[prim, level] + y0i * bw
+    return (base + x0i // 2, base + x1i // 2, x0i & 1, x1i & 1, fx, fy)
+
+
+def _pair_lerp(row0, row1, x0par, x1par, fx, fy):
+    """Slot-select each column's top/bottom texels from its pair row
+    (bytes [0:12|12:24] = top x-even/x-odd, [24:36|36:48] = bottom), then
+    the SAME bilinear expression as _quad_lerp — bit-identical texels,
+    bit-identical result."""
+    r0 = row0.astype(jnp.float32)
+    r1 = row1.astype(jnp.float32)
+
+    def col(r, par, half):
+        lo = r[:, half:half + 12]
+        hi = r[:, half + 12:half + 24]
+        return jnp.where((par == 1)[:, None], hi, lo)
+
+    t00 = col(r0, x0par, 0)
+    t10 = col(r1, x1par, 0)
+    t01 = col(r0, x0par, 24)
+    t11 = col(r1, x1par, 24)
+    out = ((t00 * (1 - fx) + t10 * fx) * (1 - fy)
+           + (t01 * (1 - fx) + t11 * fx) * fy)
+    return out / 255.0
+
+
+def sample_trilinear_pair(pr, poffsets, sizes, prim, uv, lod, *,
+                          gather=None):
+    """Trilinear fetch through the pair tier: 4 row gathers (2 columns x
+    2 mip levels) at 2.67x-source tables — the middle point of the
+    quad (2 gathers, 5.33x) / block4 (8 gathers, 1.33x) frontier and the
+    default at scale (scene.MIP_PAIR_BUDGET_BYTES). With an injected
+    `gather` (sharded tables), all 4 index vectors ride ONE call."""
+    levels = sizes.shape[1]
+    lod = jnp.clip(lod, 0.0, float(levels - 1))
+    l0 = jnp.floor(lod)
+    frac = (lod - l0)[:, None]
+    l0i = l0.astype(jnp.int32)
+    l1i = jnp.minimum(l0i + 1, levels - 1)
+    f00, f01, p00, p01, fx0, fy0 = _pair_corners(poffsets, sizes, prim, uv,
+                                                 l0i)
+    f10, f11, p10, p11, fx1, fy1 = _pair_corners(poffsets, sizes, prim, uv,
+                                                 l1i)
+    if gather is None:
+        rows = [pr[f] for f in (f00, f01, f10, f11)]
+    else:
+        n = f00.shape[0]
+        cat = gather(jnp.concatenate([f00, f01, f10, f11]))
+        rows = [cat[i * n:(i + 1) * n] for i in range(4)]
+    s0 = _pair_lerp(rows[0], rows[1], p00, p01, fx0, fy0)
+    s1 = _pair_lerp(rows[2], rows[3], p10, p11, fx1, fy1)
+    return s0 * (1 - frac) + s1 * frac
+
+
+def sample_anisotropic_pair(pr, poffsets, sizes, prim, uv, lod_minor,
+                            duv_major, taps: int, *, gather=None):
+    """Anisotropic filtering through the pair tier: `taps` trilinear
+    fetches along the footprint's major axis, averaged."""
+    acc = None
+    for i in range(taps):
+        f = (i + 0.5) / taps - 0.5
+        s = sample_trilinear_pair(pr, poffsets, sizes, prim,
                                   uv + duv_major * f, lod_minor,
                                   gather=gather)
         acc = s if acc is None else acc + s
@@ -518,6 +621,7 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
         spread = 2.0 / (camera["proj"][1, 1] * rows)
         tex_hw = scene["tex_mip_sizes"][prim, 0].astype(jnp.float32)
         quad_mips = scene.get("tex_mip_quad") is not None
+        pair_mips = scene.get("tex_mip_pair") is not None
         block4 = scene.get("tex_mip_block4") is not None
         if aniso_taps > 1:
             lod_minor, duv_major = ray_cone_aniso(
@@ -527,6 +631,14 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
             if block4:
                 packed = sample_anisotropic_block4(
                     scene["tex_mip_block4"], scene["tex_mip_block4_offsets"],
+                    scene["tex_mip_sizes"], prim, tex_coord, lod_minor,
+                    duv_major, aniso_taps, gather=quad_gather)
+
+                def fetch(layer):
+                    return packed[:, layer * 4:layer * 4 + 4]
+            elif pair_mips:
+                packed = sample_anisotropic_pair(
+                    scene["tex_mip_pair"], scene["tex_mip_pair_offsets"],
                     scene["tex_mip_sizes"], prim, tex_coord, lod_minor,
                     duv_major, aniso_taps, gather=quad_gather)
 
@@ -558,6 +670,14 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
 
                 def fetch(layer):
                     return packed[:, layer * 4:layer * 4 + 4]
+            elif pair_mips:
+                packed = sample_trilinear_pair(
+                    scene["tex_mip_pair"], scene["tex_mip_pair_offsets"],
+                    scene["tex_mip_sizes"], prim, tex_coord, lod,
+                    gather=quad_gather)
+
+                def fetch(layer):
+                    return packed[:, layer * 4:layer * 4 + 4]
             elif quad_mips:
                 packed = sample_trilinear_quad(
                     scene["tex_mip_quad"], scene["tex_mip_quad_offsets"],
@@ -577,7 +697,8 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
         # albedo+ORM+normal at once
         packed = sample_bilinear_quad(scene["tex_quad48"], tex_hw, img,
                                       tex_coord, gather=quad_gather,
-                                      shape=quad_shape)
+                                      shape=quad_shape,
+                                      base=scene.get("tex_quad48_base"))
 
         def fetch(layer):
             return packed[:, layer * 4:layer * 4 + 4]

@@ -71,6 +71,10 @@ class FlatScene:
     # costs 4 row gathers + slot selects instead of 1 gather
     tex_mip_block4: Any = None         # (N4, 64) u8 block rows
     tex_mip_block4_offsets: Any = None  # (P, L) i32 block-row offsets
+    # middle mip tier (2 gathers, 2.67x source): one 64 B row per
+    # x-ALIGNED texel pair + its y+1 wrap row (build_mip_pair_atlas)
+    tex_mip_pair: Any = None           # (N2, 64) u8 pair rows
+    tex_mip_pair_offsets: Any = None   # (P, L) i32 pair-row offsets
     # gather-optimized tables (see flatten_scene): one wide row per hit
     tri_attr: Any = None         # (T, 40) f32 3x[pos, uv, normal, tangent]
     #                              + [prim, tex_h, tex_w, unique-image id]
@@ -87,39 +91,66 @@ class FlatScene:
     transforms: Any = None     # (I, 3, 4) f32 instance transforms
 
     def as_pytree(self) -> dict:
-        """Device-resident tables ONLY. Mip scenes ship exactly one texel
-        table (quad or block4 tier): tex_stack / tex_atlas / tex_quad48 are
-        never read by the mip shading path, and shipping them was most of
-        round 3's 16x texture HBM amplification (BENCH_TEXTURES.json:
-        114 MB source -> 1792 MB device)."""
-        out = dict(
-            bvh=self.bvh, geom=self.geom, tri_vertex=self.tri_vertex,
-            tri_prim=self.tri_prim, vtx_pos=self.vtx_pos, vtx_uv=self.vtx_uv,
-            vtx_normal=self.vtx_normal, vtx_tangent=self.vtx_tangent,
-            tex_size=self.tex_size,
-        )
+        """Device-resident tables ONLY — exactly what the shade dispatch
+        reads (passes/shade.py), nothing else. When the gather-optimized
+        path is live (tri_attr + one texel tier) the per-vertex fallback
+        tables (tri_vertex/tri_prim/vtx_*) and the padded per-prim
+        tex_stack are NEVER read by any pass, so they are not shipped:
+        on the bench scene tex_stack alone was 118.75 MB of the 139.4 MB
+        device footprint (85% dead weight — round-4 verdict), i.e. the
+        HBM ceiling, the tunnel upload and the sharded-geometry mode's
+        per-chip residency were all dominated by bytes no kernel touched.
+        The reference uploads each texture exactly once
+        (vk_model.rs:553-706); this is the same economy. Use
+        as_full_pytree() for the oracle / validation / host-side tools
+        that want the raw tables too."""
+        out = dict(bvh=self.bvh, geom=self.geom, tex_size=self.tex_size)
         mips = self.tex_mip_sizes is not None
         if mips:
             out.update(tex_mip_sizes=self.tex_mip_sizes)
             if self.tex_mip_block4 is not None:
                 out.update(tex_mip_block4=self.tex_mip_block4,
                            tex_mip_block4_offsets=self.tex_mip_block4_offsets)
+            elif self.tex_mip_pair is not None:
+                out.update(tex_mip_pair=self.tex_mip_pair,
+                           tex_mip_pair_offsets=self.tex_mip_pair_offsets)
             elif self.tex_mip_quad is not None:
                 out.update(tex_mip_quad=self.tex_mip_quad,
                            tex_mip_quad_offsets=self.tex_mip_quad_offsets)
             else:  # per-layer fallback tier (no quad tables built)
                 out.update(tex_atlas=self.tex_atlas,
                            tex_mip_offsets=self.tex_mip_offsets)
-        else:
-            out.update(tex_stack=self.tex_stack)
+        fast = self.tri_attr is not None and (
+            mips or self.tex_quad48 is not None)
         if self.tri_attr is not None:
             out.update(tri_attr=self.tri_attr)
             if not mips and self.tex_quad48 is not None:
                 out.update(tex_quad48=self.tex_quad48)
+        if not fast:
+            # fallback shading path: per-vertex tables + padded stack
+            out.update(
+                tri_vertex=self.tri_vertex, tri_prim=self.tri_prim,
+                vtx_pos=self.vtx_pos, vtx_uv=self.vtx_uv,
+                vtx_normal=self.vtx_normal, vtx_tangent=self.vtx_tangent)
+            if not mips:
+                out.update(tex_stack=self.tex_stack)
         return out
 
     # (tex_img_of_prim intentionally not in as_pytree: shade reads the
     # unique-image id from tri_attr column 39)
+
+    def as_full_pytree(self) -> dict:
+        """The shipped tables PLUS the raw per-vertex/per-prim tables the
+        lean as_pytree drops on the fast path — for the brute-force oracle
+        (tests/oracle.py), deep validation, and host-side tooling. Never
+        uploaded wholesale to the device."""
+        out = self.as_pytree()
+        out.update(
+            tri_vertex=self.tri_vertex, tri_prim=self.tri_prim,
+            vtx_pos=self.vtx_pos, vtx_uv=self.vtx_uv,
+            vtx_normal=self.vtx_normal, vtx_tangent=self.vtx_tangent,
+            tex_stack=self.tex_stack)
+        return out
 
     def as_object_pytree(self) -> dict:
         """Inputs for the dynamic mode: object-space geometry + instance ids
@@ -147,6 +178,9 @@ class FlatScene:
             if self.tex_mip_block4 is not None:
                 out.update(tex_mip_block4=self.tex_mip_block4,
                            tex_mip_block4_offsets=self.tex_mip_block4_offsets)
+            elif self.tex_mip_pair is not None:
+                out.update(tex_mip_pair=self.tex_mip_pair,
+                           tex_mip_pair_offsets=self.tex_mip_pair_offsets)
             elif self.tex_mip_quad is not None:
                 out.update(tex_mip_quad=self.tex_mip_quad,
                            tex_mip_quad_offsets=self.tex_mip_quad_offsets)
@@ -302,16 +336,21 @@ def build_mip_quad_atlas(tex_stack: np.ndarray, tex_size: np.ndarray,
             sizes_u[img_of_prim])
 
 
-# Automatic tier cutover: if the quad mip atlas (64 B/texel = 5.33x the
-# 12-channel source) would exceed this budget, build the compact block4
-# atlas instead (64 B per ALIGNED 2x2 block = 1.33x source; 4 row gathers
-# + slot selects per bilinear fetch instead of 1 gather). Measured on the
-# 114 MB-source texture wall (BENCH_TEXTURES vs BENCH_TEXTURES_BLOCK4):
-# quad = 102 ms/frame at 812 MB tables, block4 = 159 ms at 201 MB — the
-# compact tier is a CAPACITY tier (gather count is the frame cost; table
-# bytes are the ceiling), so the default budget prefers speed until the
-# table would take a real bite out of a v5e's 16 GB HBM.
-MIP_QUAD_BUDGET_BYTES = 1024 * 1024 * 1024
+# Automatic tier cutover between THREE texel-table layouts (gather count
+# per bilinear fetch vs HBM amplification over the 12 B/texel source):
+#   quad   1 gather, 5.33x source  (full 2x2 footprint per texel row)
+#   pair   2 gathers, 2.67x source (x-ALIGNED 2x2 block per row: texel
+#          pair + their y+1 wrap row; the two bilinear columns come from
+#          up to two rows + slot selects)
+#   block4 4 gathers, 1.33x source (fully aligned 2x2 blocks)
+# Measured frontier on the 114 MB-source texture wall (BENCH_TEXTURES*):
+# quad = 102 ms/frame at 812 MB tables, block4 = 159 ms at 201 MB; the
+# pair tier sits between (one extra gather per level over quad at half
+# the quad's bytes). quad stays the speed tier for small atlases; pair
+# is the default at scale (round-4 verdict target: <=4x source at
+# <=110% frame cost); block4 remains the capacity backstop.
+MIP_QUAD_BUDGET_BYTES = 256 * 1024 * 1024
+MIP_PAIR_BUDGET_BYTES = 1024 * 1024 * 1024
 
 
 def mip_quad_bytes(tex_size: np.ndarray, uniq_prims) -> int:
@@ -326,6 +365,74 @@ def mip_quad_bytes(tex_size: np.ndarray, uniq_prims) -> int:
             total += h * w * 64
             h, w = max(h // 2, 1), max(w // 2, 1)
     return total
+
+
+def mip_pair_bytes(tex_size: np.ndarray, uniq_prims) -> int:
+    """Exact pair-tier atlas size (64 B x h x ceil(w/2) rows per (image,
+    level)) for the cutover decision. Levels = the GLOBAL chain length
+    (the builder emits 1x1 repeats up to it), so this matches
+    build_mip_pair_atlas byte-for-byte."""
+    hmax = int(tex_size[list(uniq_prims), 0].max(initial=1))
+    wmax = int(tex_size[list(uniq_prims), 1].max(initial=1))
+    levels = max(int(np.ceil(np.log2(max(hmax, wmax, 1)))) + 1, 1)
+    total = 0
+    for prim in uniq_prims:
+        h, w = int(tex_size[prim, 0]), int(tex_size[prim, 1])
+        for _ in range(levels):
+            total += h * ((w + 1) // 2) * 64
+            h, w = max(h // 2, 1), max(w // 2, 1)
+    return total
+
+
+def build_mip_pair_atlas(tex_stack: np.ndarray, tex_size: np.ndarray,
+                         img_of_prim: np.ndarray, uniq_prims):
+    """Middle mip tier: one 64-byte row per (image, level, y, x-pair) —
+    [t(y,2xp) | t(y,2xp+1) | t((y+1)%h,2xp) | t((y+1)%h,2xp+1)] x 12 B
+    packed layers + 16 pad. 2.67x the source bytes (vs quad 5.33x /
+    block4 1.33x); a bilinear fetch needs the two rows holding columns
+    x0 and (x0+1)%w at the hit's y (the SAME row when x0 is even) plus
+    slot selects — 2 gathers per level instead of quad's 1 / block4's 4
+    (shade._pair_corners). The y+1 REPEAT wrap is baked in like the quad
+    tier; the x wrap falls out of indexing the second corner's own row.
+    Odd-width tails leave slot 1 zeroed (never selected: texel x stays
+    < w). Returns (atlas (N2, 64) u8, offsets (P, L) i32 row offsets,
+    sizes (P, L, 2) i32)."""
+    n_prims = tex_size.shape[0]
+    hmax = int(tex_size[:, 0].max(initial=1))
+    wmax = int(tex_size[:, 1].max(initial=1))
+    levels = max(int(np.ceil(np.log2(max(hmax, wmax, 1)))) + 1, 1)
+
+    chunks = []
+    offsets_u = np.zeros((len(uniq_prims), levels), np.int64)
+    sizes_u = np.zeros((len(uniq_prims), levels, 2), np.int32)
+    cursor = 0
+    for ui, prim in enumerate(uniq_prims):
+        h, w = int(tex_size[prim, 0]), int(tex_size[prim, 1])
+        mips = [tex_stack[prim * 3 + l, :h, :w].copy() for l in range(3)]
+        for lv in range(levels):
+            arr12 = np.concatenate(mips, axis=2)            # (h, w, 12)
+            hh, ww = arr12.shape[:2]
+            bw = (ww + 1) // 2
+            wrap = np.roll(arr12, -1, axis=0)               # (y+1) % h
+            both = np.concatenate([arr12, wrap], axis=2)    # (h, w, 24)
+            pad = np.zeros((hh, bw * 2, 24), np.uint8)
+            pad[:, :ww] = both
+            # (h, bw, 2, 24) -> row = [x0 top | x1 top | x0 bot | x1 bot]
+            blk = pad.reshape(hh, bw, 2, 24)
+            rows = np.zeros((hh * bw, 64), np.uint8)
+            rows[:, 0:12] = blk[:, :, 0, 0:12].reshape(-1, 12)
+            rows[:, 12:24] = blk[:, :, 1, 0:12].reshape(-1, 12)
+            rows[:, 24:36] = blk[:, :, 0, 12:24].reshape(-1, 12)
+            rows[:, 36:48] = blk[:, :, 1, 12:24].reshape(-1, 12)
+            offsets_u[ui, lv] = cursor
+            sizes_u[ui, lv] = (hh, ww)
+            chunks.append(rows)
+            cursor += rows.shape[0]
+            if mips[0].shape[0] > 1 or mips[0].shape[1] > 1:
+                mips = [_box_mip(m) for m in mips]
+    atlas = np.concatenate(chunks, axis=0)
+    return (atlas, offsets_u[img_of_prim].astype(np.int32),
+            sizes_u[img_of_prim])
 
 
 def build_mip_block4_atlas(tex_stack: np.ndarray, tex_size: np.ndarray,
@@ -481,18 +588,23 @@ def flatten_scene(models: List[Model], mipmaps: bool = False) -> FlatScene:
 
     tex_atlas = tex_mip_offsets = tex_mip_sizes = None
     tex_mip_quad = tex_mip_quad_offsets = None
+    tex_mip_pair = tex_mip_pair_offsets = None
     tex_mip_block4 = tex_mip_block4_offsets = None
     if mipmaps:
         # host-side per-layer atlas: the no-quad fallback/oracle path (and
         # the dynamic modes' source of truth); NOT shipped to the device
-        # when a quad/block4 tier exists (as_pytree)
+        # when a quad/pair/block4 tier exists (as_pytree)
         tex_atlas, tex_mip_offsets, tex_mip_sizes = build_mip_atlas(
             tex_stack, tex_size, img_of_prim, uniq_prims)
-        # automatic tier cutover: quad rows (1 gather/bilinear, 5.33x
-        # source HBM) under the budget, block4 rows (4 gathers + slot
-        # selects, 1.33x) above it — exactly ONE texel table ships
+        # automatic tier cutover (see the budget constants above): quad
+        # (1 gather, 5.33x) for small atlases, pair (2 gathers, 2.67x)
+        # at scale, block4 (4 gathers, 1.33x) as the capacity backstop —
+        # exactly ONE texel table ships
         if mip_quad_bytes(tex_size, uniq_prims) <= MIP_QUAD_BUDGET_BYTES:
             tex_mip_quad, tex_mip_quad_offsets, _ = build_mip_quad_atlas(
+                tex_stack, tex_size, img_of_prim, uniq_prims)
+        elif mip_pair_bytes(tex_size, uniq_prims) <= MIP_PAIR_BUDGET_BYTES:
+            tex_mip_pair, tex_mip_pair_offsets, _ = build_mip_pair_atlas(
                 tex_stack, tex_size, img_of_prim, uniq_prims)
         else:
             tex_mip_block4, tex_mip_block4_offsets, _ = \
@@ -555,6 +667,8 @@ def flatten_scene(models: List[Model], mipmaps: bool = False) -> FlatScene:
         tex_mip_quad_offsets=tex_mip_quad_offsets,
         tex_mip_block4=tex_mip_block4,
         tex_mip_block4_offsets=tex_mip_block4_offsets,
+        tex_mip_pair=tex_mip_pair,
+        tex_mip_pair_offsets=tex_mip_pair_offsets,
         tri_attr=tri_attr, tex_stack12=tex_stack12, tex_quad48=tex_quad48,
         tex_img_of_prim=img_of_prim,
     )

@@ -72,19 +72,31 @@ def validate_scene(scene: dict):
     for k in ("v0", "e1", "e2"):
         assert _is_finite(geom[k]), f"geom.{k} non-finite"
 
-    n_tris = scene["tri_vertex"].shape[0]
-    assert n_tris == t
-    v = scene["vtx_pos"].shape[0]
-    tv = np.asarray(scene["tri_vertex"])
-    assert tv.min() >= 0 and tv.max() < v, "vertex index out of range"
     p = scene["tex_size"].shape[0]
-    tp = np.asarray(scene["tri_prim"])
-    assert tp.min() >= 0 and tp.max() < p, "primitive index out of range"
+    if "tri_vertex" in scene:  # fallback-path tables (full pytrees)
+        n_tris = scene["tri_vertex"].shape[0]
+        assert n_tris == t
+        v = scene["vtx_pos"].shape[0]
+        tv = np.asarray(scene["tri_vertex"])
+        assert tv.min() >= 0 and tv.max() < v, "vertex index out of range"
+        tp = np.asarray(scene["tri_prim"])
+        assert tp.min() >= 0 and tp.max() < p, "primitive index out of range"
+        assert _is_finite(scene["vtx_pos"]) and _is_finite(scene["vtx_uv"])
+    if "tri_attr" in scene:  # gather-optimized rows (lean pytrees)
+        attr = np.asarray(scene["tri_attr"])
+        assert attr.shape[0] == t and attr.shape[1] in (39, 40), \
+            "tri_attr row shape"
+        assert _is_finite(attr), "tri_attr non-finite"
+        ap = attr[:, 36].astype(np.int64)
+        assert ap.min() >= 0 and ap.max() < p, \
+            "tri_attr primitive index out of range"
+    else:
+        assert "tri_vertex" in scene, \
+            "scene ships neither tri_attr nor the per-vertex tables"
     if "tex_stack" in scene:  # mip scenes ship one mip tier instead
         assert scene["tex_stack"].shape[0] == p * 3, \
             "texture stack layer count"
         assert np.asarray(scene["tex_stack"]).dtype == np.uint8
-    assert _is_finite(scene["vtx_pos"]) and _is_finite(scene["vtx_uv"])
 
 
 def validate_camera(camera: dict):
