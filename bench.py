@@ -565,6 +565,15 @@ def main():
             _log(f"bench: 1080p full pipeline {hd.value:.3f} ms/frame")
     except Exception as e:  # noqa: BLE001
         _log(f"bench: 1080p secondary failed ({e!r}); headline unaffected")
+    try:
+        import subprocess
+
+        meta["commit"] = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10).stdout.strip()
+    except Exception:  # noqa: BLE001
+        pass
     print(json.dumps(dict(
         metric="Mrays/sec/chip (primary+shadow), full pipeline 800x800",
         value=round(mrays, 2),

@@ -164,3 +164,29 @@ def test_bvh8_flag_keys_bit_identical(setup8):
     with pytest.raises(AssertionError):
         trace_any_bvh8(tree8, geom, o, d, 1e-3, 1e4, height=H, width=W,
                        interpret=True, flag_keys=True, push_order="sort")
+
+
+def test_bvh8_pop2_parity(setup8):
+    """The two-node-pop step (kernels/traverse_bvh8._kernel_bvh8_pop2)
+    changes traversal ORDER but not results: closest t is exact (tri may
+    differ only on exact-t ties); any-hit occlusion is sticky-OR and
+    therefore identical."""
+    tree8, geom, o, d = setup8
+    ref = trace_closest_bvh8(tree8, geom, o, d, 1e-3, 1e4,
+                             height=H, width=W, interpret=True)
+    got = trace_closest_bvh8(tree8, geom, o, d, 1e-3, 1e4,
+                             height=H, width=W, interpret=True, pop2=True)
+    np.testing.assert_array_equal(np.asarray(got["t"]), np.asarray(ref["t"]))
+    tri_r = np.asarray(ref["tri"])
+    tri_g = np.asarray(got["tri"])
+    diff = tri_r != tri_g
+    assert diff.mean() < 0.01
+    if diff.any():
+        # every mismatch must be an exact-t tie (both real hits)
+        assert (tri_r[diff] >= 0).all() and (tri_g[diff] >= 0).all()
+
+    occ_ref = trace_any_bvh8(tree8, geom, o, d, 1e-3, 1e4,
+                             height=H, width=W, interpret=True)
+    occ_got = trace_any_bvh8(tree8, geom, o, d, 1e-3, 1e4,
+                             height=H, width=W, interpret=True, pop2=True)
+    np.testing.assert_array_equal(np.asarray(occ_got), np.asarray(occ_ref))

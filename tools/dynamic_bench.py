@@ -15,6 +15,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from _stamp import stamped  # noqa: E402
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
@@ -109,7 +111,7 @@ def main():
                          "readback")
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "DYNAMIC_BENCH.json"), "w") as f:
-        json.dump(report, f, indent=1)
+        json.dump(stamped(report), f, indent=1)
     print(json.dumps(report))
 
 

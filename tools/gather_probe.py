@@ -12,6 +12,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from _stamp import stamped  # noqa: E402
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
@@ -89,7 +91,7 @@ def main():
     print(json.dumps(out))
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "GATHER_PROBE.json"), "w") as f:
-        json.dump(out, f, indent=1)
+        json.dump(stamped(out), f, indent=1)
 
 
 if __name__ == "__main__":

@@ -10,6 +10,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from _stamp import stamped  # noqa: E402
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import numpy as np
@@ -109,7 +111,7 @@ def main():
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "GTAO_MAIN_BENCH.json")
     with open(path, "w") as f:
-        json.dump(report, f, indent=1)
+        json.dump(stamped(report), f, indent=1)
     print(json.dumps(report))
 
 

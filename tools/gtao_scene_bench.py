@@ -10,6 +10,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from _stamp import stamped  # noqa: E402
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
@@ -94,7 +96,7 @@ def main():
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "GTAO_SCENE_BENCH.json")
     with open(path, "w") as f:
-        json.dump(report, f, indent=1)
+        json.dump(stamped(report), f, indent=1)
     print(json.dumps(report))
 
 

@@ -16,6 +16,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from _stamp import stamped  # noqa: E402
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -101,7 +103,7 @@ def main():
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "MULTICHIP_TPU.json")
     with open(out, "w") as f:
-        json.dump(report, f, indent=1)
+        json.dump(stamped(report), f, indent=1)
     print(json.dumps(report))
 
 

@@ -14,6 +14,8 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from _stamp import stamped  # noqa: E402
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import numpy as np
@@ -92,7 +94,7 @@ def main():
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "TPU_PARITY.json")
     with open(path, "w") as f:
-        json.dump(report, f, indent=1)
+        json.dump(stamped(report), f, indent=1)
     print(json.dumps(report))
     if not ok_all:
         sys.exit(1)

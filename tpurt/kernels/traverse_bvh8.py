@@ -383,6 +383,279 @@ def _kernel_bvh8_single(nodes_ref, tris_ref,
 
 
 
+def _kernel_bvh8_pop2(nodes_ref, tris_ref,
+                      ox, oy, oz, dx, dy, dz, tmn, tmx,
+                      t_out, tri_out, u_out, v_out,
+                      stack, node_buf, tri_buf, sems,
+                      *, max_leaf: int, any_hit: bool):
+    """TWO-pop step variant (the round-4 roadmap's named candidate): each
+    while iteration pops up to two stack entries and processes them in
+    batched phases — leaf MT for both (near entry first, so its t shrink
+    culls the far one), then ONE cond computing all 16 child slab tests,
+    then both push groups (far entry's children pushed first so the near
+    entry's children stay on top). The fixed per-iteration scaffolding
+    (loop boundary, alive check, cond dispatch, speculation) is paid once
+    per two pops; the doubled slab/reduce work is ~free per
+    BVH8_STEP_ABLATE.json. Speculation: node rows + leaf blocks for BOTH
+    next tops are in flight across the iteration (node_buf (2,128),
+    tri_buf (2,max_leaf,128)).
+
+    Traversal ORDER differs from the one-pop kernel (the second entry is
+    processed before the first entry's children), which closest-hit
+    results are invariant to up to equal-t ties; any-hit occlusion is
+    sticky-OR and exactly order-invariant. Transient stack growth is up
+    to +14 entries per iteration vs +7 (flatten_scene's depth guard
+    keeps 7*depth+8 < STACK_DEPTH for the scenes that build BVH8)."""
+    rays = _Rays(ox, oy, oz, dx, dy, dz, tmn, tmx)
+    t_min = rays.t_min
+    t_max0 = rays.t_max0
+    num_tris = tris_ref.shape[0]
+    num_nodes = nodes_ref.shape[0]
+    first_cap = max(num_tris - max_leaf, 0)
+
+    stack[0] = jnp.int32(0)
+
+    def start_node_fetch(e, node):
+        pltpu.make_async_copy(
+            nodes_ref.at[pl.ds(jnp.clip(node, 0, num_nodes - 1), 1)],
+            node_buf.at[e], sems.at[0, e]).start()
+
+    def wait_node_fetch(e):
+        pltpu.make_async_copy(nodes_ref.at[pl.ds(0, 1)], node_buf.at[e],
+                              sems.at[0, e]).wait()
+
+    def leaf_first(top):
+        dec = jnp.maximum(-(top + 1), 0)
+        return jnp.clip(dec // LEAF_CODE_BASE, 0, first_cap)
+
+    def start_tri_fetch(e, first_c):
+        pltpu.make_async_copy(tris_ref.at[pl.ds(first_c, max_leaf)],
+                              tri_buf.at[e], sems.at[1, e]).start()
+
+    def wait_tri_fetch(e):
+        pltpu.make_async_copy(tris_ref.at[pl.ds(0, max_leaf)],
+                              tri_buf.at[e], sems.at[1, e]).wait()
+
+    for e in range(2):
+        start_node_fetch(e, jnp.int32(0))
+        start_tri_fetch(e, jnp.int32(0))
+
+    md_x = jnp.sum(rays.d_x)
+    md_y = jnp.sum(rays.d_y)
+    md_z = jnp.sum(rays.d_z)
+
+    def children_of(e, gate, tfar):
+        """8 slab tests + metas for entry e's node row; `gate` (scalar
+        bool) invalidates every key when the entry is not a live node."""
+        hits = []
+        for k in range(8):
+            b = k * 6
+            hits.append(rays.slab(
+                node_buf[e, 0, b], node_buf[e, 0, b + 1],
+                node_buf[e, 0, b + 2], node_buf[e, 0, b + 3],
+                node_buf[e, 0, b + 4], node_buf[e, 0, b + 5], tfar))
+        anys = [jnp.any(h) for h in hits]
+        keys = []
+        codes = []
+        for k in range(8):
+            b = k * 6
+            child = node_buf[e, 0, 48 + k]
+            firstf = node_buf[e, 0, 56 + k]
+            countf = node_buf[e, 0, 64 + k]
+            is_int = child >= 0.0
+            is_lf = countf > 0.0
+            code = jnp.where(
+                is_int, child.astype(jnp.int32),
+                -(firstf.astype(jnp.int32) * LEAF_CODE_BASE
+                  + countf.astype(jnp.int32)) - 1)
+            if any_hit:
+                keys.append(jnp.where(gate & anys[k] & (is_int | is_lf),
+                                      jnp.float32(0.0), jnp.float32(_NEG)))
+            else:
+                key = ((node_buf[e, 0, b] + node_buf[e, 0, b + 3]) * md_x
+                       + (node_buf[e, 0, b + 1] + node_buf[e, 0, b + 4])
+                       * md_y
+                       + (node_buf[e, 0, b + 2] + node_buf[e, 0, b + 5])
+                       * md_z)
+                keys.append(jnp.where(gate & anys[k] & (is_int | is_lf),
+                                      key, jnp.float32(_NEG)))
+            codes.append(code)
+        return tuple(keys) + tuple(codes)
+
+    def push_sorted(sp, keys, codes):
+        keys = list(keys)
+        codes = list(codes)
+        for a, b in _BATCHER8:
+            swap = keys[a] < keys[b]
+            ka = jnp.where(swap, keys[b], keys[a])
+            kb = jnp.where(swap, keys[a], keys[b])
+            ca = jnp.where(swap, codes[b], codes[a])
+            cb = jnp.where(swap, codes[a], codes[b])
+            keys[a], keys[b] = ka, kb
+            codes[a], codes[b] = ca, cb
+        for k in range(8):
+            stack[jnp.minimum(sp, STACK_DEPTH - 1)] = codes[k]
+            sp = jnp.where(keys[k] > jnp.float32(_NEG / 2),
+                           jnp.minimum(sp + 1, STACK_DEPTH), sp)
+        return sp
+
+    def push_unsorted(sp, keys, codes):
+        for k in range(8):
+            stack[jnp.minimum(sp, STACK_DEPTH - 1)] = codes[k]
+            sp = jnp.where(keys[k] > jnp.float32(_NEG / 2),
+                           jnp.minimum(sp + 1, STACK_DEPTH), sp)
+        return sp
+
+    def pop_two(sp):
+        """Pop the top entry (near, always valid under the loop cond) and
+        the one below it (valid when sp >= 2; forced to a gated-off node
+        code otherwise)."""
+        top0 = stack[jnp.maximum(sp - 1, 0)]
+        valid1 = sp >= 2
+        top1 = jnp.where(valid1, stack[jnp.maximum(sp - 2, 0)], 0)
+        return jnp.maximum(sp - 2, 0), top0, top1, valid1
+
+    def leaf_meta(top):
+        dec = jnp.maximum(-(top + 1), 0)
+        count = dec - (dec // LEAF_CODE_BASE) * LEAF_CODE_BASE
+        k_off = (dec // LEAF_CODE_BASE) - leaf_first(top)
+        return count, k_off
+
+    if any_hit:
+        init = (jnp.int32(1), jnp.zeros_like(t_min))
+
+        def cond(c):
+            sp, occ = c
+            return (sp > 0) & jnp.logical_not(
+                jnp.all((occ > 0.0) | (t_max0 <= t_min)))
+
+        def body(c):
+            sp, occ = c
+            sp, top0, top1, valid1 = pop_two(sp)
+            for e in range(2):
+                wait_node_fetch(e)
+                wait_tri_fetch(e)
+            tfar = jnp.where(occ > 0.0, t_min, t_max0)
+
+            # leaf phase (order irrelevant for sticky-OR occlusion)
+            for e, (top, gate) in enumerate(
+                    ((top0, top0 < 0), (top1, valid1 & (top1 < 0)))):
+                count, k_off = leaf_meta(top)
+
+                def leaf_work(occ, e=e, k_off=k_off, count=count):
+                    for k in range(max_leaf):
+                        h, _, _, _ = rays.mt(
+                            lambda c_, e=e, k=k: tri_buf[e, k, c_], tfar)
+                        in_range = (k >= k_off) & (k < k_off + count)
+                        occ = jnp.where(h & in_range, 1.0, occ)
+                    return occ
+
+                occ = jax.lax.cond(gate, leaf_work, lambda o: o, occ)
+
+            # node phase: ONE cond batches both entries' 16 slab tests
+            is_n0 = top0 >= 0
+            is_n1 = valid1 & (top1 >= 0)
+
+            def both_children(tfar):
+                return (children_of(0, is_n0, tfar)
+                        + children_of(1, is_n1, tfar))
+
+            def no_children(tfar):
+                del tfar
+                return 2 * (tuple(jnp.float32(_NEG) for _ in range(8))
+                            + tuple(jnp.int32(0) for _ in range(8)))
+
+            # refresh the cull bound with this iteration's leaf occlusion
+            kc = jax.lax.cond(is_n0 | is_n1, both_children, no_children,
+                              jnp.where(occ > 0.0, t_min, t_max0))
+            sp = push_unsorted(sp, kc[16:24], kc[24:32])  # far entry first
+            sp = push_unsorted(sp, kc[0:8], kc[8:16])
+            nxt0 = stack[jnp.maximum(sp - 1, 0)]
+            nxt1 = stack[jnp.maximum(sp - 2, 0)]
+            start_node_fetch(0, nxt0)
+            start_node_fetch(1, nxt1)
+            start_tri_fetch(0, leaf_first(nxt0))
+            start_tri_fetch(1, leaf_first(nxt1))
+            return sp, occ
+
+        _, occluded = jax.lax.while_loop(cond, body, init)
+        for e in range(2):
+            wait_node_fetch(e)
+            wait_tri_fetch(e)
+        t_out[:] = occluded
+    else:
+        init = (jnp.int32(1), t_max0,
+                jnp.full(t_min.shape, -1, jnp.int32),
+                jnp.zeros_like(t_min), jnp.zeros_like(t_min))
+
+        def cond(c):
+            return c[0] > 0
+
+        def body(c):
+            sp, t, tri, u, v = c
+            sp, top0, top1, valid1 = pop_two(sp)
+            for e in range(2):
+                wait_node_fetch(e)
+                wait_tri_fetch(e)
+
+            # leaf phase, NEAR entry first so its t shrink culls the far
+            # entry's tests
+            for e, (top, gate) in enumerate(
+                    ((top0, top0 < 0), (top1, valid1 & (top1 < 0)))):
+                count, k_off = leaf_meta(top)
+
+                def leaf_work(carry, e=e, k_off=k_off, count=count):
+                    t, tri, u, v = carry
+                    for k in range(max_leaf):
+                        h, tk, uk, vk = rays.mt(
+                            lambda c_, e=e, k=k: tri_buf[e, k, c_], t)
+                        in_range = (k >= k_off) & (k < k_off + count)
+                        upd = h & in_range
+                        t = jnp.where(upd, tk, t)
+                        tri = jnp.where(upd,
+                                        tri_buf[e, k, 9].astype(jnp.int32),
+                                        tri)
+                        u = jnp.where(upd, uk, u)
+                        v = jnp.where(upd, vk, v)
+                    return t, tri, u, v
+
+                t, tri, u, v = jax.lax.cond(gate, leaf_work, lambda cr: cr,
+                                            (t, tri, u, v))
+
+            is_n0 = top0 >= 0
+            is_n1 = valid1 & (top1 >= 0)
+
+            def both_children(tfar):
+                return (children_of(0, is_n0, tfar)
+                        + children_of(1, is_n1, tfar))
+
+            def no_children(tfar):
+                del tfar
+                return 2 * (tuple(jnp.float32(_NEG) for _ in range(8))
+                            + tuple(jnp.int32(0) for _ in range(8)))
+
+            kc = jax.lax.cond(is_n0 | is_n1, both_children, no_children, t)
+            # far entry's children first; near entry's children pop first
+            sp = push_sorted(sp, kc[16:24], kc[24:32])
+            sp = push_sorted(sp, kc[0:8], kc[8:16])
+            nxt0 = stack[jnp.maximum(sp - 1, 0)]
+            nxt1 = stack[jnp.maximum(sp - 2, 0)]
+            start_node_fetch(0, nxt0)
+            start_node_fetch(1, nxt1)
+            start_tri_fetch(0, leaf_first(nxt0))
+            start_tri_fetch(1, leaf_first(nxt1))
+            return sp, t, tri, u, v
+
+        _, t, tri, u, v = jax.lax.while_loop(cond, body, init)
+        for e in range(2):
+            wait_node_fetch(e)
+            wait_tri_fetch(e)
+        t_out[:] = t
+        tri_out[:] = tri
+        u_out[:] = u
+        v_out[:] = v
+
+
 def _kernel_bvh8_any_multi(nodes_ref, tris_ref, *refs,
                            max_leaf: int, n_sets: int):
     """Fused multi-set any-hit traversal: S independent shadow-ray sets for
@@ -942,7 +1215,7 @@ def _trace_packets_bvh8(nodes8, tris128, rays, max_leaf: int, any_hit: bool,
                         count_steps: bool = False, group: int = 1,
                         unroll: int = 1, debug_double: str = "",
                         reduce_mode: str = "each",
-                        flag_keys: bool = False):
+                        flag_keys: bool = False, pop2: bool = False):
     n_sub = rays["ox"].shape[0]
     # pad the packet count to a multiple of `group` with dead packets
     # (tmin=1 > tmax=0: the root slab test fails, one pop drains them)
@@ -972,7 +1245,18 @@ def _trace_packets_bvh8(nodes8, tris128, rays, max_leaf: int, any_hit: bool,
     ]
     table_spec = pl.BlockSpec(memory_space=pltpu.HBM)
     plain = group == 1 and unroll == 1 and not count_steps
-    if plain:
+    if pop2:
+        assert plain and not debug_double and reduce_mode == "each", \
+            "pop2 composes only with the plain single-packet path"
+        scratch = [
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.VMEM((2, 1, 128), jnp.float32),         # 2 node rows
+            pltpu.VMEM((2, max_leaf, 128), jnp.float32),  # 2 leaf blocks
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ]
+        kernel = partial(_kernel_bvh8_pop2, max_leaf=max_leaf,
+                         any_hit=any_hit)
+    elif plain:
         # default path: the round-2-proven single-packet kernel (see the
         # note above _kernel_bvh8_single)
         scratch = [
@@ -1020,7 +1304,7 @@ def _trace_packets_bvh8(nodes8, tris128, rays, max_leaf: int, any_hit: bool,
 @partial(jax.jit, static_argnames=("height", "width", "max_leaf",
                                    "interpret", "push_order",
                                    "count_steps", "group", "unroll",
-                                   "debug_double", "reduce_mode"))
+                                   "debug_double", "reduce_mode", "pop2"))
 def trace_closest_bvh8(bvh: dict, geom: dict, origin, direction,
                        t_min, t_max, *, height: int, width: int,
                        max_leaf: int = LEAF8_MAX,
@@ -1028,7 +1312,7 @@ def trace_closest_bvh8(bvh: dict, geom: dict, origin, direction,
                        push_order: str = "sort",
                        count_steps: bool = False, group: int = 1,
                        unroll: int = 1, debug_double: str = "",
-                       reduce_mode: str = "each"):
+                       reduce_mode: str = "each", pop2: bool = False):
     """Closest-hit BVH8 packet trace. bvh must carry 'nodes8'
     (bvh/wide.collapse8). Contract matches trace_closest.
     count_steps=True is a diagnostic: u/v return the packet's node/leaf
@@ -1045,7 +1329,7 @@ def trace_closest_bvh8(bvh: dict, geom: dict, origin, direction,
                                        count_steps=count_steps,
                                        group=group, unroll=unroll,
                                        debug_double=debug_double,
-                                       reduce_mode=reduce_mode)
+                                       reduce_mode=reduce_mode, pop2=pop2)
     g = partial(_from_packets, height=height, width=width)
     return dict(t=g(t), tri=g(tri), u=g(u), v=g(v))
 
@@ -1053,14 +1337,14 @@ def trace_closest_bvh8(bvh: dict, geom: dict, origin, direction,
 @partial(jax.jit, static_argnames=("height", "width", "max_leaf",
                                    "interpret", "group", "unroll",
                                    "debug_double", "reduce_mode",
-                                   "push_order", "flag_keys"))
+                                   "push_order", "flag_keys", "pop2"))
 def trace_any_bvh8(bvh: dict, geom: dict, origin, direction,
                    t_min, t_max, *, height: int, width: int,
                    max_leaf: int = LEAF8_MAX,
                    interpret: bool | None = None, group: int = 1,
                    unroll: int = 1, debug_double: str = "",
                    reduce_mode: str = "each", push_order: str = "none",
-                   flag_keys: bool | None = None):
+                   flag_keys: bool | None = None, pop2: bool = False):
     """Any-hit BVH8 packet trace; returns boolean occlusion mask (H*W,).
     push_order="none" (default) pushes children unsorted; "sort" pops
     near-first (early-exit A/B — see the note in the kernel body).
@@ -1082,5 +1366,5 @@ def trace_any_bvh8(bvh: dict, geom: dict, origin, direction,
                                        debug_double=debug_double,
                                        reduce_mode=reduce_mode,
                                        push_order=push_order,
-                                       flag_keys=flag_keys)
+                                       flag_keys=flag_keys, pop2=pop2)
     return _from_packets(occ, height, width) > 0.5
