@@ -60,6 +60,7 @@ def _tri_attr(tv, tri_prim, vtx_pos, vtx_uv, vtx_normal, vtx_tangent,
 # modes keep the full mipmaps/trilinear/aniso feature matrix
 _MIP_KEYS = ("tex_atlas", "tex_mip_offsets", "tex_mip_sizes",
              "tex_mip_quad", "tex_mip_quad_offsets",
+             "tex_mip_pair", "tex_mip_pair_offsets",
              "tex_mip_block4", "tex_mip_block4_offsets")
 
 
@@ -100,8 +101,10 @@ def build_world_tables(obj_scene: dict, transforms):
         tri_vertex=tv, tri_prim=obj_scene["tri_prim"],
         vtx_pos=vtx_pos, vtx_uv=obj_scene["vtx_uv"],
         vtx_normal=vtx_normal, vtx_tangent=vtx_tangent,
-        tex_stack=obj_scene["tex_stack"], tex_size=obj_scene["tex_size"],
+        tex_size=obj_scene["tex_size"],
     )
+    if "tex_stack" in obj_scene:  # fallback texel path (lean pytrees omit)
+        out["tex_stack"] = obj_scene["tex_stack"]
     if "tex_img_of_prim" in obj_scene:
         out["tri_attr"] = _tri_attr(
             tv, obj_scene["tri_prim"], vtx_pos, obj_scene["vtx_uv"],
@@ -238,8 +241,10 @@ def render_frame_dynamic_refit(obj_scene: dict, refit: dict, transforms,
         tri_vertex=tv, tri_prim=obj_scene["tri_prim"],
         vtx_pos=vtx_pos, vtx_uv=obj_scene["vtx_uv"],
         vtx_normal=vtx_normal, vtx_tangent=vtx_tangent,
-        tex_stack=obj_scene["tex_stack"], tex_size=obj_scene["tex_size"],
+        tex_size=obj_scene["tex_size"],
     )
+    if "tex_stack" in obj_scene:  # fallback texel path (lean pytrees omit)
+        out["tex_stack"] = obj_scene["tex_stack"]
     if "tex_img_of_prim" in obj_scene:
         scene["tri_attr"] = _tri_attr(
             tv, obj_scene["tri_prim"], vtx_pos, obj_scene["vtx_uv"],

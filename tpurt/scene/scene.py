@@ -161,9 +161,18 @@ class FlatScene:
             vtx_instance=self.vtx_instance, obj_vtx_pos=self.obj_vtx_pos,
             obj_vtx_normal=self.obj_vtx_normal,
             obj_vtx_tangent=self.obj_vtx_tangent,
-            vtx_uv=self.vtx_uv, tex_stack=self.tex_stack,
+            vtx_uv=self.vtx_uv,
             tex_size=self.tex_size,
         )
+        fast_tex = (self.tex_img_of_prim is not None
+                    and self.tri_attr is not None
+                    and (self.tex_mip_sizes is not None
+                         or self.tex_quad48 is not None))
+        if not fast_tex:
+            # fallback texel path only — the padded per-prim stack is
+            # never read when a quad/pair/block4/mip tier serves texels
+            # (same dead-weight economy as as_pytree)
+            out["tex_stack"] = self.tex_stack
         if self.tex_img_of_prim is not None and self.tri_attr is not None:
             # the dynamic modes rebuild tri_attr in-jit from this mapping
             out["tex_img_of_prim"] = self.tex_img_of_prim
