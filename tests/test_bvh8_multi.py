@@ -105,3 +105,16 @@ def test_fused_two_sets(setup8):
                                  height=H, width=W, interpret=True,
                                  tables="bvh8")
         np.testing.assert_array_equal(np.asarray(fused[s]), np.asarray(solo))
+
+
+def test_multi_pop2_bit_identical(setup8):
+    """The two-pop multi-set kernel must produce identical occlusion for
+    every set (sticky-OR updates are order-invariant)."""
+    tree8, geom, org, dirs, tmaxs = setup8
+    ref = trace_any_bvh8_multi(tree8, geom, org, list(dirs), 0.01,
+                               list(tmaxs), height=H, width=W,
+                               interpret=True)
+    got = trace_any_bvh8_multi(tree8, geom, org, list(dirs), 0.01,
+                               list(tmaxs), height=H, width=W,
+                               interpret=True, pop2=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

@@ -820,13 +820,178 @@ def _kernel_bvh8_any_multi(nodes_ref, tris_ref, *refs,
         occ_outs[s][:] = res[1 + s]
 
 
+def _kernel_bvh8_any_multi_pop2(nodes_ref, tris_ref, *refs,
+                                max_leaf: int, n_sets: int):
+    """Two-pop variant of the fused multi-set any-hit kernel (the
+    production shadow path): up to two stack entries per iteration, leaf
+    MT for both entries (all S sets), then ONE cond batching both
+    entries' 16 slab tests x S sets, unsorted pushes. Occlusion stays
+    exactly order-invariant (sticky ORs); see _kernel_bvh8_pop2 for the
+    phase rationale."""
+    ray_refs = refs[:8 * n_sets]
+    occ_outs = refs[8 * n_sets:9 * n_sets]
+    stack, node_buf, tri_buf, sems = refs[9 * n_sets:]
+    rays = [_Rays(*ray_refs[8 * s:8 * (s + 1)]) for s in range(n_sets)]
+    num_tris = tris_ref.shape[0]
+    num_nodes = nodes_ref.shape[0]
+    first_cap = max(num_tris - max_leaf, 0)
+
+    stack[0] = jnp.int32(0)
+
+    def start_node_fetch(e, node):
+        pltpu.make_async_copy(
+            nodes_ref.at[pl.ds(jnp.clip(node, 0, num_nodes - 1), 1)],
+            node_buf.at[e], sems.at[0, e]).start()
+
+    def wait_node_fetch(e):
+        pltpu.make_async_copy(nodes_ref.at[pl.ds(0, 1)], node_buf.at[e],
+                              sems.at[0, e]).wait()
+
+    def leaf_first(top):
+        dec = jnp.maximum(-(top + 1), 0)
+        return jnp.clip(dec // LEAF_CODE_BASE, 0, first_cap)
+
+    def start_tri_fetch(e, first_c):
+        pltpu.make_async_copy(tris_ref.at[pl.ds(first_c, max_leaf)],
+                              tri_buf.at[e], sems.at[1, e]).start()
+
+    def wait_tri_fetch(e):
+        pltpu.make_async_copy(tris_ref.at[pl.ds(0, max_leaf)],
+                              tri_buf.at[e], sems.at[1, e]).wait()
+
+    for e in range(2):
+        start_node_fetch(e, jnp.int32(0))
+        start_tri_fetch(e, jnp.int32(0))
+
+    def children_of(e, gate, tfars):
+        hits = []
+        for k in range(8):
+            b = k * 6
+            hits.append([rays[s].slab(
+                node_buf[e, 0, b], node_buf[e, 0, b + 1],
+                node_buf[e, 0, b + 2], node_buf[e, 0, b + 3],
+                node_buf[e, 0, b + 4], node_buf[e, 0, b + 5],
+                tfars[s]) for s in range(n_sets)])
+        anys = []
+        for k in range(8):
+            m = hits[k][0]
+            for s in range(1, n_sets):
+                m = m | hits[k][s]
+            anys.append(jnp.any(m))
+        keys = []
+        codes = []
+        for k in range(8):
+            child = node_buf[e, 0, 48 + k]
+            firstf = node_buf[e, 0, 56 + k]
+            countf = node_buf[e, 0, 64 + k]
+            is_int = child >= 0.0
+            is_lf = countf > 0.0
+            code = jnp.where(
+                is_int, child.astype(jnp.int32),
+                -(firstf.astype(jnp.int32) * LEAF_CODE_BASE
+                  + countf.astype(jnp.int32)) - 1)
+            keys.append(jnp.where(gate & anys[k] & (is_int | is_lf),
+                                  jnp.float32(0.0), jnp.float32(_NEG)))
+            codes.append(code)
+        return tuple(keys) + tuple(codes)
+
+    def push_unsorted(sp, keys, codes):
+        for k in range(8):
+            stack[jnp.minimum(sp, STACK_DEPTH - 1)] = codes[k]
+            sp = jnp.where(keys[k] > jnp.float32(_NEG / 2),
+                           jnp.minimum(sp + 1, STACK_DEPTH), sp)
+        return sp
+
+    init = (jnp.int32(1),) + tuple(jnp.zeros_like(rays[s].t_min)
+                                   for s in range(n_sets))
+
+    def set_done(occ, s):
+        return jnp.all((occ > 0.0) | (rays[s].t_max0 <= rays[s].t_min))
+
+    def cond(c):
+        sp = c[0]
+        done = set_done(c[1], 0)
+        for s in range(1, n_sets):
+            done = done & set_done(c[1 + s], s)
+        return (sp > 0) & jnp.logical_not(done)
+
+    def body(c):
+        sp = c[0]
+        occs = list(c[1:])
+        top0 = stack[jnp.maximum(sp - 1, 0)]
+        valid1 = sp >= 2
+        top1 = jnp.where(valid1, stack[jnp.maximum(sp - 2, 0)], 0)
+        sp = jnp.maximum(sp - 2, 0)
+        for e in range(2):
+            wait_node_fetch(e)
+            wait_tri_fetch(e)
+        tfars = tuple(jnp.where(occs[s] > 0.0, rays[s].t_min,
+                                rays[s].t_max0) for s in range(n_sets))
+
+        for e, (top, gate) in enumerate(
+                ((top0, top0 < 0), (top1, valid1 & (top1 < 0)))):
+            dec = jnp.maximum(-(top + 1), 0)
+            count = dec - (dec // LEAF_CODE_BASE) * LEAF_CODE_BASE
+            k_off = (dec // LEAF_CODE_BASE) - leaf_first(top)
+
+            def leaf_work(occs, e=e, k_off=k_off, count=count):
+                occs = list(occs)
+                for k in range(max_leaf):
+                    in_range = (k >= k_off) & (k < k_off + count)
+                    for s in range(n_sets):
+                        h, _, _, _ = rays[s].mt(
+                            lambda c_, e=e, k=k: tri_buf[e, k, c_],
+                            tfars[s])
+                        occs[s] = jnp.where(h & in_range, 1.0, occs[s])
+                return tuple(occs)
+
+            occs = list(jax.lax.cond(gate, leaf_work, lambda o: o,
+                                     tuple(occs)))
+
+        is_n0 = top0 >= 0
+        is_n1 = valid1 & (top1 >= 0)
+        # refresh the cull bound with this iteration's leaf occlusion
+        tfars2 = tuple(jnp.where(occs[s] > 0.0, rays[s].t_min,
+                                 rays[s].t_max0) for s in range(n_sets))
+
+        def both_children(tfars2):
+            return (children_of(0, is_n0, tfars2)
+                    + children_of(1, is_n1, tfars2))
+
+        def no_children(tfars2):
+            del tfars2
+            return 2 * (tuple(jnp.float32(_NEG) for _ in range(8))
+                        + tuple(jnp.int32(0) for _ in range(8)))
+
+        kc = jax.lax.cond(is_n0 | is_n1, both_children, no_children,
+                          tfars2)
+        sp = push_unsorted(sp, kc[16:24], kc[24:32])
+        sp = push_unsorted(sp, kc[0:8], kc[8:16])
+        nxt0 = stack[jnp.maximum(sp - 1, 0)]
+        nxt1 = stack[jnp.maximum(sp - 2, 0)]
+        start_node_fetch(0, nxt0)
+        start_node_fetch(1, nxt1)
+        start_tri_fetch(0, leaf_first(nxt0))
+        start_tri_fetch(1, leaf_first(nxt1))
+        return (sp,) + tuple(occs)
+
+    res = jax.lax.while_loop(cond, body, init)
+    for e in range(2):
+        wait_node_fetch(e)
+        wait_tri_fetch(e)
+    for s in range(n_sets):
+        occ_outs[s][:] = res[1 + s]
+
+
 def _trace_packets_bvh8_any_multi(nodes8, tris128, rays_list,
-                                  max_leaf: int, interpret: bool):
+                                  max_leaf: int, interpret: bool,
+                                  pop2: bool = False):
     """Fused any-hit over S per-set packet dicts (each (P*8, 128)). Every
     set's component arrays feed the kernel as their OWN inputs with (8,128)
     blocks at the same grid index — one grid step sees all S ray sets of
     the same 32x32 pixel tile with ZERO pre-interleave relayout (an
-    (S*8,128) concat layout cost ~1 ms of pure data movement at 800²)."""
+    (S*8,128) concat layout cost ~1 ms of pure data movement at 800²).
+    pop2 routes through the two-pop kernel (double scratch)."""
     n_sets = len(rays_list)
     n_sub = rays_list[0]["ox"].shape[0]
     n_pk = n_sub // 8
@@ -834,23 +999,36 @@ def _trace_packets_bvh8_any_multi(nodes8, tris128, rays_list,
     ray_spec = pl.BlockSpec((8, PACKET_LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     table_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    if pop2:
+        scratch = [
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.VMEM((2, 1, 128), jnp.float32),         # 2 node rows
+            pltpu.VMEM((2, max_leaf, 128), jnp.float32),  # 2 leaf blocks
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ]
+        kernel = partial(_kernel_bvh8_any_multi_pop2, max_leaf=max_leaf,
+                         n_sets=n_sets)
+    else:
+        scratch = [
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.VMEM((1, 128), jnp.float32),         # node row
+            pltpu.VMEM((max_leaf, 128), jnp.float32),  # leaf tri rows
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        kernel = partial(_kernel_bvh8_any_multi, max_leaf=max_leaf,
+                         n_sets=n_sets)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_pk,),
         in_specs=[table_spec] * 2 + [ray_spec] * (8 * n_sets),
         out_specs=[ray_spec] * n_sets,
-        scratch_shapes=[
-            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
-            pltpu.VMEM((1, 128), jnp.float32),         # node row
-            pltpu.VMEM((max_leaf, 128), jnp.float32),  # leaf tri rows
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )
     flat_rays = [r[c] for r in rays_list
                  for c in ("ox", "oy", "oz", "dx", "dy", "dz",
                            "tmin", "tmax")]
     occs = pl.pallas_call(
-        partial(_kernel_bvh8_any_multi, max_leaf=max_leaf, n_sets=n_sets),
+        kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n_sub, PACKET_LANES), jnp.float32)
                    for _ in range(n_sets)],
@@ -861,11 +1039,12 @@ def _trace_packets_bvh8_any_multi(nodes8, tris128, rays_list,
 
 
 @partial(jax.jit, static_argnames=("height", "width", "max_leaf",
-                                   "interpret"))
+                                   "interpret", "pop2"))
 def trace_any_bvh8_multi(bvh: dict, geom: dict, origin, dirs,
                          t_min, t_maxs, *, height: int, width: int,
                          max_leaf: int = LEAF8_MAX,
-                         interpret: bool | None = None):
+                         interpret: bool | None = None,
+                         pop2: bool = False):
     """Fused any-hit BVH8 trace of S ray sets sharing origins: dirs a list
     of S (N, 3) arrays (or a stacked (S, N, 3)), t_maxs matching (N,)
     entries -> (S, H*W) bool occlusion. Bit-identical to S separate
@@ -879,7 +1058,7 @@ def trace_any_bvh8_multi(bvh: dict, geom: dict, origin, dirs,
         _rays_to_packets(origin, dirs[s], t_min, t_maxs[s], height, width)
         for s in range(n_sets)]
     occs = _trace_packets_bvh8_any_multi(bvh["nodes8"], tris128, rays_list,
-                                         max_leaf, interpret)
+                                         max_leaf, interpret, pop2=pop2)
     return jnp.stack([_from_packets(o, height, width) > 0.5 for o in occs])
 
 
