@@ -24,7 +24,8 @@ import numpy as np  # noqa: E402
 from _stamp import stamped  # noqa: E402
 
 REPS = 16
-W = H = 800
+W = int(sys.argv[1]) if len(sys.argv) > 1 else 800
+H = int(sys.argv[2]) if len(sys.argv) > 2 else W
 
 
 def main():
@@ -124,7 +125,9 @@ def main():
           f"any_exact {out['any_exact']}", file=sys.stderr, flush=True)
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "BVH8_POP2_PROBE.json"), "w") as f:
+    name = ("BVH8_POP2_PROBE.json" if (W, H) == (800, 800)
+            else f"BVH8_POP2_PROBE_{W}x{H}.json")
+    with open(os.path.join(root, name), "w") as f:
         json.dump(stamped(out), f, indent=1)
     print(json.dumps(stamped(out)))
 
