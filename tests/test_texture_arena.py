@@ -127,3 +127,51 @@ def test_arena_streaming_delta_uploads_and_bitexact_frames():
     # the stable-offset guarantee for images that never left:
     stayed = set(live0) & set(arena._live)
     assert any(arena._live[k] == live0[k] for k in stayed)
+
+
+def test_arena_nonmip_quad_bitexact_and_delta():
+    """Round-5: the NON-mip quad tier routes through the arena too
+    (per-image base offsets, no slab padding). Frames must be
+    bit-identical to the slab path, and a residency flip must re-use
+    resident rows (delta uploads only)."""
+    def _nonmip(arena):
+        cfg = RendererConfig(width=SIZE, height=SIZE, mipmaps=False,
+                             texture_arena=arena,
+                             gtao=GtaoSettings(2, 2, denoise=1))
+        r = Renderer(cfg)
+        r.models.append(_textured_cube([0.0, 0.0, 0.0], [200, 60, 60]))
+        r.models.append(_textured_cube([5.0, 0.0, 0.0], [60, 200, 60],
+                                       tex=16))
+        r.lights_mut().point_lights.append(
+            PointLight([0, 0, -2], [3, 3, 3], 10.0, True))
+        r.camera_mut().set_dir([0.0, 0.0, 1.0])
+        return r
+
+    r_slab = _nonmip(False)
+    r_slab.camera_mut().set_pos([0.0, 0.0, -3.0])
+    img_slab = np.asarray(r_slab.render()["image"])
+    assert r_slab.scene_device["tex_quad48"].ndim == 4
+
+    r_ar = _nonmip(True)
+    r_ar.camera_mut().set_pos([0.0, 0.0, -3.0])
+    img_ar = np.asarray(r_ar.render()["image"])
+    assert r_ar.scene_device["tex_quad48"].ndim == 2
+    assert "tex_quad48_base" in r_ar.scene_device
+    np.testing.assert_array_equal(img_slab, img_ar)
+
+    # mixed extents, both models resident: content-size rows (the slab
+    # layout would hold 2 * 32 * 32 padded rows)
+    live = sum(n for _, n in r_ar._tex_arena._live.values())
+    assert live == 32 * 32 + 16 * 16
+
+    # residency flip: the second model leaves (camera moves away), then
+    # returns — only ITS rows upload again; the resident model's rows
+    # keep their offsets with zero re-upload
+    r_ar.camera_mut().set_pos([-7.0, 0.0, -3.0])
+    r_ar._update_models()
+    assert sum(n for _, n in r_ar._tex_arena._live.values()) == 32 * 32
+    r_ar.camera_mut().set_pos([0.0, 0.0, -3.0])
+    r_ar._update_models()
+    assert r_ar._tex_arena.last_uploaded_rows == 16 * 16
+    img_back = np.asarray(r_ar.render()["image"])
+    np.testing.assert_array_equal(img_slab, img_back)
