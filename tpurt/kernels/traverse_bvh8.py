@@ -58,6 +58,10 @@ from .traverse_pallas import (PACKET_LANES, STACK_DEPTH, _Rays,
                               _resolve_interpret, pack_tris_hbm)
 
 _NEG = -3.0e38
+# Default for the two-node-pop step (kernel _kernel_bvh8_pop2 /
+# _kernel_bvh8_any_multi_pop2) on the production paths when callers pass
+# pop2=None. Flipped by the on-chip A/B (tools/bvh8_pop2_probe.py).
+POP2_DEFAULT = False
 # Stack leaf codes pack -(first * LEAF_CODE_BASE + count) - 1; the base
 # bounds leaf_max (< LEAF_CODE_BASE) and keeps first exact in i32 for
 # scenes up to 2^31/base triangles.
@@ -1044,7 +1048,7 @@ def trace_any_bvh8_multi(bvh: dict, geom: dict, origin, dirs,
                          t_min, t_maxs, *, height: int, width: int,
                          max_leaf: int = LEAF8_MAX,
                          interpret: bool | None = None,
-                         pop2: bool = False):
+                         pop2: bool | None = None):
     """Fused any-hit BVH8 trace of S ray sets sharing origins: dirs a list
     of S (N, 3) arrays (or a stacked (S, N, 3)), t_maxs matching (N,)
     entries -> (S, H*W) bool occlusion. Bit-identical to S separate
@@ -1052,6 +1056,8 @@ def trace_any_bvh8_multi(bvh: dict, geom: dict, origin, dirs,
     per frame instead of one per shadow-casting light). Lists are the fast
     calling convention — stacking S big arrays is a pure relayout."""
     interpret = _resolve_interpret(interpret)
+    if pop2 is None:
+        pop2 = POP2_DEFAULT
     tris128 = pack_tris_hbm(geom)
     n_sets = len(dirs)
     rays_list = [
@@ -1491,7 +1497,8 @@ def trace_closest_bvh8(bvh: dict, geom: dict, origin, direction,
                        push_order: str = "sort",
                        count_steps: bool = False, group: int = 1,
                        unroll: int = 1, debug_double: str = "",
-                       reduce_mode: str = "each", pop2: bool = False):
+                       reduce_mode: str = "each",
+                       pop2: bool | None = None):
     """Closest-hit BVH8 packet trace. bvh must carry 'nodes8'
     (bvh/wide.collapse8). Contract matches trace_closest.
     count_steps=True is a diagnostic: u/v return the packet's node/leaf
@@ -1499,6 +1506,10 @@ def trace_closest_bvh8(bvh: dict, geom: dict, origin, direction,
     group = packets interleaved per kernel instance (DMA-latency hiding,
     see _kernel_bvh8; results are group-invariant)."""
     interpret = _resolve_interpret(interpret)
+    if pop2 is None:
+        pop2 = POP2_DEFAULT and group == 1 and unroll == 1 \
+            and not count_steps and not debug_double \
+            and reduce_mode == "each"
     tris128 = pack_tris_hbm(geom)
     rays = _rays_to_packets(origin, direction, t_min, t_max, height, width)
     t, tri, u, v = _trace_packets_bvh8(bvh["nodes8"], tris128, rays,
@@ -1523,7 +1534,8 @@ def trace_any_bvh8(bvh: dict, geom: dict, origin, direction,
                    interpret: bool | None = None, group: int = 1,
                    unroll: int = 1, debug_double: str = "",
                    reduce_mode: str = "each", push_order: str = "none",
-                   flag_keys: bool | None = None, pop2: bool = False):
+                   flag_keys: bool | None = None,
+                   pop2: bool | None = None):
     """Any-hit BVH8 packet trace; returns boolean occlusion mask (H*W,).
     push_order="none" (default) pushes children unsorted; "sort" pops
     near-first (early-exit A/B — see the note in the kernel body).
@@ -1532,6 +1544,9 @@ def trace_any_bvh8(bvh: dict, geom: dict, origin, direction,
     read — with 0/_NEG validity flags, dropping ~88 scalar ops from
     every node step's serial chain; bit-identical traversal."""
     interpret = _resolve_interpret(interpret)
+    if pop2 is None:
+        pop2 = POP2_DEFAULT and group == 1 and unroll == 1 \
+            and not debug_double and reduce_mode == "each"
     if flag_keys is None:
         flag_keys = push_order == "none"
     assert not (flag_keys and push_order != "none"), \
