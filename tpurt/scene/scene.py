@@ -576,11 +576,13 @@ def flatten_scene(models: List[Model], mipmaps: bool = False) -> FlatScene:
     bvh = build_bvh_sah(amin, amax, max_leaf_size=MAX_LEAF)
     bvh_pt = bvh.as_pytree()
     # BVH8 collapse for the wide packet tracer (bvh/wide.py); depth guard:
-    # a wide-node step pushes at most 7 net entries, STACK_DEPTH = 192
+    # a wide-node step pushes at most 7 net entries, STACK_DEPTH = 192.
+    # The +8 margin covers the two-node-pop kernel's transient (+14 gross
+    # pushes per iteration vs +7 before its two pops are accounted).
     from ..bvh.wide import collapse8
 
     nodes8, depth8 = collapse8(bvh_pt)
-    if 7 * depth8 + 1 > 192:
+    if 7 * depth8 + 1 + 8 > 192:
         raise ValueError(f"BVH8 depth {depth8} exceeds the packet stack")
     bvh_pt["nodes8"] = nodes8
 
