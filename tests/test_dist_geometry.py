@@ -144,3 +144,26 @@ def test_geometry_xla_tier_still_works():
         mesh=make_mesh(8))
     np.testing.assert_array_equal(np.asarray(single["image"]),
                                   np.asarray(out["image"]))
+
+
+def test_geometry_bvh8_pair_tier_matches_single_chip():
+    """The pair mip tier (round 5) through the sharded row ring gather:
+    bit-exact vs single chip."""
+    import tpurt.scene.scene as scene_mod
+
+    old = scene_mod.MIP_QUAD_BUDGET_BYTES
+    scene_mod.MIP_QUAD_BUDGET_BYTES = 0   # force the pair tier
+    try:
+        r = make_renderer(mipmaps=True)
+        r.config.tracer = "bvh8"
+        assert r.scene.tex_mip_pair is not None
+        single = r.render()
+
+        r2 = make_renderer(mipmaps=True)
+        out, _, _, tbl = _geometry_out(r2, 8)
+    finally:
+        scene_mod.MIP_QUAD_BUDGET_BYTES = old
+    assert "quad_rows" in tbl   # the pair rows sharded like the others
+    for key in ("image", "color"):
+        np.testing.assert_array_equal(np.asarray(single[key]),
+                                      np.asarray(out[key]), err_msg=key)
