@@ -62,6 +62,10 @@ _NEG = -3.0e38
 # _kernel_bvh8_any_multi_pop2) on the production paths when callers pass
 # pop2=None. Flipped by the on-chip A/B (tools/bvh8_pop2_probe.py).
 POP2_DEFAULT = False
+# Default for the closest-hit uv payload (hit keys texu/texv/img/texh/texw
+# from the tris128 rows) when callers pass uv_payload=None and geom
+# carries 'uvp'. On-chip A/B: tools/uv_payload_probe.py.
+UVP_DEFAULT = False
 # Stack leaf codes pack -(first * LEAF_CODE_BASE + count) - 1; the base
 # bounds leaf_max (< LEAF_CODE_BASE) and keeps first exact in i32 for
 # scenes up to 2^31/base triangles.
@@ -84,11 +88,20 @@ _BATCHER8 = [(0, 1), (2, 3), (4, 5), (6, 7),
 
 def _kernel_bvh8_single(nodes_ref, tris_ref,
                  ox, oy, oz, dx, dy, dz, tmn, tmx,
-                 t_out, tri_out, u_out, v_out,
-                 stack, node_buf, tri_buf, sems,
-                 *, max_leaf: int, any_hit: bool, push_order: str = "sort",
+                 *rest,
+                 max_leaf: int, any_hit: bool, push_order: str = "sort",
                  debug_double: str = "", reduce_mode: str = "each",
-                 flag_keys: bool = False):
+                 flag_keys: bool = False, uv_payload: bool = False):
+    if uv_payload:
+        # 5 extra hit outputs: interpolated texture uv + [img, th, tw]
+        # copied from the winning triangle's payload columns (rows 10:19,
+        # pack_tris_hbm) — breaks the shade pass's attr->quad gather
+        # dependency (GATHER_TRIGGER_PROBE: independent dtype-mixed
+        # gathers overlap perfectly)
+        (t_out, tri_out, u_out, v_out, tu_out, tv_out, im_out, th_out,
+         tw_out, stack, node_buf, tri_buf, sems) = rest
+    else:
+        t_out, tri_out, u_out, v_out, stack, node_buf, tri_buf, sems = rest
     # reduce_mode: how the 8 per-child any-lane-hit scalars are computed.
     #   "each" - one jnp.any lane reduce per child (8 reduces/node step)
     #   "pair" - 2 children share one sum reduce: lane hit counts (<= 1024
@@ -329,15 +342,26 @@ def _kernel_bvh8_single(nodes_ref, tris_ref,
         wait_tri_fetch()
         t_out[:] = occluded
     else:
+        def tri_row_scalar(k):
+            def r(c):
+                return tri_buf[k, c]
+            return r
+
+        zero = jnp.zeros_like(t_min)
+        # payload init: th = tw = 1 (not 0) so miss lanes can never feed a
+        # zero extent into the shade pass's mod/div index math
+        extra = (zero, zero, zero, jnp.ones_like(t_min),
+                 jnp.ones_like(t_min)) if uv_payload else ()
         init = (jnp.int32(1), t_max0,
                 jnp.full(t_min.shape, -1, jnp.int32),
-                jnp.zeros_like(t_min), jnp.zeros_like(t_min))
+                jnp.zeros_like(t_min), jnp.zeros_like(t_min)) + extra
 
         def cond(c):
             return c[0] > 0
 
         def body(c):
-            sp, t, tri, u, v = c
+            sp, t, tri, u, v = c[:5]
+            pay = c[5:]
             top = stack[sp - 1]
             sp = sp - 1
             is_node = top >= 0
@@ -356,7 +380,8 @@ def _kernel_bvh8_single(nodes_ref, tris_ref,
             k_off = (dec // LEAF_CODE_BASE) - leaf_first(top)
 
             def leaf_work(carry):
-                t, tri, u, v = carry
+                t, tri, u, v = carry[:4]
+                pay = list(carry[4:])
                 # re-running the loop is idempotent: the MT hit test is
                 # strict (tk < t), so no second-pass update can fire
                 for _ in range(2 if debug_double == "leaf" else 1):
@@ -370,20 +395,35 @@ def _kernel_bvh8_single(nodes_ref, tris_ref,
                                         tri)
                         u = jnp.where(upd, uk, u)
                         v = jnp.where(upd, vk, v)
-                return t, tri, u, v
+                        if uv_payload:
+                            # same association as the shade pass's
+                            # uv0*w + uv1*u + uv2*v interpolation
+                            wk = 1.0 - uk - vk
+                            r = tri_row_scalar(k)
+                            vals = (r(10) * wk + r(12) * uk + r(14) * vk,
+                                    r(11) * wk + r(13) * uk + r(15) * vk,
+                                    r(16), r(17), r(18))
+                            pay = [jnp.where(upd, nv, p)
+                                   for nv, p in zip(vals, pay)]
+                return (t, tri, u, v, *pay)
 
-            t, tri, u, v = jax.lax.cond(jnp.logical_not(is_node), leaf_work,
-                                        lambda cr: cr, (t, tri, u, v))
+            carry = jax.lax.cond(jnp.logical_not(is_node), leaf_work,
+                                 lambda cr: cr, (t, tri, u, v, *pay))
             start_tri_fetch(leaf_first(nxt))
-            return sp, t, tri, u, v
+            return (sp,) + carry
 
-        _, t, tri, u, v = jax.lax.while_loop(cond, body, init)
+        fin = jax.lax.while_loop(cond, body, init)
+        _, t, tri, u, v = fin[:5]
         wait_node_fetch()
         wait_tri_fetch()
         t_out[:] = t
         tri_out[:] = tri
         u_out[:] = u
         v_out[:] = v
+        if uv_payload:
+            for ref, val in zip((tu_out, tv_out, im_out, th_out, tw_out),
+                                fin[5:]):
+                ref[:] = val
 
 
 
@@ -1400,7 +1440,8 @@ def _trace_packets_bvh8(nodes8, tris128, rays, max_leaf: int, any_hit: bool,
                         count_steps: bool = False, group: int = 1,
                         unroll: int = 1, debug_double: str = "",
                         reduce_mode: str = "each",
-                        flag_keys: bool = False, pop2: bool = False):
+                        flag_keys: bool = False, pop2: bool = False,
+                        uv_payload: bool = False):
     n_sub = rays["ox"].shape[0]
     # pad the packet count to a multiple of `group` with dead packets
     # (tmin=1 > tmax=0: the root slab test fails, one pop drains them)
@@ -1428,6 +1469,12 @@ def _trace_packets_bvh8(nodes8, tris128, rays, max_leaf: int, any_hit: bool,
         jax.ShapeDtypeStruct((n_pad, PACKET_LANES), jnp.float32),
         jax.ShapeDtypeStruct((n_pad, PACKET_LANES), jnp.float32),
     ]
+    if uv_payload:
+        assert not any_hit and group == 1 and unroll == 1 \
+            and not count_steps and not pop2, \
+            "uv_payload composes only with the plain closest-hit path"
+        out_shapes += [jax.ShapeDtypeStruct((n_pad, PACKET_LANES),
+                                            jnp.float32)] * 5
     table_spec = pl.BlockSpec(memory_space=pltpu.HBM)
     plain = group == 1 and unroll == 1 and not count_steps
     if pop2:
@@ -1453,7 +1500,7 @@ def _trace_packets_bvh8(nodes8, tris128, rays, max_leaf: int, any_hit: bool,
         kernel = partial(_kernel_bvh8_single, max_leaf=max_leaf,
                          any_hit=any_hit, push_order=push_order,
                          debug_double=debug_double, reduce_mode=reduce_mode,
-                         flag_keys=flag_keys)
+                         flag_keys=flag_keys, uv_payload=uv_payload)
     else:
         scratch = [
             pltpu.SMEM((group, STACK_DEPTH), jnp.int32),
@@ -1468,7 +1515,7 @@ def _trace_packets_bvh8(nodes8, tris128, rays, max_leaf: int, any_hit: bool,
         num_scalar_prefetch=0,
         grid=grid,
         in_specs=[table_spec] * 2 + [ray_spec] * 8,
-        out_specs=[ray_spec] * 4,
+        out_specs=[ray_spec] * len(out_shapes),
         scratch_shapes=scratch,
     )
     outs = pl.pallas_call(
@@ -1489,7 +1536,8 @@ def _trace_packets_bvh8(nodes8, tris128, rays, max_leaf: int, any_hit: bool,
 @partial(jax.jit, static_argnames=("height", "width", "max_leaf",
                                    "interpret", "push_order",
                                    "count_steps", "group", "unroll",
-                                   "debug_double", "reduce_mode", "pop2"))
+                                   "debug_double", "reduce_mode", "pop2",
+                                   "uv_payload"))
 def trace_closest_bvh8(bvh: dict, geom: dict, origin, direction,
                        t_min, t_max, *, height: int, width: int,
                        max_leaf: int = LEAF8_MAX,
@@ -1498,30 +1546,49 @@ def trace_closest_bvh8(bvh: dict, geom: dict, origin, direction,
                        count_steps: bool = False, group: int = 1,
                        unroll: int = 1, debug_double: str = "",
                        reduce_mode: str = "each",
-                       pop2: bool | None = None):
+                       pop2: bool | None = None,
+                       uv_payload: bool | None = None):
     """Closest-hit BVH8 packet trace. bvh must carry 'nodes8'
     (bvh/wide.collapse8). Contract matches trace_closest.
     count_steps=True is a diagnostic: u/v return the packet's node/leaf
     pop counts instead of barycentrics (t/tri stay correct).
     group = packets interleaved per kernel instance (DMA-latency hiding,
-    see _kernel_bvh8; results are group-invariant)."""
+    see _kernel_bvh8; results are group-invariant).
+    uv_payload=True (needs geom['uvp'], scene.py flatten) adds hit keys
+    texu/texv/img/texh/texw from the winning triangle's payload row — the
+    shade pass's texture-quad gather then runs INDEPENDENT of (and per
+    GATHER_TRIGGER_PROBE.json, fully overlapped with) the tri_attr
+    gather. None resolves to UVP_DEFAULT when the payload is available
+    on the plain path."""
     interpret = _resolve_interpret(interpret)
     if pop2 is None:
         pop2 = POP2_DEFAULT and group == 1 and unroll == 1 \
             and not count_steps and not debug_double \
             and reduce_mode == "each"
+    if uv_payload is None:
+        uv_payload = UVP_DEFAULT and "uvp" in geom and group == 1 \
+            and unroll == 1 and not count_steps and not pop2
+    assert not uv_payload or "uvp" in geom, \
+        "uv_payload needs geom['uvp'] (scene.py flatten)"
     tris128 = pack_tris_hbm(geom)
     rays = _rays_to_packets(origin, direction, t_min, t_max, height, width)
-    t, tri, u, v = _trace_packets_bvh8(bvh["nodes8"], tris128, rays,
-                                       max_leaf, any_hit=False,
-                                       interpret=interpret,
-                                       push_order=push_order,
-                                       count_steps=count_steps,
-                                       group=group, unroll=unroll,
-                                       debug_double=debug_double,
-                                       reduce_mode=reduce_mode, pop2=pop2)
+    outs = _trace_packets_bvh8(bvh["nodes8"], tris128, rays,
+                               max_leaf, any_hit=False,
+                               interpret=interpret,
+                               push_order=push_order,
+                               count_steps=count_steps,
+                               group=group, unroll=unroll,
+                               debug_double=debug_double,
+                               reduce_mode=reduce_mode, pop2=pop2,
+                               uv_payload=uv_payload)
+    t, tri, u, v = outs[:4]
     g = partial(_from_packets, height=height, width=width)
-    return dict(t=g(t), tri=g(tri), u=g(u), v=g(v))
+    hits = dict(t=g(t), tri=g(tri), u=g(u), v=g(v))
+    if uv_payload:
+        tu, tv, im, th, tw = outs[4:]
+        hits.update(texu=g(tu), texv=g(tv), img=g(im),
+                    texh=g(th), texw=g(tw))
+    return hits
 
 
 @partial(jax.jit, static_argnames=("height", "width", "max_leaf",

@@ -342,6 +342,11 @@ def pack_tris_hbm(geom: dict):
     tris = tris.at[:t, 3:6].set(jnp.asarray(geom["e1"], jnp.float32))
     tris = tris.at[:t, 6:9].set(jnp.asarray(geom["e2"], jnp.float32))
     tris = tris.at[:t, 9].set(jnp.asarray(geom["tri_id"], jnp.float32))
+    if "uvp" in geom:
+        # uv payload (scene.py flatten): [uv0, uv1, uv2, img, tex_h,
+        # tex_w] at cols 10:19 — read only by the uv_payload closest
+        # kernel (traverse_bvh8), dead lanes otherwise
+        tris = tris.at[:t, 10:19].set(jnp.asarray(geom["uvp"], jnp.float32))
     return tris
 
 

@@ -694,9 +694,20 @@ def shade(scene: dict, camera: dict, lights: dict, hits: dict,
                                             layer, tex_coord, lod)
     elif "tex_quad48" in scene and tex_hw is not None:
         # quad rows: ONE gather fetches the whole 2x2 bilinear footprint of
-        # albedo+ORM+normal at once
-        packed = sample_bilinear_quad(scene["tex_quad48"], tex_hw, img,
-                                      tex_coord, gather=quad_gather,
+        # albedo+ORM+normal at once. When the tracer emitted the uv
+        # payload (hits texu/texv/img/texh/texw, traverse_bvh8
+        # uv_payload=True), the quad index math reads kernel outputs
+        # instead of the tri_attr rows — the quad gather then runs
+        # independent of (and overlapped with) the attr gather
+        # (GATHER_TRIGGER_PROBE.json).
+        if "texu" in hits:
+            q_hw = jnp.stack([hits["texh"], hits["texw"]], axis=-1)
+            q_img = hits["img"].astype(jnp.int32)
+            q_uv = jnp.stack([hits["texu"], hits["texv"]], axis=-1)
+        else:
+            q_hw, q_img, q_uv = tex_hw, img, tex_coord
+        packed = sample_bilinear_quad(scene["tex_quad48"], q_hw, q_img,
+                                      q_uv, gather=quad_gather,
                                       shape=quad_shape,
                                       base=scene.get("tex_quad48_base"))
 
