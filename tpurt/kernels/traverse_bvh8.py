@@ -1570,7 +1570,7 @@ def trace_closest_bvh8(bvh: dict, geom: dict, origin, direction,
             and unroll == 1 and not count_steps and not pop2
     assert not uv_payload or "uvp" in geom, \
         "uv_payload needs geom['uvp'] (scene.py flatten)"
-    tris128 = pack_tris_hbm(geom)
+    tris128 = pack_tris_hbm(geom, uv_payload=uv_payload)
     rays = _rays_to_packets(origin, direction, t_min, t_max, height, width)
     outs = _trace_packets_bvh8(bvh["nodes8"], tris128, rays,
                                max_leaf, any_hit=False,

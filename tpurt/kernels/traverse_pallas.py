@@ -327,12 +327,19 @@ def pack_tables_hbm(bvh: dict, geom: dict):
     return nodes, pack_tris_hbm(geom)
 
 
-def pack_tris_hbm(geom: dict):
+def pack_tris_hbm(geom: dict, uv_payload: bool = False):
     """Triangle rows for the HBM/BVH8 tiers: [v0, e1, e2, tri_id] per
     128-lane f32 row. Padded to >= 8 rows so the leaf block DMA (max_leaf
     rows at a clamped offset) can never read past the table for tiny
     scenes (< max_leaf tris); padding rows are degenerate (e1 = e2 = 0 ->
-    det 0, no hit) and excluded by the kernel's in_range mask anyway."""
+    det 0, no hit) and excluded by the kernel's in_range mask anyway.
+
+    uv_payload=True additionally writes geom['uvp'] (scene.py flatten:
+    [uv0, uv1, uv2, img, tex_h, tex_w]) into cols 10:19 for the payload
+    closest kernel (traverse_bvh8). Gated, not unconditional: the pack
+    runs in-graph per launch and the extra column writes cost a measured
+    0.87 ms per closest trace at 800^2 when nothing reads them
+    (PACK_UVP_PROBE.json)."""
     from ..bvh.wide import LEAF8_MAX
 
     t = geom["v0"].shape[0]
@@ -342,10 +349,7 @@ def pack_tris_hbm(geom: dict):
     tris = tris.at[:t, 3:6].set(jnp.asarray(geom["e1"], jnp.float32))
     tris = tris.at[:t, 6:9].set(jnp.asarray(geom["e2"], jnp.float32))
     tris = tris.at[:t, 9].set(jnp.asarray(geom["tri_id"], jnp.float32))
-    if "uvp" in geom:
-        # uv payload (scene.py flatten): [uv0, uv1, uv2, img, tex_h,
-        # tex_w] at cols 10:19 — read only by the uv_payload closest
-        # kernel (traverse_bvh8), dead lanes otherwise
+    if uv_payload:
         tris = tris.at[:t, 10:19].set(jnp.asarray(geom["uvp"], jnp.float32))
     return tris
 
