@@ -66,6 +66,15 @@ POP2_DEFAULT = False
 # from the tris128 rows) when callers pass uv_payload=None and geom
 # carries 'uvp'. On-chip A/B: tools/uv_payload_probe.py.
 UVP_DEFAULT = False
+# Packet FATNESS: one grid step traverses `fat` horizontally-adjacent
+# 32x32 image tiles as ONE (8*fat, 128) packet behind a single stack.
+# Total pops shrink toward the union of the tiles' node sets while the
+# fixed per-step scalar chain (pop/decode/cond/loop — ~80% of the step,
+# PERF_ROOFLINE.md block A) is paid once per fat packet; the added
+# (8*fat,128) slab/MT vector work is the ~free part of the step
+# (BVH8_STEP_ABLATE.json). Defaults flipped by tools/bvh8_fat_probe.py.
+FAT_DEFAULT = 1        # closest-hit trace
+FAT_ANY_DEFAULT = 1    # fused multi-light any-hit (shadow) trace
 # Stack leaf codes pack -(first * LEAF_CODE_BASE + count) - 1; the base
 # bounds leaf_max (< LEAF_CODE_BASE) and keeps first exact in i32 for
 # scenes up to 2^31/base triangles.
@@ -91,7 +100,8 @@ def _kernel_bvh8_single(nodes_ref, tris_ref,
                  *rest,
                  max_leaf: int, any_hit: bool, push_order: str = "sort",
                  debug_double: str = "", reduce_mode: str = "each",
-                 flag_keys: bool = False, uv_payload: bool = False):
+                 flag_keys: bool = False, uv_payload: bool = False,
+                 count_steps: bool = False):
     if uv_payload:
         # 5 extra hit outputs: interpolated texture uv + [img, th, tw]
         # copied from the winning triangle's payload columns (rows 10:19,
@@ -287,14 +297,18 @@ def _kernel_bvh8_single(nodes_ref, tris_ref,
 
     if any_hit:
         init = (jnp.int32(1), jnp.zeros_like(t_min))
+        if count_steps:
+            # diagnostic: node/leaf pop counters ride the carry and come
+            # back through u_out/v_out (same contract as _kernel_bvh8)
+            init = init + (jnp.int32(0), jnp.int32(0))
 
         def cond(c):
-            sp, occ = c
+            sp, occ = c[0], c[1]
             return (sp > 0) & jnp.logical_not(
                 jnp.all((occ > 0.0) | (t_max0 <= t_min)))
 
         def body(c):
-            sp, occ = c
+            sp, occ = c[0], c[1]
             top = stack[sp - 1]
             sp = sp - 1
             is_node = top >= 0
@@ -335,12 +349,20 @@ def _kernel_bvh8_single(nodes_ref, tris_ref,
             occ = jax.lax.cond(jnp.logical_not(is_node), leaf_work,
                                lambda o: o, occ)
             start_tri_fetch(leaf_first(nxt))
+            if count_steps:
+                nc = c[2] + jnp.where(is_node, 1, 0)
+                lc = c[3] + jnp.where(is_node, 0, 1)
+                return sp, occ, nc, lc
             return sp, occ
 
-        _, occluded = jax.lax.while_loop(cond, body, init)
+        fin = jax.lax.while_loop(cond, body, init)
+        occluded = fin[1]
         wait_node_fetch()
         wait_tri_fetch()
         t_out[:] = occluded
+        if count_steps:
+            u_out[:] = jnp.full_like(t_min, fin[2].astype(jnp.float32))
+            v_out[:] = jnp.full_like(t_min, fin[3].astype(jnp.float32))
     else:
         def tri_row_scalar(k):
             def r(c):
@@ -352,6 +374,9 @@ def _kernel_bvh8_single(nodes_ref, tris_ref,
         # zero extent into the shade pass's mod/div index math
         extra = (zero, zero, zero, jnp.ones_like(t_min),
                  jnp.ones_like(t_min)) if uv_payload else ()
+        assert not (uv_payload and count_steps)
+        if count_steps:
+            extra = (jnp.int32(0), jnp.int32(0))
         init = (jnp.int32(1), t_max0,
                 jnp.full(t_min.shape, -1, jnp.int32),
                 jnp.zeros_like(t_min), jnp.zeros_like(t_min)) + extra
@@ -361,7 +386,7 @@ def _kernel_bvh8_single(nodes_ref, tris_ref,
 
         def body(c):
             sp, t, tri, u, v = c[:5]
-            pay = c[5:]
+            pay = c[5:7] if count_steps else c[5:]
             top = stack[sp - 1]
             sp = sp - 1
             is_node = top >= 0
@@ -410,6 +435,10 @@ def _kernel_bvh8_single(nodes_ref, tris_ref,
             carry = jax.lax.cond(jnp.logical_not(is_node), leaf_work,
                                  lambda cr: cr, (t, tri, u, v, *pay))
             start_tri_fetch(leaf_first(nxt))
+            if count_steps:
+                nc = carry[4] + jnp.where(is_node, 1, 0)
+                lc = carry[5] + jnp.where(is_node, 0, 1)
+                return (sp,) + carry[:4] + (nc, lc)
             return (sp,) + carry
 
         fin = jax.lax.while_loop(cond, body, init)
@@ -418,8 +447,12 @@ def _kernel_bvh8_single(nodes_ref, tris_ref,
         wait_tri_fetch()
         t_out[:] = t
         tri_out[:] = tri
-        u_out[:] = u
-        v_out[:] = v
+        if count_steps:
+            u_out[:] = jnp.full_like(t, fin[5].astype(jnp.float32))
+            v_out[:] = jnp.full_like(t, fin[6].astype(jnp.float32))
+        else:
+            u_out[:] = u
+            v_out[:] = v
         if uv_payload:
             for ref, val in zip((tu_out, tv_out, im_out, th_out, tw_out),
                                 fin[5:]):
@@ -1029,18 +1062,40 @@ def _kernel_bvh8_any_multi_pop2(nodes_ref, tris_ref, *refs,
 
 def _trace_packets_bvh8_any_multi(nodes8, tris128, rays_list,
                                   max_leaf: int, interpret: bool,
-                                  pop2: bool = False):
+                                  pop2: bool = False, fat: int = 1):
     """Fused any-hit over S per-set packet dicts (each (P*8, 128)). Every
     set's component arrays feed the kernel as their OWN inputs with (8,128)
     blocks at the same grid index — one grid step sees all S ray sets of
     the same 32x32 pixel tile with ZERO pre-interleave relayout (an
     (S*8,128) concat layout cost ~1 ms of pure data movement at 800²).
-    pop2 routes through the two-pop kernel (double scratch)."""
+    pop2 routes through the two-pop kernel (double scratch).
+    fat > 1 merges that many adjacent tiles into one (8*fat, 128) packet
+    per set (see FAT_ANY_DEFAULT)."""
     n_sets = len(rays_list)
     n_sub = rays_list[0]["ox"].shape[0]
-    n_pk = n_sub // 8
+    if fat > 1:
+        assert not pop2, "fat packets compose only with the one-pop kernel"
+        blk = 8 * fat
+        n_pad = -(-n_sub // blk) * blk
+        if n_pad != n_sub:
+            ext = n_pad - n_sub
 
-    ray_spec = pl.BlockSpec((8, PACKET_LANES), lambda i: (i, 0),
+            def pad(a, val):
+                return jnp.concatenate(
+                    [a, jnp.full((ext, PACKET_LANES), val, a.dtype)], axis=0)
+
+            rays_list = [dict(
+                ox=pad(r["ox"], 0.0), oy=pad(r["oy"], 0.0),
+                oz=pad(r["oz"], 0.0), dx=pad(r["dx"], 1.0),
+                dy=pad(r["dy"], 1.0), dz=pad(r["dz"], 1.0),
+                tmin=pad(r["tmin"], 1.0), tmax=pad(r["tmax"], 0.0))
+                for r in rays_list]
+        n_out = n_pad
+    else:
+        n_out = n_sub
+    n_pk = n_out // (8 * fat)
+
+    ray_spec = pl.BlockSpec((8 * fat, PACKET_LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     table_spec = pl.BlockSpec(memory_space=pltpu.HBM)
     if pop2:
@@ -1074,21 +1129,22 @@ def _trace_packets_bvh8_any_multi(nodes8, tris128, rays_list,
     occs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n_sub, PACKET_LANES), jnp.float32)
+        out_shape=[jax.ShapeDtypeStruct((n_out, PACKET_LANES), jnp.float32)
                    for _ in range(n_sets)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(nodes8, tris128, *flat_rays)
-    return list(occs)
+    return [o[:n_sub] for o in occs] if n_out != n_sub else list(occs)
 
 
 @partial(jax.jit, static_argnames=("height", "width", "max_leaf",
-                                   "interpret", "pop2"))
+                                   "interpret", "pop2", "fat"))
 def trace_any_bvh8_multi(bvh: dict, geom: dict, origin, dirs,
                          t_min, t_maxs, *, height: int, width: int,
                          max_leaf: int = LEAF8_MAX,
                          interpret: bool | None = None,
-                         pop2: bool | None = None):
+                         pop2: bool | None = None,
+                         fat: int | None = None):
     """Fused any-hit BVH8 trace of S ray sets sharing origins: dirs a list
     of S (N, 3) arrays (or a stacked (S, N, 3)), t_maxs matching (N,)
     entries -> (S, H*W) bool occlusion. Bit-identical to S separate
@@ -1096,15 +1152,18 @@ def trace_any_bvh8_multi(bvh: dict, geom: dict, origin, dirs,
     per frame instead of one per shadow-casting light). Lists are the fast
     calling convention — stacking S big arrays is a pure relayout."""
     interpret = _resolve_interpret(interpret)
+    if fat is None:
+        fat = FAT_ANY_DEFAULT
     if pop2 is None:
-        pop2 = POP2_DEFAULT
+        pop2 = POP2_DEFAULT and fat == 1
     tris128 = pack_tris_hbm(geom)
     n_sets = len(dirs)
     rays_list = [
         _rays_to_packets(origin, dirs[s], t_min, t_maxs[s], height, width)
         for s in range(n_sets)]
     occs = _trace_packets_bvh8_any_multi(bvh["nodes8"], tris128, rays_list,
-                                         max_leaf, interpret, pop2=pop2)
+                                         max_leaf, interpret, pop2=pop2,
+                                         fat=fat)
     return jnp.stack([_from_packets(o, height, width) > 0.5 for o in occs])
 
 
@@ -1441,11 +1500,17 @@ def _trace_packets_bvh8(nodes8, tris128, rays, max_leaf: int, any_hit: bool,
                         unroll: int = 1, debug_double: str = "",
                         reduce_mode: str = "each",
                         flag_keys: bool = False, pop2: bool = False,
-                        uv_payload: bool = False):
+                        uv_payload: bool = False, fat: int = 1):
     n_sub = rays["ox"].shape[0]
-    # pad the packet count to a multiple of `group` with dead packets
+    if fat > 1:
+        assert group == 1 and unroll == 1 and not pop2, \
+            "fat packets compose only with the plain single-packet path"
+        # reduce_mode "pair" packs two lane-hit counts as a + 4096*b in
+        # one f32; counts reach 1024*fat, so exactness needs fat <= 2
+        assert not (reduce_mode == "pair" and fat > 2)
+    # pad the packet count to a multiple of `group*fat` with dead packets
     # (tmin=1 > tmax=0: the root slab test fails, one pop drains them)
-    blk = 8 * group
+    blk = 8 * group * fat
     n_pad = -(-n_sub // blk) * blk
     if n_pad != n_sub:
         ext = n_pad - n_sub
@@ -1476,9 +1541,12 @@ def _trace_packets_bvh8(nodes8, tris128, rays, max_leaf: int, any_hit: bool,
         out_shapes += [jax.ShapeDtypeStruct((n_pad, PACKET_LANES),
                                             jnp.float32)] * 5
     table_spec = pl.BlockSpec(memory_space=pltpu.HBM)
-    plain = group == 1 and unroll == 1 and not count_steps
+    # count_steps runs on the single-packet kernel too (per-fat-packet
+    # counters); the grouped kernel serves only group/unroll experiments
+    plain = group == 1 and unroll == 1
     if pop2:
-        assert plain and not debug_double and reduce_mode == "each", \
+        assert plain and not count_steps and not debug_double \
+            and reduce_mode == "each", \
             "pop2 composes only with the plain single-packet path"
         scratch = [
             pltpu.SMEM((STACK_DEPTH,), jnp.int32),
@@ -1500,7 +1568,8 @@ def _trace_packets_bvh8(nodes8, tris128, rays, max_leaf: int, any_hit: bool,
         kernel = partial(_kernel_bvh8_single, max_leaf=max_leaf,
                          any_hit=any_hit, push_order=push_order,
                          debug_double=debug_double, reduce_mode=reduce_mode,
-                         flag_keys=flag_keys, uv_payload=uv_payload)
+                         flag_keys=flag_keys, uv_payload=uv_payload,
+                         count_steps=count_steps)
     else:
         scratch = [
             pltpu.SMEM((group, STACK_DEPTH), jnp.int32),
@@ -1537,7 +1606,7 @@ def _trace_packets_bvh8(nodes8, tris128, rays, max_leaf: int, any_hit: bool,
                                    "interpret", "push_order",
                                    "count_steps", "group", "unroll",
                                    "debug_double", "reduce_mode", "pop2",
-                                   "uv_payload"))
+                                   "uv_payload", "fat"))
 def trace_closest_bvh8(bvh: dict, geom: dict, origin, direction,
                        t_min, t_max, *, height: int, width: int,
                        max_leaf: int = LEAF8_MAX,
@@ -1547,7 +1616,8 @@ def trace_closest_bvh8(bvh: dict, geom: dict, origin, direction,
                        unroll: int = 1, debug_double: str = "",
                        reduce_mode: str = "each",
                        pop2: bool | None = None,
-                       uv_payload: bool | None = None):
+                       uv_payload: bool | None = None,
+                       fat: int | None = None):
     """Closest-hit BVH8 packet trace. bvh must carry 'nodes8'
     (bvh/wide.collapse8). Contract matches trace_closest.
     count_steps=True is a diagnostic: u/v return the packet's node/leaf
@@ -1561,8 +1631,10 @@ def trace_closest_bvh8(bvh: dict, geom: dict, origin, direction,
     gather. None resolves to UVP_DEFAULT when the payload is available
     on the plain path."""
     interpret = _resolve_interpret(interpret)
+    if fat is None:
+        fat = FAT_DEFAULT if group == 1 and unroll == 1 else 1
     if pop2 is None:
-        pop2 = POP2_DEFAULT and group == 1 and unroll == 1 \
+        pop2 = POP2_DEFAULT and group == 1 and unroll == 1 and fat == 1 \
             and not count_steps and not debug_double \
             and reduce_mode == "each"
     if uv_payload is None:
@@ -1580,7 +1652,7 @@ def trace_closest_bvh8(bvh: dict, geom: dict, origin, direction,
                                group=group, unroll=unroll,
                                debug_double=debug_double,
                                reduce_mode=reduce_mode, pop2=pop2,
-                               uv_payload=uv_payload)
+                               uv_payload=uv_payload, fat=fat)
     t, tri, u, v = outs[:4]
     g = partial(_from_packets, height=height, width=width)
     hits = dict(t=g(t), tri=g(tri), u=g(u), v=g(v))
@@ -1594,7 +1666,8 @@ def trace_closest_bvh8(bvh: dict, geom: dict, origin, direction,
 @partial(jax.jit, static_argnames=("height", "width", "max_leaf",
                                    "interpret", "group", "unroll",
                                    "debug_double", "reduce_mode",
-                                   "push_order", "flag_keys", "pop2"))
+                                   "push_order", "flag_keys", "pop2",
+                                   "fat", "count_steps"))
 def trace_any_bvh8(bvh: dict, geom: dict, origin, direction,
                    t_min, t_max, *, height: int, width: int,
                    max_leaf: int = LEAF8_MAX,
@@ -1602,7 +1675,8 @@ def trace_any_bvh8(bvh: dict, geom: dict, origin, direction,
                    unroll: int = 1, debug_double: str = "",
                    reduce_mode: str = "each", push_order: str = "none",
                    flag_keys: bool | None = None,
-                   pop2: bool | None = None):
+                   pop2: bool | None = None,
+                   fat: int | None = None, count_steps: bool = False):
     """Any-hit BVH8 packet trace; returns boolean occlusion mask (H*W,).
     push_order="none" (default) pushes children unsorted; "sort" pops
     near-first (early-exit A/B — see the note in the kernel body).
@@ -1611,21 +1685,29 @@ def trace_any_bvh8(bvh: dict, geom: dict, origin, direction,
     read — with 0/_NEG validity flags, dropping ~88 scalar ops from
     every node step's serial chain; bit-identical traversal."""
     interpret = _resolve_interpret(interpret)
+    if fat is None:
+        fat = FAT_DEFAULT if group == 1 and unroll == 1 else 1
     if pop2 is None:
-        pop2 = POP2_DEFAULT and group == 1 and unroll == 1 \
-            and not debug_double and reduce_mode == "each"
+        pop2 = POP2_DEFAULT and group == 1 and unroll == 1 and fat == 1 \
+            and not debug_double and not count_steps \
+            and reduce_mode == "each"
     if flag_keys is None:
         flag_keys = push_order == "none"
     assert not (flag_keys and push_order != "none"), \
         "flag_keys discards key values; only valid with unsorted pushes"
     tris128 = pack_tris_hbm(geom)
     rays = _rays_to_packets(origin, direction, t_min, t_max, height, width)
-    occ, _, _, _ = _trace_packets_bvh8(bvh["nodes8"], tris128, rays,
+    occ, _, u, v = _trace_packets_bvh8(bvh["nodes8"], tris128, rays,
                                        max_leaf, any_hit=True,
                                        interpret=interpret, group=group,
                                        unroll=unroll,
                                        debug_double=debug_double,
                                        reduce_mode=reduce_mode,
                                        push_order=push_order,
-                                       flag_keys=flag_keys, pop2=pop2)
-    return _from_packets(occ, height, width) > 0.5
+                                       flag_keys=flag_keys, pop2=pop2,
+                                       fat=fat, count_steps=count_steps)
+    res = _from_packets(occ, height, width) > 0.5
+    if count_steps:
+        g = partial(_from_packets, height=height, width=width)
+        return res, g(u), g(v)
+    return res
