@@ -231,7 +231,7 @@ def _ring_closest_bvh8(nodes8, tris128, origin, direction, t_min, t_max,
     the running-best (t, tri, u, v) planes ride along, with t fed back as
     each stop's tmax so the shrinking bound culls remote subtrees exactly
     like the single-chip kernel's own t bound."""
-    from ..kernels.traverse_bvh8 import _trace_packets_bvh8
+    from ..kernels.traverse_bvh8 import FAT_DEFAULT, _trace_packets_bvh8
     from ..kernels.traverse_pallas import _from_packets, _rays_to_packets
 
     rays = _rays_to_packets(origin, direction, t_min, t_max, band, width)
@@ -244,7 +244,7 @@ def _ring_closest_bvh8(nodes8, tris128, origin, direction, t_min, t_max,
         rays_c, t, tri, u, v = carry
         t_n, tri_n, u_n, v_n = _trace_packets_bvh8(
             nodes8, tris128, dict(rays_c, tmax=t), max_leaf,
-            any_hit=False, interpret=interpret)
+            any_hit=False, interpret=interpret, fat=FAT_DEFAULT)
         better = t_n < t
         t = jnp.where(better, t_n, t)
         tri = jnp.where(better, tri_n, tri)
@@ -263,7 +263,8 @@ def _ring_any_multi_bvh8(nodes8, tris128, origin, dirs, t_min, t_maxs,
     pixel tile's traversal stack, kernels/traverse_bvh8), and lanes that
     occlude park with tmax=0 for the rest of the tour. Returns (S, band*W)
     bool, bit-identical to S separate single-set tours."""
-    from ..kernels.traverse_bvh8 import _trace_packets_bvh8_any_multi
+    from ..kernels.traverse_bvh8 import (FAT_ANY_DEFAULT,
+                                         _trace_packets_bvh8_any_multi)
     from ..kernels.traverse_pallas import _from_packets, _rays_to_packets
 
     n_sets = len(dirs)
@@ -277,7 +278,8 @@ def _ring_any_multi_bvh8(nodes8, tris128, origin, dirs, t_min, t_maxs,
                                              sets[s]["tmax"]))
                 for s in range(n_sets)]
         hit = _trace_packets_bvh8_any_multi(nodes8, tris128, live,
-                                            max_leaf, interpret)
+                                            max_leaf, interpret,
+                                            fat=FAT_ANY_DEFAULT)
         occs = [jnp.maximum(occs[s], hit[s]) for s in range(n_sets)]
         carry = _rotate(axis, n, (sets, occs))
     _, occs = carry

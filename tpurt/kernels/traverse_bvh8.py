@@ -73,7 +73,7 @@ UVP_DEFAULT = False
 # PERF_ROOFLINE.md block A) is paid once per fat packet; the added
 # (8*fat,128) slab/MT vector work is the ~free part of the step
 # (BVH8_STEP_ABLATE.json). Defaults flipped by tools/bvh8_fat_probe.py.
-FAT_DEFAULT = 1        # closest-hit trace
+FAT_DEFAULT = 2        # closest-hit trace
 FAT_ANY_DEFAULT = 1    # fused multi-light any-hit (shadow) trace
 # Stack leaf codes pack -(first * LEAF_CODE_BASE + count) - 1; the base
 # bounds leaf_max (< LEAF_CODE_BASE) and keeps first exact in i32 for
