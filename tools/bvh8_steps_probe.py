@@ -80,11 +80,16 @@ def main():
 
     null_ms = stage(null_fn)
     trace_ms = stage(trace_fn) - null_ms
-    packets = (H // 32) * (W // 32)
-    total_steps = float(node_pops.sum() + leaf_pops.sum())
+    from tpurt.kernels.traverse_bvh8 import FAT_DEFAULT
+    tiles = (H // 32) * (W // 32)
+    # count_steps counters are SHARED across a fat packet's merged tiles
+    # (replicated per tile) — real packet/step totals divide by fat
+    packets = tiles // FAT_DEFAULT
+    total_steps = float(node_pops.sum() + leaf_pops.sum()) / FAT_DEFAULT
     report = dict(
         device=str(jax.devices()[0]), resolution=f"{W}x{H}",
         tris=int(scene["geom"]["v0"].shape[0]), packets=packets,
+        fat=FAT_DEFAULT, total_steps=int(total_steps),
         node_pops=dict(mean=float(node_pops.mean()),
                        p50=float(np.percentile(node_pops, 50)),
                        p95=float(np.percentile(node_pops, 95)),
