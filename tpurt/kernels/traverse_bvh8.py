@@ -1152,10 +1152,10 @@ def trace_any_bvh8_multi(bvh: dict, geom: dict, origin, dirs,
     per frame instead of one per shadow-casting light). Lists are the fast
     calling convention — stacking S big arrays is a pure relayout."""
     interpret = _resolve_interpret(interpret)
-    if fat is None:
-        fat = FAT_ANY_DEFAULT
     if pop2 is None:
-        pop2 = POP2_DEFAULT and fat == 1
+        pop2 = POP2_DEFAULT and fat in (None, 1)
+    if fat is None:
+        fat = 1 if pop2 else FAT_ANY_DEFAULT
     tris128 = pack_tris_hbm(geom)
     n_sets = len(dirs)
     rays_list = [
@@ -1631,12 +1631,14 @@ def trace_closest_bvh8(bvh: dict, geom: dict, origin, direction,
     gather. None resolves to UVP_DEFAULT when the payload is available
     on the plain path."""
     interpret = _resolve_interpret(interpret)
-    if fat is None:
-        fat = FAT_DEFAULT if group == 1 and unroll == 1 else 1
     if pop2 is None:
-        pop2 = POP2_DEFAULT and group == 1 and unroll == 1 and fat == 1 \
-            and not count_steps and not debug_double \
+        pop2 = POP2_DEFAULT and group == 1 and unroll == 1 \
+            and fat in (None, 1) and not count_steps and not debug_double \
             and reduce_mode == "each"
+    if fat is None:
+        # an explicit pop2=True (probe/tests) keeps the one-tile packet:
+        # the two knobs are separate experiments and do not compose
+        fat = FAT_DEFAULT if group == 1 and unroll == 1 and not pop2 else 1
     if uv_payload is None:
         uv_payload = UVP_DEFAULT and "uvp" in geom and group == 1 \
             and unroll == 1 and not count_steps and not pop2
@@ -1685,12 +1687,12 @@ def trace_any_bvh8(bvh: dict, geom: dict, origin, direction,
     read — with 0/_NEG validity flags, dropping ~88 scalar ops from
     every node step's serial chain; bit-identical traversal."""
     interpret = _resolve_interpret(interpret)
-    if fat is None:
-        fat = FAT_DEFAULT if group == 1 and unroll == 1 else 1
     if pop2 is None:
-        pop2 = POP2_DEFAULT and group == 1 and unroll == 1 and fat == 1 \
-            and not debug_double and not count_steps \
+        pop2 = POP2_DEFAULT and group == 1 and unroll == 1 \
+            and fat in (None, 1) and not debug_double and not count_steps \
             and reduce_mode == "each"
+    if fat is None:
+        fat = FAT_DEFAULT if group == 1 and unroll == 1 and not pop2 else 1
     if flag_keys is None:
         flag_keys = push_order == "none"
     assert not (flag_keys and push_order != "none"), \
