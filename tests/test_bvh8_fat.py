@@ -109,3 +109,34 @@ def test_fat_count_steps_diagnostic(setup_fat):
             un = fat2[2 * p]
             assert fat2[2 * p] == fat2[2 * p + 1]
             assert max(a, b) <= un <= a + b
+
+
+@pytest.mark.parametrize("fat", [1, 2])
+def test_when_push_bit_identical(setup_fat, fat):
+    """Predicated pushes (when_push: children + sort + stack writes under
+    @pl.when(is_node), sp through an SMEM cell) must match the lax.cond +
+    unconditional-push step bit-for-bit on closest, any-hit and the fused
+    multi-set tour — dead pushes never advanced sp, so skipping them is
+    unobservable."""
+    tree8, geom, o, d = setup_fat
+    ref = trace_closest_bvh8(tree8, geom, o, d, 1e-3, 1e4,
+                             height=H, width=W, interpret=True, fat=fat)
+    got = trace_closest_bvh8(tree8, geom, o, d, 1e-3, 1e4,
+                             height=H, width=W, interpret=True, fat=fat,
+                             when_push=True)
+    for k in ("t", "tri", "u", "v"):
+        np.testing.assert_array_equal(np.asarray(ref[k]), np.asarray(got[k]))
+    refa = trace_any_bvh8(tree8, geom, o, d, 1e-3, 8.0,
+                          height=H, width=W, interpret=True, fat=fat)
+    gota = trace_any_bvh8(tree8, geom, o, d, 1e-3, 8.0,
+                          height=H, width=W, interpret=True, fat=fat,
+                          when_push=True)
+    np.testing.assert_array_equal(np.asarray(refa), np.asarray(gota))
+    dirs = [d, jnp.asarray(np.asarray(d)[:, [1, 0, 2]])]
+    t_maxs = [jnp.full((H * W,), 8.0), jnp.full((H * W,), 6.0)]
+    refm = trace_any_bvh8_multi(tree8, geom, o, dirs, 1e-3, t_maxs,
+                                height=H, width=W, interpret=True, fat=fat)
+    gotm = trace_any_bvh8_multi(tree8, geom, o, dirs, 1e-3, t_maxs,
+                                height=H, width=W, interpret=True, fat=fat,
+                                when_push=True)
+    np.testing.assert_array_equal(np.asarray(refm), np.asarray(gotm))

@@ -75,6 +75,14 @@ UVP_DEFAULT = False
 # (BVH8_STEP_ABLATE.json). Defaults flipped by tools/bvh8_fat_probe.py.
 FAT_DEFAULT = 2        # closest-hit trace
 FAT_ANY_DEFAULT = 1    # fused multi-light any-hit (shadow) trace
+# Predicated pushes: compute children + Batcher sort + stack pushes under
+# @pl.when(is_node) with the stack pointer in an SMEM cell, instead of a
+# 16-output lax.cond (no_children dummies) followed by an UNCONDITIONAL
+# sort+push that runs the full scalar chain on _NEG keys every leaf pop
+# (~46% of steps). Bit-identical: dead pushes never advanced sp and their
+# stack writes were overwritten before any pop could read them.
+# Flipped by tools/when_push_probe.py.
+WHEN_PUSH_DEFAULT = False
 # Stack leaf codes pack -(first * LEAF_CODE_BASE + count) - 1; the base
 # bounds leaf_max (< LEAF_CODE_BASE) and keeps first exact in i32 for
 # scenes up to 2^31/base triangles.
@@ -101,7 +109,11 @@ def _kernel_bvh8_single(nodes_ref, tris_ref,
                  max_leaf: int, any_hit: bool, push_order: str = "sort",
                  debug_double: str = "", reduce_mode: str = "each",
                  flag_keys: bool = False, uv_payload: bool = False,
-                 count_steps: bool = False):
+                 count_steps: bool = False, when_push: bool = False):
+    if when_push:
+        # trailing SMEM (1,) cell carries the post-push stack pointer out
+        # of the pl.when region
+        *rest, sp_cell = rest
     if uv_payload:
         # 5 extra hit outputs: interpolated texture uv + [img, th, tw]
         # copied from the winning triangle's payload columns (rows 10:19,
@@ -316,8 +328,6 @@ def _kernel_bvh8_single(nodes_ref, tris_ref,
             wait_tri_fetch()
             tfar = jnp.where(occ > 0.0, t_min, t_max0)
 
-            keys_codes = jax.lax.cond(is_node, node_children, no_children,
-                                      tfar)
             # "none" (default): order is irrelevant for CORRECTNESS, and
             # occluders cluster near the shadow-ray origin, so near-first
             # popping ("sort", far-to-near pushes) was a plausible
@@ -326,7 +336,19 @@ def _kernel_bvh8_single(nodes_ref, tris_ref,
             # sort costs more than the saved steps at these scene depths.
             push_any = {"sort": push_sorted, "nearlast": push_nearlast,
                         "none": push_unsorted}[push_order]
-            sp = push_any(sp, keys_codes[:8], keys_codes[8:])
+            if when_push:
+                sp_cell[0] = sp
+
+                @pl.when(is_node)
+                def _():
+                    kc = node_children(tfar)
+                    sp_cell[0] = push_any(sp, kc[:8], kc[8:])
+
+                sp = sp_cell[0]
+            else:
+                keys_codes = jax.lax.cond(is_node, node_children,
+                                          no_children, tfar)
+                sp = push_any(sp, keys_codes[:8], keys_codes[8:])
             # node_buf fully consumed -> speculate the next node row now
             # (overlaps the leaf math); the TRI fetch must wait until
             # leaf_work has read this step's tri_buf
@@ -393,10 +415,21 @@ def _kernel_bvh8_single(nodes_ref, tris_ref,
             wait_node_fetch()
             wait_tri_fetch()
 
-            keys_codes = jax.lax.cond(is_node, node_children, no_children, t)
             push = {"sort": push_sorted, "nearlast": push_nearlast,
                     "none": push_unsorted}[push_order]
-            sp = push(sp, keys_codes[:8], keys_codes[8:])
+            if when_push:
+                sp_cell[0] = sp
+
+                @pl.when(is_node)
+                def _():
+                    kc = node_children(t)
+                    sp_cell[0] = push(sp, kc[:8], kc[8:])
+
+                sp = sp_cell[0]
+            else:
+                keys_codes = jax.lax.cond(is_node, node_children,
+                                          no_children, t)
+                sp = push(sp, keys_codes[:8], keys_codes[8:])
             nxt = stack[jnp.maximum(sp - 1, 0)]
             start_node_fetch(nxt)
 
@@ -734,7 +767,10 @@ def _kernel_bvh8_pop2(nodes_ref, tris_ref,
 
 
 def _kernel_bvh8_any_multi(nodes_ref, tris_ref, *refs,
-                           max_leaf: int, n_sets: int):
+                           max_leaf: int, n_sets: int,
+                           when_push: bool = False):
+    if when_push:
+        *refs, sp_cell = refs
     """Fused multi-set any-hit traversal: S independent shadow-ray sets for
     the SAME pixel tile (one per shadow-casting light — identical origins,
     different directions) traverse ONE shared stack. A child is pushed when
@@ -866,8 +902,19 @@ def _kernel_bvh8_any_multi(nodes_ref, tris_ref, *refs,
         tfars = tuple(jnp.where(occs[s] > 0.0, rays[s].t_min,
                                 rays[s].t_max0) for s in range(n_sets))
 
-        keys_codes = jax.lax.cond(is_node, node_children, no_children, tfars)
-        sp = push_unsorted(sp, keys_codes[:8], keys_codes[8:])
+        if when_push:
+            sp_cell[0] = sp
+
+            @pl.when(is_node)
+            def _():
+                kc = node_children(tfars)
+                sp_cell[0] = push_unsorted(sp, kc[:8], kc[8:])
+
+            sp = sp_cell[0]
+        else:
+            keys_codes = jax.lax.cond(is_node, node_children, no_children,
+                                      tfars)
+            sp = push_unsorted(sp, keys_codes[:8], keys_codes[8:])
         nxt = stack[jnp.maximum(sp - 1, 0)]
         start_node_fetch(nxt)
 
@@ -1062,7 +1109,8 @@ def _kernel_bvh8_any_multi_pop2(nodes_ref, tris_ref, *refs,
 
 def _trace_packets_bvh8_any_multi(nodes8, tris128, rays_list,
                                   max_leaf: int, interpret: bool,
-                                  pop2: bool = False, fat: int = 1):
+                                  pop2: bool = False, fat: int = 1,
+                                  when_push: bool = False):
     """Fused any-hit over S per-set packet dicts (each (P*8, 128)). Every
     set's component arrays feed the kernel as their OWN inputs with (8,128)
     blocks at the same grid index — one grid step sees all S ray sets of
@@ -1114,8 +1162,10 @@ def _trace_packets_bvh8_any_multi(nodes8, tris128, rays_list,
             pltpu.VMEM((max_leaf, 128), jnp.float32),  # leaf tri rows
             pltpu.SemaphoreType.DMA((2,)),
         ]
+        if when_push:
+            scratch.append(pltpu.SMEM((1,), jnp.int32))  # post-push sp
         kernel = partial(_kernel_bvh8_any_multi, max_leaf=max_leaf,
-                         n_sets=n_sets)
+                         n_sets=n_sets, when_push=when_push)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_pk,),
@@ -1138,13 +1188,15 @@ def _trace_packets_bvh8_any_multi(nodes8, tris128, rays_list,
 
 
 @partial(jax.jit, static_argnames=("height", "width", "max_leaf",
-                                   "interpret", "pop2", "fat"))
+                                   "interpret", "pop2", "fat",
+                                   "when_push"))
 def trace_any_bvh8_multi(bvh: dict, geom: dict, origin, dirs,
                          t_min, t_maxs, *, height: int, width: int,
                          max_leaf: int = LEAF8_MAX,
                          interpret: bool | None = None,
                          pop2: bool | None = None,
-                         fat: int | None = None):
+                         fat: int | None = None,
+                         when_push: bool | None = None):
     """Fused any-hit BVH8 trace of S ray sets sharing origins: dirs a list
     of S (N, 3) arrays (or a stacked (S, N, 3)), t_maxs matching (N,)
     entries -> (S, H*W) bool occlusion. Bit-identical to S separate
@@ -1156,6 +1208,8 @@ def trace_any_bvh8_multi(bvh: dict, geom: dict, origin, dirs,
         pop2 = POP2_DEFAULT and fat in (None, 1)
     if fat is None:
         fat = 1 if pop2 else FAT_ANY_DEFAULT
+    if when_push is None:
+        when_push = WHEN_PUSH_DEFAULT and not pop2
     tris128 = pack_tris_hbm(geom)
     n_sets = len(dirs)
     rays_list = [
@@ -1163,7 +1217,7 @@ def trace_any_bvh8_multi(bvh: dict, geom: dict, origin, dirs,
         for s in range(n_sets)]
     occs = _trace_packets_bvh8_any_multi(bvh["nodes8"], tris128, rays_list,
                                          max_leaf, interpret, pop2=pop2,
-                                         fat=fat)
+                                         fat=fat, when_push=when_push)
     return jnp.stack([_from_packets(o, height, width) > 0.5 for o in occs])
 
 
@@ -1500,7 +1554,8 @@ def _trace_packets_bvh8(nodes8, tris128, rays, max_leaf: int, any_hit: bool,
                         unroll: int = 1, debug_double: str = "",
                         reduce_mode: str = "each",
                         flag_keys: bool = False, pop2: bool = False,
-                        uv_payload: bool = False, fat: int = 1):
+                        uv_payload: bool = False, fat: int = 1,
+                        when_push: bool = False):
     n_sub = rays["ox"].shape[0]
     if fat > 1:
         assert group == 1 and unroll == 1 and not pop2, \
@@ -1544,6 +1599,8 @@ def _trace_packets_bvh8(nodes8, tris128, rays, max_leaf: int, any_hit: bool,
     # count_steps runs on the single-packet kernel too (per-fat-packet
     # counters); the grouped kernel serves only group/unroll experiments
     plain = group == 1 and unroll == 1
+    assert not when_push or (plain and not pop2), \
+        "when_push composes only with the plain single-packet path"
     if pop2:
         assert plain and not count_steps and not debug_double \
             and reduce_mode == "each", \
@@ -1565,11 +1622,13 @@ def _trace_packets_bvh8(nodes8, tris128, rays, max_leaf: int, any_hit: bool,
             pltpu.VMEM((max_leaf, 128), jnp.float32),  # leaf tri rows
             pltpu.SemaphoreType.DMA((2,)),
         ]
+        if when_push:
+            scratch.append(pltpu.SMEM((1,), jnp.int32))  # post-push sp
         kernel = partial(_kernel_bvh8_single, max_leaf=max_leaf,
                          any_hit=any_hit, push_order=push_order,
                          debug_double=debug_double, reduce_mode=reduce_mode,
                          flag_keys=flag_keys, uv_payload=uv_payload,
-                         count_steps=count_steps)
+                         count_steps=count_steps, when_push=when_push)
     else:
         scratch = [
             pltpu.SMEM((group, STACK_DEPTH), jnp.int32),
@@ -1606,7 +1665,7 @@ def _trace_packets_bvh8(nodes8, tris128, rays, max_leaf: int, any_hit: bool,
                                    "interpret", "push_order",
                                    "count_steps", "group", "unroll",
                                    "debug_double", "reduce_mode", "pop2",
-                                   "uv_payload", "fat"))
+                                   "uv_payload", "fat", "when_push"))
 def trace_closest_bvh8(bvh: dict, geom: dict, origin, direction,
                        t_min, t_max, *, height: int, width: int,
                        max_leaf: int = LEAF8_MAX,
@@ -1617,7 +1676,8 @@ def trace_closest_bvh8(bvh: dict, geom: dict, origin, direction,
                        reduce_mode: str = "each",
                        pop2: bool | None = None,
                        uv_payload: bool | None = None,
-                       fat: int | None = None):
+                       fat: int | None = None,
+                       when_push: bool | None = None):
     """Closest-hit BVH8 packet trace. bvh must carry 'nodes8'
     (bvh/wide.collapse8). Contract matches trace_closest.
     count_steps=True is a diagnostic: u/v return the packet's node/leaf
@@ -1639,6 +1699,9 @@ def trace_closest_bvh8(bvh: dict, geom: dict, origin, direction,
         # an explicit pop2=True (probe/tests) keeps the one-tile packet:
         # the two knobs are separate experiments and do not compose
         fat = FAT_DEFAULT if group == 1 and unroll == 1 and not pop2 else 1
+    if when_push is None:
+        when_push = WHEN_PUSH_DEFAULT and group == 1 and unroll == 1 \
+            and not pop2
     if uv_payload is None:
         uv_payload = UVP_DEFAULT and "uvp" in geom and group == 1 \
             and unroll == 1 and not count_steps and not pop2
@@ -1654,7 +1717,8 @@ def trace_closest_bvh8(bvh: dict, geom: dict, origin, direction,
                                group=group, unroll=unroll,
                                debug_double=debug_double,
                                reduce_mode=reduce_mode, pop2=pop2,
-                               uv_payload=uv_payload, fat=fat)
+                               uv_payload=uv_payload, fat=fat,
+                               when_push=when_push)
     t, tri, u, v = outs[:4]
     g = partial(_from_packets, height=height, width=width)
     hits = dict(t=g(t), tri=g(tri), u=g(u), v=g(v))
@@ -1669,7 +1733,7 @@ def trace_closest_bvh8(bvh: dict, geom: dict, origin, direction,
                                    "interpret", "group", "unroll",
                                    "debug_double", "reduce_mode",
                                    "push_order", "flag_keys", "pop2",
-                                   "fat", "count_steps"))
+                                   "fat", "count_steps", "when_push"))
 def trace_any_bvh8(bvh: dict, geom: dict, origin, direction,
                    t_min, t_max, *, height: int, width: int,
                    max_leaf: int = LEAF8_MAX,
@@ -1678,7 +1742,8 @@ def trace_any_bvh8(bvh: dict, geom: dict, origin, direction,
                    reduce_mode: str = "each", push_order: str = "none",
                    flag_keys: bool | None = None,
                    pop2: bool | None = None,
-                   fat: int | None = None, count_steps: bool = False):
+                   fat: int | None = None, count_steps: bool = False,
+                   when_push: bool | None = None):
     """Any-hit BVH8 packet trace; returns boolean occlusion mask (H*W,).
     push_order="none" (default) pushes children unsorted; "sort" pops
     near-first (early-exit A/B — see the note in the kernel body).
@@ -1693,6 +1758,9 @@ def trace_any_bvh8(bvh: dict, geom: dict, origin, direction,
             and reduce_mode == "each"
     if fat is None:
         fat = FAT_DEFAULT if group == 1 and unroll == 1 and not pop2 else 1
+    if when_push is None:
+        when_push = WHEN_PUSH_DEFAULT and group == 1 and unroll == 1 \
+            and not pop2
     if flag_keys is None:
         flag_keys = push_order == "none"
     assert not (flag_keys and push_order != "none"), \
@@ -1707,7 +1775,8 @@ def trace_any_bvh8(bvh: dict, geom: dict, origin, direction,
                                        reduce_mode=reduce_mode,
                                        push_order=push_order,
                                        flag_keys=flag_keys, pop2=pop2,
-                                       fat=fat, count_steps=count_steps)
+                                       fat=fat, count_steps=count_steps,
+                                       when_push=when_push)
     res = _from_packets(occ, height, width) > 0.5
     if count_steps:
         g = partial(_from_packets, height=height, width=width)
