@@ -81,8 +81,9 @@ FAT_ANY_DEFAULT = 1    # fused multi-light any-hit (shadow) trace
 # sort+push that runs the full scalar chain on _NEG keys every leaf pop
 # (~46% of steps). Bit-identical: dead pushes never advanced sp and their
 # stack writes were overwritten before any pop could read them.
-# Flipped by tools/when_push_probe.py.
-WHEN_PUSH_DEFAULT = False
+# Flipped by tools/when_push_probe.py: closest 4.061 -> 3.893 ms,
+# shadow3 tour -0.21 ms, bit-exact (WHEN_PUSH_PROBE.json).
+WHEN_PUSH_DEFAULT = True
 # Stack leaf codes pack -(first * LEAF_CODE_BASE + count) - 1; the base
 # bounds leaf_max (< LEAF_CODE_BASE) and keeps first exact in i32 for
 # scenes up to 2^31/base triangles.
