@@ -770,8 +770,6 @@ def _kernel_bvh8_pop2(nodes_ref, tris_ref,
 def _kernel_bvh8_any_multi(nodes_ref, tris_ref, *refs,
                            max_leaf: int, n_sets: int,
                            when_push: bool = False):
-    if when_push:
-        *refs, sp_cell = refs
     """Fused multi-set any-hit traversal: S independent shadow-ray sets for
     the SAME pixel tile (one per shadow-casting light — identical origins,
     different directions) traverse ONE shared stack. A child is pushed when
@@ -798,6 +796,9 @@ def _kernel_bvh8_any_multi(nodes_ref, tris_ref, *refs,
 
     Replaces the reference's per-light shadow traceRayEXT loop
     (raytrace.rgen.glsl:164-182) at one launch per frame."""
+    if when_push:
+        # trailing SMEM (1,) cell carries the post-push sp out of pl.when
+        *refs, sp_cell = refs
     ray_refs = refs[:8 * n_sets]
     occ_outs = refs[8 * n_sets:9 * n_sets]
     stack, node_buf, tri_buf, sems = refs[9 * n_sets:]
