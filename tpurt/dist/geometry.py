@@ -231,7 +231,8 @@ def _ring_closest_bvh8(nodes8, tris128, origin, direction, t_min, t_max,
     the running-best (t, tri, u, v) planes ride along, with t fed back as
     each stop's tmax so the shrinking bound culls remote subtrees exactly
     like the single-chip kernel's own t bound."""
-    from ..kernels.traverse_bvh8 import FAT_DEFAULT, _trace_packets_bvh8
+    from ..kernels.traverse_bvh8 import (FAT_DEFAULT, WHEN_PUSH_DEFAULT,
+                                         _trace_packets_bvh8)
     from ..kernels.traverse_pallas import _from_packets, _rays_to_packets
 
     rays = _rays_to_packets(origin, direction, t_min, t_max, band, width)
@@ -244,7 +245,8 @@ def _ring_closest_bvh8(nodes8, tris128, origin, direction, t_min, t_max,
         rays_c, t, tri, u, v = carry
         t_n, tri_n, u_n, v_n = _trace_packets_bvh8(
             nodes8, tris128, dict(rays_c, tmax=t), max_leaf,
-            any_hit=False, interpret=interpret, fat=FAT_DEFAULT)
+            any_hit=False, interpret=interpret, fat=FAT_DEFAULT,
+            when_push=WHEN_PUSH_DEFAULT)
         better = t_n < t
         t = jnp.where(better, t_n, t)
         tri = jnp.where(better, tri_n, tri)
@@ -264,6 +266,7 @@ def _ring_any_multi_bvh8(nodes8, tris128, origin, dirs, t_min, t_maxs,
     occlude park with tmax=0 for the rest of the tour. Returns (S, band*W)
     bool, bit-identical to S separate single-set tours."""
     from ..kernels.traverse_bvh8 import (FAT_ANY_DEFAULT,
+                                         WHEN_PUSH_DEFAULT,
                                          _trace_packets_bvh8_any_multi)
     from ..kernels.traverse_pallas import _from_packets, _rays_to_packets
 
@@ -279,7 +282,8 @@ def _ring_any_multi_bvh8(nodes8, tris128, origin, dirs, t_min, t_maxs,
                 for s in range(n_sets)]
         hit = _trace_packets_bvh8_any_multi(nodes8, tris128, live,
                                             max_leaf, interpret,
-                                            fat=FAT_ANY_DEFAULT)
+                                            fat=FAT_ANY_DEFAULT,
+                                            when_push=WHEN_PUSH_DEFAULT)
         occs = [jnp.maximum(occs[s], hit[s]) for s in range(n_sets)]
         carry = _rotate(axis, n, (sets, occs))
     _, occs = carry
